@@ -1,0 +1,79 @@
+"""SparkSession factory and runtime preparation.
+
+The reference job bootstrap is ``StreamExecutionEnvironment.getExecutionEnvironment``
++ HDFS checkpointing (reference pom.xml:32-37, 68-74). Spark equivalent:
+one shared ``SparkSession`` with AQE + Arrow on; checkpointing is per-sink
+(``option("checkpointLocation", ...)`` — see streaming/).
+
+Scale notes (100 TB design):
+- ``spark.sql.adaptive.enabled`` — runtime re-planning: coalesces small
+  shuffle partitions, converts sort-merge→broadcast when a side turns out
+  small, splits skewed partitions (skew-join handling). Mandatory at scale.
+- ``spark.sql.shuffle.partitions`` — sized for the local test harness via
+  env; on a real cluster leave high (e.g. 2×cores) and let AQE coalesce.
+- Arrow execution for every pandas_udf/mapInPandas kernel (vectorized
+  Python, not row-at-a-time pickling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied even to a session we did not create
+# (the verification driver passes us its own SparkSession).
+_RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet is TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects by default; read as epoch-nanos LongType and convert
+    # explicitly (sources/io.py). Distributed native scan — no
+    # driver-side rewriting of the input.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # fixture files are single small parquets; don't waste time on
+    # parallel footer reads / schema merging
+    "spark.sql.parquet.mergeSchema": "false",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent).
+
+    Every query builder calls this first so the engine behaves the same
+    under the driver's session as under our own.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this session → keep its value
+    return spark
+
+
+def get_spark(
+    app_name: str = "flink_realtime_2024_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    Local harness: ``local[$SPARK_GRAFT_CPUS]``; shuffle partitions default
+    to the core count (tiny SFs don't need more; AQE coalesces anyway).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    return prepare(b.getOrCreate())

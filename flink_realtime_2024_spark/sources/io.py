@@ -1,0 +1,78 @@
+"""Batch sources & sinks: parquet / CSV / JSON.
+
+Reference surface: Flink filesystem connector + csv/json formats
+(pom.xml:132-137, 60-65, 53-58) and the Doris sink for serving tables
+(realtime-common/pom.xml:50-53). Spark-first mapping: ``spark.read`` /
+``DataFrameWriter`` — Catalyst pushes predicates and prunes columns into
+the parquet scan for free (verify with ``.explain``: ``PushedFilters``,
+``ReadSchema``).
+
+Scale notes:
+- Scans stay fully distributed; nothing here collects to the driver.
+- ``load_table`` applies the *declared* schema (schemas.py) — no
+  inference pass over 100 TB.
+- Sinks partition by a column when given (partition pruning on read).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas
+from ..session import prepare
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table with its declared schema.
+
+    ``events`` needs care: the file stores TIMESTAMP(NANOS), which Spark's
+    reader rejects. With ``spark.sql.legacy.parquet.nanosAsLong`` the
+    column scans as epoch-nanos LongType; we convert to TimestampType by
+    integer division (truncation towards zero matches DuckDB's ns→µs
+    truncation, so oracles agree sub-second).
+    """
+    prepare(spark)
+    path = table_path(sf_dir, name)
+    if name == "events":
+        raw = spark.read.parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(schemas.TABLES[name]).parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Expose fixture tables as temp views so ``spark.sql`` works too
+    (the reference's Table/SQL entry point, SURVEY §3.2)."""
+    for n in names or list(schemas.TABLES):
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def sink_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    """Serving-table sink (reference: Doris stream-load; here: parquet).
+
+    ``partition_by`` buys partition pruning for downstream readers — the
+    Doris-side equivalent of a distribution key.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def csv_roundtrip(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """CSV format ser/de (reference flink-csv, pom.xml:60-65): write a
+    DataFrame as CSV with header and read it back with the same schema."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(df.schema).option("header", "true").csv(path)
