@@ -1,0 +1,34 @@
+"""Shared expression helpers for cross-engine (Spark ↔ DuckDB) parity.
+
+Rules (SURVEY §5.2):
+- sums of money in DECIMAL → exact & order-independent → cast DOUBLE last;
+- event timestamps reduced to epoch-ms BIGINT (``unix_millis``) — DuckDB
+  oracles use ``epoch_ms(CAST(ts AS TIMESTAMP))`` (the CAST reproduces
+  Spark's ns→µs truncation);
+- ratios as DOUBLE/DOUBLE division of exactly-equal operands.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def dec(col: str | Column, scale: int = 4) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def money_sum(expr: Column) -> Column:
+    """Exact, order-independent sum → DOUBLE (bit-identical across engines)."""
+    return F.sum(expr).cast("double")
+
+
+def ts_ms(col: str | Column = "ts") -> Column:
+    """Event time as epoch milliseconds (BIGINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp"))
+
+
+# DuckDB-side fragment mirroring ts_ms()
+ORACLE_TS_MS = "epoch_ms(CAST(ts AS TIMESTAMP))"

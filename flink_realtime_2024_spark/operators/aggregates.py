@@ -1,0 +1,206 @@
+"""Aggregation operators (SURVEY §2.4).
+
+Reference surface: keyed reduce/aggregate (flink-streaming-java
+pom.xml:32-37), SQL agg incl. grouping sets / approx distinct
+(table planner+runtime pom.xml:118-130).
+
+Scale notes: every groupBy below benefits from Spark's built-in
+two-phase aggregation (partial HashAggregate before the shuffle — the
+reference planner's local/global & mini-batch agg, SURVEY §4); verify
+with .explain: partial_sum/partial_count appear map-side. Distinct
+aggregates rewrite to expand+two-shuffle; approx_count_distinct is the
+constant-memory HLL path for 100 TB UV-style metrics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.io import load_table
+from ..plans.registry import register
+from ._util import dec, money_sum
+
+# --- A1/A2 keyed hash aggregation (TPC-H Q1 shape) -----------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_hash_groupby", oracle=_Q1_ORACLE, section="A1,A2", bench=True)
+def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 keyed multi-metric aggregate; A2 two-phase agg is automatic
+    (map-side partial HashAggregate). DECIMAL sums → order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(dec("l_quantity")).alias("sum_qty"),
+            money_sum(dec("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- A3 exact distinct ----------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS uniq_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_count_distinct", oracle=_DISTINCT_ORACLE, section="A3")
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 exact COUNT(DISTINCT): Catalyst expands to a two-stage plan
+    (distinct keys shuffled first). Exact UV per key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("uniq_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- A4 approx distinct (HLL) -----------------------------------------------------
+
+
+@register("agg_approx_distinct", oracle=None, section="A4")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 APPROX_COUNT_DISTINCT — HyperLogLog++, constant memory per key;
+    the 100 TB UV path (exact distinct shuffles every key). Rows-only:
+    Spark's HLL++ and DuckDB's HLL give different estimates by design."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_uv"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- A5 rollup / cube --------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_ORACLE, section="A5", bench=True)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ROLLUP — hierarchical subtotals (the DWS multi-dim cube write
+    path). Spark expands grouping sets in one pass over the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        money_sum(dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n"
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_ORACLE, section="A5")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 CUBE — all grouping-set combinations in one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+        money_sum(dec("o_totalprice")).alias("sum_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n", "sum_price"
+    )
+
+
+# --- A6 conditional / filtered aggregation ---------------------------------------------
+
+_CONDITIONAL_ORACLE = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+         AS finished_value
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_conditional", oracle=_CONDITIONAL_ORACLE, section="A6")
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 per-metric conditional aggregation (COUNT(IF(cond,1,NULL))-style,
+    the DWS multi-metric bean pattern) — one pass, N metrics."""
+    orders = load_table(spark, sf_dir, "orders")
+    one_if = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    return orders.groupBy("o_orderpriority").agg(
+        one_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        one_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        one_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", dec("o_totalprice")).otherwise(F.lit(0))
+        )
+        .cast("double")
+        .alias("finished_value"),
+    )
+
+
+# --- A7 collect list/set -------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT c_mktsegment,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+       COUNT(*) AS n
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_collect", oracle=_COLLECT_ORACLE, section="A7")
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 collect_set → sorted, joined to a string so the value is
+    order-stable across engines (arrays hash engine-specifically)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nations = F.array_join(
+        F.transform(F.sort_array(F.collect_set("c_nationkey")), lambda x: x.cast("string")),
+        ",",
+    )
+    return customer.groupBy("c_mktsegment").agg(
+        nations.alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )

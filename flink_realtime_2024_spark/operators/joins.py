@@ -1,0 +1,336 @@
+"""Join operators: equi / outer / semi-anti / interval / windowed /
+as-of / theta (SURVEY §2.3).
+
+Reference surface: Flink streaming + SQL joins (flink-streaming-java
+pom.xml:32-37; table planner pom.xml:118-123), HBase/Redis lookup joins
+(realtime-common/pom.xml:39-47, 65-73).
+
+Scale design notes:
+- Dim joins are **broadcast hash joins** (Spark's idiom for the
+  reference's HBase point-lookup + Redis cache): the dim ships once per
+  executor, the fact side never shuffles. This replaces S5/S6/T9.
+- Fact⋈fact joins shuffle both sides hash-partitioned on the key;
+  AQE re-plans to broadcast when a side is small and splits skewed
+  partitions at runtime.
+- Interval/windowed joins bound state by time: the equi-key (and bucket)
+  is in the join key, so Spark prunes the cross product to
+  per-key×per-window — never a full cartesian.
+- Theta join is an explicit BroadcastNestedLoopJoin with the SMALL side
+  broadcast; output is aggregated before leaving the stage.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.io import load_table
+from ..plans.registry import register
+from ._util import dec, money_sum, ts_ms, ORACLE_TS_MS
+
+# --- J1 shuffled equi join --------------------------------------------------
+
+_INNER_ORACLE = """
+SELECT p.p_brand AS brand,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+@register("join_inner_hash", oracle=_INNER_ORACLE, section="J1", bench=True)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 fact⋈dim equi join + aggregation. Catalyst/AQE pick the physical
+    join (SMJ at scale, broadcast when part fits); partial aggregation
+    runs map-side before the final shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"), "inner")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_sum(dec("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+# --- J2 broadcast dim (lookup) join ------------------------------------------
+
+_BROADCAST_ORACLE = """
+SELECT n.n_name AS nation, r.r_name AS region,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+"""
+
+
+@register("join_broadcast_dim", oracle=_BROADCAST_ORACLE, section="J2,S5,S6")
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 lookup/dim join — the reference's HBase rowkey get + Redis cache
+    (realtime-common/pom.xml:39-47,65-73) expressed as explicit broadcast
+    hash joins: dim is memory-local on every executor, zero fact shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(dec("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+# --- J3 outer joins -----------------------------------------------------------
+
+_LEFT_ORACLE = """
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spent
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@register("join_left_outer", oracle=_LEFT_ORACLE, section="J3")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left outer: customers with zero orders survive with n_orders=0."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0)).cast("double").alias("total_spent"),
+        )
+    )
+
+
+_FULL_ORACLE = """
+WITH f AS (SELECT o_custkey, COUNT(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+     o AS (SELECT o_custkey, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+SELECT COALESCE(f.o_custkey, o.o_custkey) AS custkey,
+       COALESCE(f.n_f, 0) AS n_finished,
+       COALESCE(o.n_o, 0) AS n_open
+FROM f FULL OUTER JOIN o ON f.o_custkey = o.o_custkey
+"""
+
+
+@register("join_full_outer", oracle=_FULL_ORACLE, section="J3")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 full outer join of two keyed aggregates (changelog-merge shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("fk"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("ok"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return f.join(o, F.col("fk") == F.col("ok"), "full").select(
+        F.coalesce("fk", "ok").alias("custkey"),
+        F.coalesce("n_f", F.lit(0)).alias("n_finished"),
+        F.coalesce("n_o", F.lit(0)).alias("n_open"),
+    )
+
+
+# --- J6 semi / anti -----------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+@register("join_semi", oracle=_SEMI_ORACLE, section="J6")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 left-semi (SQL EXISTS/IN): probe side never duplicates rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    finished = orders.filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        finished, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("join_anti", oracle=_ANTI_ORACLE, section="J6")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 left-anti (SQL NOT EXISTS): customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --- J4 interval join ----------------------------------------------------------
+
+_INTERVAL_ORACLE = f"""
+WITH e AS (SELECT event_id, user_id, event_type, {ORACLE_TS_MS} AS ms FROM events)
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.ms - c.ms AS lead_ms
+FROM e p JOIN e c
+  ON c.user_id = p.user_id
+ AND c.ms BETWEEN p.ms - 1800000 AND p.ms
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@register("join_interval", oracle=_INTERVAL_ORACLE, section="J4")
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 interval join (Flink intervalJoin, pom.xml:32-37): clicks within
+    30 min before each purchase, per user. The equi-key (user_id) keeps
+    the physical join a hash join with a range residual — per-key state
+    only; in streaming form the watermark bounds retained state to the
+    interval width."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", "event_type", ts_ms().alias("ms"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ms").alias("pms")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ms").alias("cms")
+    )
+    return p.join(
+        c,
+        (F.col("cu") == F.col("pu"))
+        & F.col("cms").between(F.col("pms") - 1800000, F.col("pms")),
+    ).select("purchase_id", "click_id", (F.col("pms") - F.col("cms")).alias("lead_ms"))
+
+
+# --- J5 window join -------------------------------------------------------------
+
+_WINDOWED_ORACLE = f"""
+WITH e AS (SELECT event_id, user_id, event_type,
+                  ({ORACLE_TS_MS} // 3600000) * 3600000 AS bucket_ms
+           FROM events)
+SELECT a.user_id, a.bucket_ms, COUNT(*) AS n_pairs
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND a.bucket_ms = b.bucket_ms
+WHERE a.event_type = 'view' AND b.event_type = 'click'
+GROUP BY a.user_id, a.bucket_ms
+"""
+
+
+@register("join_windowed", oracle=_WINDOWED_ORACLE, section="J5")
+def join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 window join: views⋈clicks of the same user in the same 1h
+    tumbling bucket. Bucket is part of the equi-key → plain hash join,
+    state bounded by one window per key."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (ts_ms() - ts_ms() % 3600000).alias("bucket_ms")
+    e = ev.select("event_id", "user_id", "event_type", bucket)
+    a = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("au"), F.col("bucket_ms").alias("ab")
+    )
+    b = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("bu"), F.col("bucket_ms").alias("bb")
+    )
+    return (
+        a.join(b, (F.col("au") == F.col("bu")) & (F.col("ab") == F.col("bb")))
+        .groupBy(F.col("au").alias("user_id"), F.col("ab").alias("bucket_ms"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --- J7 as-of (temporal) join ----------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH versions AS (
+  SELECT c_custkey, g.i AS version,
+         CAST(CAST(c_acctbal AS DECIMAL(18,4)) * (1 + g.i) AS DOUBLE) AS acctbal_v,
+         TIMESTAMP '1994-01-01' + INTERVAL 1 DAY * (730 * g.i) AS valid_from
+  FROM customer, (VALUES (0),(1),(2)) g(i)
+)
+SELECT o.o_orderkey, v.version, v.acctbal_v
+FROM orders o JOIN versions v
+  ON v.c_custkey = o.o_custkey AND v.valid_from <= o.o_orderdate
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o.o_orderkey ORDER BY v.valid_from DESC) = 1
+"""
+
+
+@register("join_asof_latest", oracle=_ASOF_ORACLE, section="J7,S3", bench=True)
+def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 temporal/as-of join (Flink temporal table join over CDC-versioned
+    dims): each order joins the dim version valid at its event time.
+    Implementation: broadcast the (small) versioned dim, range join
+    valid_from <= ts, keep latest version per probe row via row_number.
+    At scale the dim stays broadcast (versions ≪ facts); if the dim were
+    huge, the same plan works shuffled with the range residual."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    versions = (
+        customer.select("c_custkey", "c_acctbal")
+        .withColumn("version", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+        .select(
+            "c_custkey",
+            "version",
+            (dec("c_acctbal") * (F.lit(1) + F.col("version"))).cast("double").alias("acctbal_v"),
+            F.timestamp_add(
+                "DAY", F.col("version") * 730, F.lit("1994-01-01").cast("timestamp_ntz")
+            ).alias("valid_from"),
+        )
+    )
+    joined = orders.join(
+        F.broadcast(versions),
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("valid_from") <= F.col("o_orderdate")),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("valid_from").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "version", "acctbal_v")
+    )
+
+
+# --- J8 theta (non-equi) join ------------------------------------------------------
+
+_THETA_ORACLE = """
+SELECT s.s_suppkey,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM supplier s JOIN part p
+  ON p.p_retailprice BETWEEN s.s_acctbal / 10 AND s.s_acctbal / 10 + 200
+GROUP BY s.s_suppkey
+"""
+
+
+@register("join_theta_range", oracle=_THETA_ORACLE, section="J8")
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 theta/non-equi join → BroadcastNestedLoopJoin with the small
+    side (supplier) broadcast; result aggregated before any exchange.
+    At 100 TB you'd band the range into buckets to regain an equi-key —
+    the interval-join pattern above — but the raw operator exists."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    lo = F.col("s_acctbal") / 10
+    return (
+        part.join(
+            F.broadcast(supplier),
+            F.col("p_retailprice").between(lo, lo + 200),
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            money_sum(dec("p_retailprice")).alias("sum_price"),
+        )
+    )

@@ -2,3 +2,5 @@ from .registry import Query, all_queries, register  # noqa: F401
 
 # Importing these modules populates the registry.
 from . import flagship  # noqa: F401,E402
+from ..operators import relational, joins, aggregates, window_functions, setops  # noqa: F401,E402
+from ..functions import scalar  # noqa: F401,E402
