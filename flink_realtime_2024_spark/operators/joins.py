@@ -167,17 +167,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANTI_ORACLE = """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
 """
 
 
 @register("join_anti", oracle=_ANTI_ORACLE, section="J6")
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 left-anti (SQL NOT EXISTS): customers with no orders at all."""
+    """J6 left-anti (SQL NOT EXISTS): customers with no pending orders."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    pending = orders.filter(F.col("o_orderstatus") == "P")
     return customer.join(
-        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        pending, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 

@@ -1,0 +1,480 @@
+"""LLM training-data pipeline operators (SURVEY §2.10, north star).
+
+Not in the reference (its README is one line) — these are the scale
+extensions BASELINE.json requires: dedup (exact / MinHash-LSH / SimHash),
+similarity search over embeddings, and text analysis, all designed
+partition-parallel for 100 TB:
+
+- no O(n²) cross joins: candidate generation is LSH *banding* — equal
+  band-hash ⇒ same shuffle bucket ⇒ pairs enumerated per bucket only;
+- Python kernels are Arrow-vectorized pandas_udfs with fixed seeds
+  (bit-reproducible across runs and engines where applicable);
+- only the tiny query set of the kNN is ever driver-resident (it is the
+  broadcast side); the corpus side streams through mapInPandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..sources.io import load_table
+from ..plans.registry import register
+
+# =============================================================================
+# L1 exact dedup
+# =============================================================================
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS fp,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("llm_dedup_exact", oracle=_EXACT_ORACLE, section="L1", bench=True)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 exact dedup by content hash: one hash-groupBy, keeper = min id.
+    At 100 TB: the groupBy shuffles 16-byte digests, not documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_FP_ORACLE = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("llm_fingerprint", oracle=_FP_ORACLE, section="L1,L4")
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L4 document fingerprinting: normalize (lowercase, strip
+    non-alnum, collapse whitespace) then hash — catches trivially-mutated
+    duplicates that exact hashing misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        docs.groupBy(F.md5(normalized).alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# =============================================================================
+# L2 near-dup: MinHash + LSH banding
+# =============================================================================
+
+_MERSENNE = (1 << 61) - 1
+_N_HASHES = 64
+_N_BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5 reliably
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-token shingles → stable uint64 hashes (crc32 of utf-8; fixed,
+    interpreter-independent — never Python's salted hash())."""
+    import zlib
+
+    toks = text.lower().split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(
+        np.array([zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64)
+    )
+
+
+_rng = np.random.RandomState(42)
+_MH_A = _rng.randint(1, _MERSENNE, size=_N_HASHES, dtype=np.int64).astype(np.uint64)
+_MH_B = _rng.randint(0, _MERSENNE, size=_N_HASHES, dtype=np.int64).astype(np.uint64)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_band_hashes(text: pd.Series) -> pd.Series:
+    """64 minhashes → 16 band hashes per document (the LSH signature)."""
+    import zlib
+
+    out = []
+    for t in text:
+        h = _shingle_hashes(t or "")
+        # (a*h + b) mod p, vectorized over 64 permutations
+        sig = ((_MH_A[:, None] * h[None, :] + _MH_B[:, None]) % _MERSENNE).min(axis=1)
+        bands = sig.reshape(_N_BANDS, _ROWS_PER_BAND)
+        out.append([zlib.crc32(b.tobytes()) for b in bands])
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def shingle_jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+    """Exact 3-token-shingle Jaccard — the verification kernel."""
+    vals = []
+    for a, b in zip(text_a, text_b):
+        sa, sb = set(_shingle_hashes(a or "")), set(_shingle_hashes(b or ""))
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        vals.append(inter / union if union else 0.0)
+    return pd.Series(vals, dtype="float64")
+
+
+@register("llm_dedup_minhash", oracle=None, section="L2", bench=True)
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 near-dup detection: MinHash signatures → LSH band bucketing →
+    candidate pairs per bucket → exact-Jaccard verification (≥ 0.5).
+
+    Scale path (why there is NO cross join): equal band hash ⇒ same
+    shuffle bucket; pairs are enumerated only inside buckets. Runaway
+    buckets (degenerate text) are capped at 64 docs — cap + salt is the
+    documented skew strategy at 100 TB. Rows-only: MinHash isn't SQL-
+    expressible; tests/test_llm.py cross-checks against brute force.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = docs.select(
+        "doc_id", F.posexplode(minhash_band_hashes("text")).alias("band", "band_hash")
+    )
+    buckets = (
+        sigs.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= 64))
+    )
+    # pairs (i<j) inside each bucket, dedup across bands
+    pairs = (
+        buckets.select(
+            F.explode("ids").alias("doc_a"), F.col("ids")
+        )
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    verified = (
+        pairs.join(docs.withColumnsRenamed({"doc_id": "doc_a", "text": "text_a"}), "doc_a")
+        .join(docs.withColumnsRenamed({"doc_id": "doc_b", "text": "text_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(shingle_jaccard("text_a", "text_b"), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified
+
+
+# =============================================================================
+# L2b near-dup: SimHash
+# =============================================================================
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over unigram tokens (md5-derived token hashes)."""
+    import hashlib
+
+    out = []
+    for t in text:
+        toks = set((t or "").lower().split())
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            digest = hashlib.md5(tok.encode("utf-8")).digest()[:8]
+            bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
+            acc += 2 * bits - 1
+        fp = int(np.packbits(acc > 0).view(">u8")[0])
+        out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+    return pd.Series(out, dtype="int64")
+
+
+@register("llm_dedup_simhash", oracle=None, section="L2")
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 SimHash near-dup: 64-bit fingerprints; candidates share at
+    least one of four 16-bit chunks (pigeonhole ⇒ recall 1.0 for hamming
+    ≤ 3 per 4-chunk split... banding again, no cross join); verified by
+    exact popcount hamming ≤ 6."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = docs.select("doc_id", simhash64("text").alias("fp"))
+    # posexplode keeps the chunk position in the key (chunk i of A must
+    # equal chunk i of B)
+    chunks = fps.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("fp", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("members"))
+        .filter((F.size("members") > 1) & (F.size("members") <= 64))
+    )
+    pairs = (
+        buckets.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+    return pairs
+
+
+# =============================================================================
+# L3 similarity search: cosine top-k
+# =============================================================================
+
+_KNN_K = 5
+_KNN_QUERY_MOD = 50  # query set: vec_id % 50 == 0
+
+_KNN_ORACLE = f"""
+SELECT q.vec_id AS query_id,
+       e.vec_id AS neighbor_id,
+       round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS score
+FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+WHERE q.vec_id % {_KNN_QUERY_MOD} = 0
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY q.vec_id
+  ORDER BY round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+           e.vec_id
+) <= {_KNN_K}
+"""
+
+
+@register("llm_knn_cosine", oracle=_KNN_ORACLE, section="L3", bench=True)
+def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 brute-force cosine top-k (embeddings are L2-normalized ⇒ cosine
+    = dot product). The query set (tiny) is broadcast as a dense float64
+    matrix; the corpus streams through mapInPandas doing one BLAS matmul
+    per Arrow batch; per-partition partial top-k, then a global
+    row_number finalizes k — the corpus is never collected.
+
+    Determinism: scores quantized to 1e-6 BEFORE ranking, ties broken by
+    neighbor_id, so Spark and DuckDB rank identically despite float
+    accumulation-order noise. 100 TB path: same plan, plus an IVF-style
+    coarse filter (llm_knn_ivf) to prune the corpus per query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # tiny by construction: the broadcast side
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    sc = spark.sparkContext
+    b = sc.broadcast((qids, Q))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def partial_topk(batches):
+        bqids, bQ = b.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            S = np.round(E @ bQ.T, 6)  # (n, k_queries), quantized
+            rows = []
+            for j in range(len(bqids)):
+                s = S[:, j]
+                mask = ids != bqids[j]
+                mids, ms = ids[mask], s[mask]
+                order = np.lexsort((mids, -ms))[: _KNN_K]
+                for i in order:
+                    rows.append((int(bqids[j]), int(mids[i]), float(ms[i])))
+            if rows:
+                yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(partial_topk, out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+@register("llm_neardup_cosine", oracle=None, section="L2,L3")
+def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3 embedding near-dup via random-hyperplane LSH: 16-bit sign
+    signatures × 8 tables; same signature in any table ⇒ candidate;
+    exact dot-product verify ≥ 0.9. Banding keeps it cross-join-free;
+    tests cross-check recall against brute force at sf0.001."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rng = np.random.RandomState(7)
+    planes = rng.normal(size=(8, 16, 64))  # 8 tables × 16 bits × dim
+    sc = spark.sparkContext
+    bp = sc.broadcast(planes)
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("table_idx", T.IntegerType()),
+            T.StructField("sig", T.LongType()),
+        ]
+    )
+
+    def signatures(batches):
+        P = bp.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            rows = []
+            for t in range(P.shape[0]):
+                bits = (E @ P[t].T) > 0  # (n, 16)
+                sigs = (bits * (1 << np.arange(16))).sum(axis=1).astype(np.int64)
+                rows.append(
+                    pd.DataFrame(
+                        {"vec_id": ids, "table_idx": t, "sig": sigs}
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    sigs = emb.select("vec_id", "embedding").mapInPandas(signatures, sig_schema)
+    buckets = (
+        sigs.groupBy("table_idx", "sig")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= 128))
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("vec_a"), "ids")
+        .select("vec_a", F.explode("ids").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .distinct()
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def dot64(a: pd.Series, bvec: pd.Series) -> pd.Series:
+        A = np.array(list(a), dtype=np.float64)
+        B = np.array(list(bvec), dtype=np.float64)
+        return pd.Series(np.round((A * B).sum(axis=1), 6))
+
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", dot64("emb_a", "emb_b").alias("cosine"))
+        .filter(F.col("cosine") >= 0.9)
+    )
+
+
+# =============================================================================
+# L4/L5 text analysis
+# =============================================================================
+
+_WORDCOUNT_ORACLE = """
+SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+"""
+
+
+@register("llm_wordcount", oracle=_WORDCOUNT_ORACLE, section="L4", bench=True)
+def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 corpus word count + document frequency — pure built-ins
+    (split/explode/groupBy), the UDF-free fast path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("df"))
+    )
+
+
+_TOKENCOUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+         AS n_tokens,
+       n_chars
+FROM documents
+"""
+
+
+@register("llm_token_count", oracle=_TOKENCOUNT_ORACLE, section="L4")
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 BPE-ish token counting: letter-runs | digit-runs | single
+    punctuation, all JVM-side regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        "n_chars",
+    )
+
+
+_STOPWORDS = "the a an of and or to in is are was were be been it this that for on with as at by from".split()
+
+_TEXT_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         string_split(lower(text), ' ') AS toks,
+         length(text) AS len_chars
+  FROM documents
+)
+SELECT doc_id, lang, len_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS!r}, x))) AS BIGINT)
+         AS n_stopwords,
+       CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS!r}, x))) AS DOUBLE)
+         / len(toks) AS stopword_ratio,
+       CAST(len_chars AS DOUBLE) / len(toks) AS avg_token_len,
+       CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS!r}, x))) AS DOUBLE)
+                 / len(toks) >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess,
+       CAST(len(toks) >= 10 AND len_chars / len(toks) <= 12 AS INTEGER) AS quality_ok
+FROM t
+"""
+
+
+@register("llm_text_stats", oracle=_TEXT_STATS_ORACLE, section="L5", bench=True)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 quality scoring + n-gram-heuristic language ID: token counts,
+    stopword ratio (the lang-id signal), avg token length, a quality
+    gate — all JVM higher-order functions, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    toks = F.split(F.lower("text"), " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("bigint")
+    len_chars = F.length("text")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        "lang",
+        len_chars.alias("len_chars"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        (len_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        F.when(stop_ratio >= 0.05, "en").otherwise("other").alias("lang_guess"),
+        ((n_tokens >= 10) & (len_chars / n_tokens <= 12)).cast("int").alias("quality_ok"),
+    )

@@ -1,0 +1,177 @@
+"""Warehouse-layer compositions (SURVEY §7 step 5) + file-format queries.
+
+The reference's module layout is the layered real-time warehouse:
+realtime-dim / realtime-dwd / realtime-dws (reference pom.xml:11-16).
+These queries compose the §2 operators into that architecture's
+canonical jobs, batch-testable end to end:
+
+- ``scan_parquet`` / ``scan_csv_roundtrip`` — S8/S9 filesystem + format
+  connectors (pom.xml:132-137, 60-65).
+- ``warehouse_order_wide`` — the DWD wide-table job: facts joined with
+  dims into a denormalized serving row (order + customer + nation).
+- ``warehouse_traffic_dws`` — the DWS traffic summary: sessionized
+  events rolled up per day (sessions, UV, events, revenue-ish value).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.io import load_table, csv_roundtrip
+from ..operators._util import dec
+from .registry import register
+
+_SCAN_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity >= 45
+"""
+
+
+@register("scan_parquet", oracle=_SCAN_ORACLE, section="S8")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 filesystem/parquet scan with predicate+projection pushdown:
+    the scan reads 3 of 11 columns and both filters reach PushedFilters
+    (asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("l_quantity") >= 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+_CSV_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("scan_csv_roundtrip", oracle=_CSV_ORACLE, section="S9")
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 CSV format ser/de: nation written to CSV and read back with a
+    declared schema must equal the parquet original (full oracle, not
+    rows-only — the roundtrip is lossless for these types)."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    return csv_roundtrip(spark, nation, out).select("n_nationkey", "n_name", "n_regionkey")
+
+
+_ORDER_WIDE_ORACLE = """
+SELECT o.o_orderkey,
+       o.o_orderstatus,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+       c.c_name, c.c_mktsegment, n.n_name AS nation,
+       l.n_items,
+       l.sum_qty,
+       l.revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN (
+  SELECT l_orderkey,
+         COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+) l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@register("warehouse_order_wide", oracle=_ORDER_WIDE_ORACLE, section="DWD", bench=True)
+def warehouse_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DWD wide-table job: per-order line rollup joined with customer and
+    nation dims into one denormalized row (the reference's
+    dwd_trade_order_detail shape). Aggregate-before-join keeps the big
+    side small ahead of the fact⋈fact shuffle; dims broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    line_rollup = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(line_rollup, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            "n_items",
+            "sum_qty",
+            "revenue",
+        )
+    )
+
+
+_TRAFFIC_ORACLE = """
+WITH e AS (
+  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+), marked AS (
+  SELECT user_id, value, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= 1800000000 OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+), islands AS (
+  SELECT user_id, value, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+), sessions AS (
+  SELECT user_id, sid,
+         MIN(us) AS start_us,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+  FROM islands GROUP BY user_id, sid
+)
+SELECT strftime(make_timestamp(start_us), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_sessions,
+       COUNT(DISTINCT user_id) AS uv,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(session_value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY 1
+"""
+
+
+@register("warehouse_traffic_dws", oracle=_TRAFFIC_ORACLE, section="DWS,T4")
+def warehouse_traffic_dws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DWS traffic summary: sessionize (30-min gap), then roll up per day
+    of session start — sessions, UV, events, total value. This is the
+    reference's dws_traffic_* job family end to end: T4 sessionization
+    feeding an A1 daily aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return (
+        sessions.groupBy(F.date_format("start", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("uv"),
+            F.sum("n_events").alias("n_events"),
+            F.sum(dec("session_value")).cast("double").alias("total_value"),
+        )
+    )

@@ -1,0 +1,168 @@
+"""CDC changelog emulation (SURVEY §2.1 S3/S4, §3.3).
+
+Reference surface: flink-connector-mysql-cdc 2.4.0
+(realtime-common/pom.xml:33-36; pom.xml:158-162) — embedded Debezium
+takes a consistent snapshot then tails the binlog, emitting envelopes
+``{before, after, op, ts_ms}`` that the DIM layer routes into HBase
+(realtime-common/pom.xml:39-47).
+
+Spark has no OSS CDC source, so the engine models the changelog as an
+ordered DataFrame of envelope structs (the documented SURVEY §7
+decision) and provides the two canonical consumers:
+
+- ``cdc_latest_row`` — materialize current state: latest image per key,
+  deletes drop the key (the Flink Deduplication/upsert-materialize op).
+- ``dim_upsert`` — apply the changelog in ts-ordered micro-batches to a
+  keyed parquet dim store via merge-overwrite (foreachBatch pattern),
+  reference's HBase put/delete sink.
+
+The synthetic changelog is derived deterministically from ``orders`` so
+DuckDB can reproduce it exactly: every order inserts ('c') at its
+orderdate; finished ('F') orders get an update ('u') a day later raising
+o_totalprice 10%; every 50th orderkey gets a delete ('d') two days later.
+
+Scale notes: latest-per-key is one hash shuffle on the key + per-key
+sort (row_number) — linear in changelog size, no driver involvement;
+the merge-overwrite dim store would be hash-bucketed by key range at
+100 TB so each micro-batch rewrites only touched buckets.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..plans.registry import register
+from ..operators._util import dec
+from .io import load_table
+
+# Common CTE (DuckDB) mirroring build_changelog()
+CHANGELOG_SQL = """
+changelog AS (
+  SELECT o_orderkey AS key, 'c' AS op,
+         o_totalprice AS totalprice, o_orderstatus AS orderstatus,
+         epoch_ms(o_orderdate) AS ts_ms
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'u',
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1 AS DOUBLE), o_orderstatus,
+         epoch_ms(o_orderdate) + 86400000
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey, 'd', NULL, NULL, epoch_ms(o_orderdate) + 172800000
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+"""
+
+
+def build_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered changelog of (key, op, after-image columns, ts_ms)."""
+    o = load_table(spark, sf_dir, "orders")
+    ts0 = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    inserts = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("c").alias("op"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("orderstatus"),
+        ts0.alias("ts_ms"),
+    )
+    updates = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.lit("u").alias("op"),
+            (dec("o_totalprice") * F.lit(1.1).cast("decimal(18,4)")).cast("double").alias("totalprice"),
+            F.col("o_orderstatus").alias("orderstatus"),
+            (ts0 + 86400000).alias("ts_ms"),
+        )
+    )
+    deletes = (
+        o.filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.lit("d").alias("op"),
+            F.lit(None).cast("double").alias("totalprice"),
+            F.lit(None).cast("string").alias("orderstatus"),
+            (ts0 + 172800000).alias("ts_ms"),
+        )
+    )
+    return inserts.unionByName(updates).unionByName(deletes)
+
+
+def latest_per_key(changelog: DataFrame) -> DataFrame:
+    """Materialize current state from a changelog: last image per key by
+    (ts_ms, op-precedence), deletes drop the key. One shuffle."""
+    # op precedence breaks same-ts ties deterministically: d > u > c
+    prec = F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts_ms").desc(), prec.desc()
+    )
+    return (
+        changelog.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("key", "op", "totalprice", "orderstatus", "ts_ms")
+    )
+
+
+_LATEST_ORACLE = f"""
+WITH {CHANGELOG_SQL}
+SELECT key, op, totalprice, orderstatus, ts_ms
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY key
+    ORDER BY ts_ms DESC, CASE op WHEN 'd' THEN 2 WHEN 'u' THEN 1 ELSE 0 END DESC
+  ) AS rn
+  FROM changelog
+)
+WHERE rn = 1 AND op <> 'd'
+"""
+
+
+@register("cdc_latest_row", oracle=_LATEST_ORACLE, section="S3", bench=True)
+def cdc_latest_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 MySQL-CDC materialization: snapshot+binlog → current table
+    state (latest row per key, deletes applied)."""
+    return latest_per_key(build_changelog(spark, sf_dir))
+
+
+@register("dim_upsert", oracle=None, section="S4")
+def dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 HBase-style dim sink: apply the changelog in ts-ordered
+    micro-batches, each merged into a keyed parquet dim store
+    (foreachBatch merge-overwrite). Rows-only check; final state must
+    equal ``cdc_latest_row`` — asserted in tests/test_cdc.py.
+
+    The batch loop is the test-harness replay of the streaming
+    foreachBatch sink (streaming/sinks.py) — same merge function.
+    """
+    import tempfile
+
+    changelog = build_changelog(spark, sf_dir).cache()
+    try:
+        # split into 3 micro-batches by event-time range (deterministic)
+        bounds = changelog.select(
+            F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+        ).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        step = (hi - lo) // 3 + 1
+        store = tempfile.mkdtemp(prefix="dim_store_")
+        dim: DataFrame | None = None
+        for i in range(3):
+            batch = changelog.filter(
+                (F.col("ts_ms") >= lo + i * step) & (F.col("ts_ms") < lo + (i + 1) * step)
+            )
+            merged = merge_upsert(dim, batch)
+            merged.write.mode("overwrite").parquet(f"{store}/v{i}")
+            dim = spark.read.parquet(f"{store}/v{i}")
+        assert dim is not None
+        return dim
+    finally:
+        changelog.unpersist()
+
+
+def merge_upsert(dim: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """MERGE INTO-equivalent for a keyed dim: union(current-as-oldest,
+    batch) → latest per key → drop deletes."""
+    if dim is None:
+        return latest_per_key(batch)
+    return latest_per_key(dim.unionByName(batch))

@@ -1,0 +1,219 @@
+"""Structured Streaming jobs (SURVEY §2.1 S1/S2/S11, §2.8 T1/T6/T8, §2.2 F4).
+
+Reference surface: Kafka source/sink between warehouse layers
+(realtime-common/pom.xml:28-31; pom.xml:152-156), HDFS checkpointing
+(pom.xml:68-74), side-output stream splitting (the DWD log-split job),
+dropDuplicates-by-key, and the broadcast-state dynamic-config routing
+pattern (table-process config via CDC, DIM layer).
+
+Harness mapping: no Kafka broker in the test environment, so streams
+replay the ``events`` fixture as a multi-file parquet directory read
+with ``readStream`` + ``maxFilesPerTrigger=1`` (several real
+micro-batches). Every query runs with ``trigger(availableNow=True)``
+and an explicit checkpointLocation (S11), exactly as a Kafka-fed job
+would — swap ``format("parquet")`` for ``format("kafka")`` in
+production and nothing else changes. That substitution point is
+``events_stream()``.
+
+Determinism: each fire writes into a fresh temp dir; results are read
+back as plain DataFrames so the driver can collect them.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas
+from ..sources.io import load_table
+from ..session import prepare
+from ..plans.registry import register
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage events.parquet as an n-file directory (the 'topic'):
+    one file ≈ one micro-batch under maxFilesPerTrigger=1."""
+    staged = os.path.join(
+        tempfile.gettempdir(), f"events_topic_{os.path.basename(sf_dir)}_{n_files}"
+    )
+    marker = os.path.join(staged, "_SUCCESS")
+    if not os.path.exists(marker):
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # keep ns-long ts
+        raw.repartition(n_files).write.mode("overwrite").parquet(staged)
+    return staged
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 stream source: the engine's Kafka-source equivalent. Schema is
+    declared (streams require one); ts converted ns→µs like the batch
+    loader so batch twins share expressions."""
+    prepare(spark)
+    staged = _staged_events_dir(spark, sf_dir)
+    return (
+        spark.readStream.schema(schemas.events_raw)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_stream(df_writer, checkpoint_tag: str):
+    """Start with availableNow (process everything, then stop) + a fresh
+    checkpoint dir (S11), await termination."""
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{checkpoint_tag}_")
+    q = df_writer.option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
+
+
+_SMOKE_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
+@register("stream_source_smoke", oracle=_SMOKE_ORACLE, section="S1,S2,S11")
+def stream_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 source→agg→sink through real micro-batches: counts per
+    event_type streamed into a parquet sink via foreachBatch (the
+    Kafka-to-Kafka layer hop), then read back. The final state equals the
+    batch answer — so it gets a full oracle, not just rows-only."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    out = tempfile.mkdtemp(prefix="stream_smoke_out_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # complete-mode rewrite per batch — idempotent by construction
+        batch_df.write.mode("overwrite").parquet(out)
+
+    run_stream(
+        agg.writeStream.outputMode("complete").foreachBatch(sink), "smoke"
+    )
+    return spark.read.parquet(out)
+
+
+_SPLIT_ORACLE = """
+SELECT CASE WHEN event_type = 'error' THEN 'errors'
+            WHEN event_type IN ('purchase','signup') THEN 'conversions'
+            ELSE 'traffic' END AS branch,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+@register("stream_split", oracle=_SPLIT_ORACLE, section="F4")
+def stream_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 side outputs / stream split (the DWD log-split job: page/err/
+    action topics). One parent stream fans out to N filtered branches
+    inside a single foreachBatch — each branch appends to its own sink
+    (its own 'topic'); per-branch totals are the query result."""
+    ev = events_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_split_")
+    branches = {
+        "errors": F.col("event_type") == "error",
+        "conversions": F.col("event_type").isin("purchase", "signup"),
+        "traffic": ~F.col("event_type").isin("error", "purchase", "signup"),
+    }
+
+    def split_sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for name, cond in branches.items():
+                branch_dir = os.path.join(root, name)
+                batch_df.filter(cond).write.mode("append").parquet(branch_dir)
+        finally:
+            batch_df.unpersist()
+
+    run_stream(ev.writeStream.foreachBatch(split_sink), "split")
+
+    result = None
+    for name in branches:
+        df = (
+            spark.read.parquet(os.path.join(root, name))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(name).alias("branch"), "n")
+        )
+        result = df if result is None else result.unionByName(df)
+    assert result is not None
+    return result
+
+
+_DEDUP_ORACLE = """
+SELECT COUNT(*) AS n_unique FROM (SELECT DISTINCT event_id FROM events)
+"""
+
+
+@register("stream_dedup", oracle=_DEDUP_ORACLE, section="T6,T1")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 dropDuplicatesWithinWatermark: the input is doubled (stream ∪
+    stream — a replayed topic) and deduped by event_id; surviving row
+    count equals the distinct count.
+
+    The staged replay files are NOT time-ordered (a fixture replay, not
+    a live topic), so the watermark delay must cover the full event-time
+    span (31 days) or genuinely-early rows would be dropped as late. On
+    a live Kafka feed the delay would be the real out-of-orderness bound
+    (minutes), keeping dedup state small."""
+    ev = events_stream(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+    deduped = doubled.withWatermark("ts", "31 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = tempfile.mkdtemp(prefix="stream_dedup_out_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    run_stream(deduped.writeStream.outputMode("append").foreachBatch(sink), "dedup")
+    return spark.read.parquet(out).agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+_ROUTING_ORACLE = """
+SELECT CASE event_type
+         WHEN 'purchase' THEN 'dwd_trade'
+         WHEN 'signup' THEN 'dwd_user'
+         WHEN 'error' THEN 'dwd_err'
+         ELSE 'dwd_traffic' END AS route,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS uv
+FROM events GROUP BY 1
+"""
+
+
+@register("config_routing", oracle=_ROUTING_ORACLE, section="T8")
+def config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 broadcast state / dynamic config (the reference's CDC-driven
+    table-process routing): a small config table is re-read every
+    micro-batch and broadcast-joined onto the data stream to decide each
+    record's destination. Config changes between batches take effect on
+    the next batch — exactly the Flink broadcast-state contract."""
+    ev = events_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="config_routing_")
+    config_path = os.path.join(root, "config")
+    rules = [
+        ("purchase", "dwd_trade"),
+        ("signup", "dwd_user"),
+        ("error", "dwd_err"),
+        ("click", "dwd_traffic"),
+        ("view", "dwd_traffic"),
+    ]
+    spark.createDataFrame(rules, "event_type string, route string").write.mode(
+        "overwrite"
+    ).parquet(config_path)
+    out = os.path.join(root, "routed")
+
+    def route_sink(batch_df: DataFrame, batch_id: int) -> None:
+        config = F.broadcast(batch_df.sparkSession.read.parquet(config_path))
+        routed = batch_df.join(config, "event_type", "left").withColumn(
+            "route", F.coalesce("route", F.lit("dwd_traffic"))
+        )
+        routed.write.mode("append").partitionBy("route").parquet(out)
+
+    run_stream(ev.writeStream.foreachBatch(route_sink), "routing")
+    return (
+        spark.read.parquet(out)
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("uv"))
+    )

@@ -1,0 +1,135 @@
+"""Semantic invariants the oracle comparison can't express:
+CDC upsert-loop equivalence, LSH recall vs brute force, plan quality."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+import re
+
+import numpy as np
+import pytest
+
+from .conftest import SF_DIR
+
+
+def _collect_set(df, *cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_dim_upsert_equals_latest_row(spark):
+    """Applying the changelog in micro-batches must converge to the same
+    state as the one-shot latest-per-key materialization."""
+    from flink_realtime_2024_spark.sources.cdc import cdc_latest_row, dim_upsert
+
+    one_shot = _collect_set(cdc_latest_row(spark, SF_DIR), "key", "totalprice", "orderstatus")
+    batched = _collect_set(dim_upsert(spark, SF_DIR), "key", "totalprice", "orderstatus")
+    assert one_shot == batched
+
+
+def test_minhash_finds_brute_force_pairs(spark):
+    """LSH candidate generation must recover (almost) all true near-dup
+    pairs found by an O(n²) brute-force shingle-Jaccard scan."""
+    from flink_realtime_2024_spark.operators.llm import (
+        _shingle_hashes,
+        llm_dedup_minhash,
+    )
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    sets = {r["doc_id"]: set(_shingle_hashes(r["text"])) for r in docs}
+    ids = sorted(sets)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            union = len(sa | sb)
+            if union and len(sa & sb) / union >= 0.5:
+                truth.add((a, b))
+    found = _collect_set(llm_dedup_minhash(spark, SF_DIR), "doc_a", "doc_b")
+    assert truth, "fixtures should contain near-duplicates"
+    # no false positives (every reported pair is verified exactly)
+    assert found <= truth
+    # banding recall: 16x4 bands catch >=95% of j>=0.5 pairs in practice
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"minhash recall too low: {recall}"
+
+
+def test_neardup_cosine_recall(spark):
+    """Hyperplane-LSH near-dup must recover high-cosine pairs."""
+    from flink_realtime_2024_spark.operators.llm import llm_neardup_cosine
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    E = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    S = E @ E.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    hi = S[iu, ju] >= 0.9
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(iu[hi], ju[hi])
+    }
+    found = _collect_set(llm_neardup_cosine(spark, SF_DIR), "vec_a", "vec_b")
+    assert found <= truth or not truth
+    if truth:
+        recall = len(found & truth) / len(truth)
+        assert recall >= 0.8, f"hyperplane LSH recall too low: {recall}"
+
+
+def test_knn_neighbors_match_brute_force(spark):
+    """Distributed partial-topk must equal a numpy brute force."""
+    from flink_realtime_2024_spark.operators.llm import llm_knn_cosine, _KNN_QUERY_MOD, _KNN_K
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    E = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    got = {}
+    for r in llm_knn_cosine(spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid in ids[ids % _KNN_QUERY_MOD == 0]:
+        q = E[ids == qid][0]
+        s = np.round(E @ q, 6)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -s[mask]))[:_KNN_K]
+        expect = list(ids[mask][order])
+        assert got[int(qid)] == [int(x) for x in expect], f"query {qid}"
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_plan_quality(spark):
+    """The plans we promised: pushdown reaches the scan, dims broadcast,
+    top-k avoids global sorts, window top-n group-limits."""
+    from flink_realtime_2024_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    scan = _explain(qs["scan_parquet"].builder(spark, SF_DIR))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", scan).group(1)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed and "GreaterThanOrEqual(l_quantity" in pushed
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", scan).group(1)
+    assert set(c.split(":")[0] for c in read_schema.split(",")) == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate",
+    }
+
+    assert "BroadcastHashJoin" in _explain(qs["join_broadcast_dim"].builder(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in _explain(qs["sort_limit_topk"].builder(spark, SF_DIR))
+    assert "WindowGroupLimit" in _explain(qs["winfn_topn"].builder(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in _explain(qs["join_theta_range"].builder(spark, SF_DIR))
+
+    # A2: two-phase aggregation — partial agg before the exchange
+    agg_plan = _explain(qs["agg_hash_groupby"].builder(spark, SF_DIR))
+    assert "partial_" in agg_plan.lower() or "HashAggregate" in agg_plan
+
+
+def test_multimodal_decoder_stub():
+    from flink_realtime_2024_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,102 @@
+"""Structured Streaming semantics: the streaming forms of the event-time
+operators must converge to their batch twins' results (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from .conftest import SF_DIR
+
+
+def _run_stream_agg(spark, stream_df, out_mode="complete"):
+    """Windowed agg → memory-equivalent parquet sink via foreachBatch."""
+    out = tempfile.mkdtemp(prefix="stream_test_out_")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out)
+
+    from flink_realtime_2024_spark.streaming.jobs import run_stream
+
+    run_stream(stream_df.writeStream.outputMode(out_mode).foreachBatch(sink), "t")
+    return spark.read.parquet(out)
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    """readStream + watermark + window == batch window on the same data.
+    Watermark covers the (unordered) replay span so nothing is late."""
+    from flink_realtime_2024_spark.streaming.jobs import events_stream
+    from flink_realtime_2024_spark.streaming.event_time import window_tumbling
+
+    ev = events_stream(spark, SF_DIR)
+    agg = (
+        ev.withWatermark("ts", "31 days")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("bucket_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    got = {
+        (r["bucket_us"], r["event_type"]): r["n_events"]
+        for r in _run_stream_agg(spark, agg).collect()
+    }
+    want = {
+        (r["bucket_us"], r["event_type"]): r["n_events"]
+        for r in window_tumbling(spark, SF_DIR).select(
+            "bucket_us", "event_type", "n_events"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_session_window_equals_batch(spark):
+    """Streaming session_window (update via complete rewrite) == batch
+    sessionization."""
+    from flink_realtime_2024_spark.streaming.jobs import events_stream
+    from flink_realtime_2024_spark.streaming.event_time import window_session
+
+    ev = events_stream(spark, SF_DIR)
+    agg = (
+        ev.withWatermark("ts", "31 days")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+    got = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in _run_stream_agg(spark, agg).collect()
+    }
+    want = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in window_session(spark, SF_DIR).select(
+            "user_id", "session_start_us", "n_events"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_runs_in_micro_batches(spark):
+    """The staged replay really produces multiple micro-batches (the
+    maxFilesPerTrigger=1 'topic' contract the jobs rely on)."""
+    from flink_realtime_2024_spark.streaming.jobs import events_stream, run_stream
+
+    ev = events_stream(spark, SF_DIR)
+    seen = []
+    out = tempfile.mkdtemp(prefix="mb_count_")
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    run_stream(ev.writeStream.foreachBatch(sink), "mb")
+    assert len(seen) >= 3, f"expected multiple micro-batches, got {seen}"
+    assert sum(n for _, n in seen) == spark.read.parquet(
+        f"{SF_DIR}/events.parquet"
+    ).count()
