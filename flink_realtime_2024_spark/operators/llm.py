@@ -235,7 +235,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 3)
     )
     return pairs
 
@@ -325,9 +325,19 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2/L3 embedding near-dup via random-hyperplane LSH: 16-bit sign
     signatures × 8 tables; same signature in any table ⇒ candidate;
-    exact dot-product verify ≥ 0.9. Banding keeps it cross-join-free;
-    tests cross-check recall against brute force at sf0.001."""
+    exact dot-product verify ≥ 0.9. Banding keeps it cross-join-free.
+
+    The driver fixtures contain NO embedding near-dups (max off-diagonal
+    cosine ≈ 0.6 at every SF), so this correctly returns 0 rows there;
+    recall is validated in tests/test_semantics.py by injecting
+    synthetic perturbed duplicates through the same pipeline."""
     emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_cosine_pipeline(emb, threshold=0.9)
+
+
+def neardup_cosine_pipeline(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """The LSH pipeline over any (vec_id, embedding) DataFrame."""
+    spark = emb.sparkSession
     rng = np.random.RandomState(7)
     planes = rng.normal(size=(8, 16, 64))  # 8 tables × 16 bits × dim
     sc = spark.sparkContext
@@ -382,7 +392,7 @@ def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", dot64("emb_a", "emb_b").alias("cosine"))
-        .filter(F.col("cosine") >= 0.9)
+        .filter(F.col("cosine") >= threshold)
     )
 
 

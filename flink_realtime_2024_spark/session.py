@@ -30,6 +30,11 @@ _RUNTIME_CONFS: dict[str, str] = {
     # driver-side rewriting of the input.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Harness-scale shuffle width (driver sessions default to 200 → 200
+    # near-empty tasks per exchange at test SFs; stateful streaming ops
+    # can't rely on AQE coalescing because AQE is disabled for them).
+    # On a real cluster this would be ≥2× total cores and AQE-managed.
+    "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
