@@ -1,0 +1,121 @@
+"""Keyed stateful streaming operators (SURVEY §2.8 T5).
+
+Reference surface: Flink KeyedProcessFunction with ValueState/MapState +
+TTL and event-time timers (flink-streaming-java, reference pom.xml:32-37)
+— the first-visit/new-UV flag job, order-timeout detection, per-day dedup.
+
+Spark mapping (SURVEY §1.3): ``transformWithStateInPandas`` (PySpark
+4.x) is the full equivalent (value/list/map state + timers). In this
+container its state-API client is unusable — it requires
+``google.protobuf``, which is not installed — so the engine ships the
+documented fallback, ``applyInPandasWithState`` (GroupState per key,
+timeout support), and exposes a capability flag so callers can pick the
+richer API when available.
+
+Semantics note (vs the batch twin ``state_first_visit``): state persists
+ACROSS micro-batches via the checkpointed state store; each batch emits
+only the *newly seen* (user, day) pairs — the streaming union over all
+batches equals the batch answer. Verified in tests/test_streaming.py.
+
+Scale: state is partitioned by key across executors (RocksDB/HDFS-backed
+at cluster scale — the reference's HDFS checkpoint, pom.xml:68-74);
+nothing is driver-resident.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def transform_with_state_available() -> bool:
+    """True when PySpark's transformWithStateInPandas can actually run
+    (its state client needs google.protobuf)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_FIRST_VISIT_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("day", StringType()),
+        StructField("first_event_id", LongType()),
+    ]
+)
+
+_FIRST_VISIT_STATE = StructType([StructField("seen_days", StringType())])
+
+
+def _first_visit_fn(key, pdfs, state: GroupState):
+    """Per-key kernel: emit (user, day, event_id) the first time a day is
+    seen for this user; remember seen days in GroupState across batches.
+
+    State is a single comma-joined string of days — GroupState values
+    must be hashable tuples of simple types.
+    """
+    seen = set()
+    if state.exists:
+        (packed,) = state.get
+        if packed:
+            seen = set(packed.split(","))
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for r in pdf.itertuples(index=False):
+            if r.day not in seen:
+                seen.add(r.day)
+                rows.append((key[0], r.day, r.event_id))
+    state.update((",".join(sorted(seen)),))
+    if rows:
+        yield pd.DataFrame(rows, columns=["user_id", "day", "first_event_id"])
+
+
+def first_visits_stream(events: DataFrame) -> DataFrame:
+    """T5 keyed-process-function over a streaming events DataFrame."""
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.unix_micros("ts").alias("us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _first_visit_fn,
+        outputStructType=_FIRST_VISIT_OUT,
+        stateStructType=_FIRST_VISIT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_first_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the streaming first-visit job over the staged replay and
+    return the accumulated output (all micro-batches appended)."""
+    from .jobs import events_stream, run_stream
+
+    ev = events_stream(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="first_visits_out_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    run_stream(
+        first_visits_stream(ev).writeStream.outputMode("append").foreachBatch(sink),
+        "first_visits",
+    )
+    return spark.read.parquet(out)

@@ -83,6 +83,27 @@ def test_streaming_session_window_equals_batch(spark):
     assert got == want
 
 
+def test_stateful_first_visits_equals_batch(spark):
+    """T5 applyInPandasWithState across micro-batches: the union of
+    per-batch first-visit emissions covers exactly the batch twin's
+    (user, day) set — state must survive between micro-batches via the
+    checkpointed store, and a day must never be emitted twice.
+
+    (first_event_id is arrival-order-dependent: the staged replay is not
+    time-ordered, so only the key set is replay-order-invariant.)"""
+    from flink_realtime_2024_spark.streaming.stateful import run_first_visits
+    from flink_realtime_2024_spark.streaming.event_time import state_first_visit
+
+    emitted = run_first_visits(spark, SF_DIR).collect()
+    got = [(r["user_id"], r["day"]) for r in emitted]
+    assert len(got) == len(set(got)), "a (user, day) was emitted twice"
+    want = {
+        (r["user_id"], r["day"])
+        for r in state_first_visit(spark, SF_DIR).select("user_id", "day").collect()
+    }
+    assert set(got) == want and len(got) > 0
+
+
 def test_streaming_runs_in_micro_batches(spark):
     """The staged replay really produces multiple micro-batches (the
     maxFilesPerTrigger=1 'topic' contract the jobs rely on)."""
