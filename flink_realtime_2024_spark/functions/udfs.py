@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 
 from ..sources.io import load_table
 from ..plans.registry import register
+from ..operators._util import widen
 
 # --- U1 scalar UDF -----------------------------------------------------------
 
@@ -83,7 +84,8 @@ def udtf_tokenize_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword frequency, the reference's search-keyword DWS job."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(tokenize("text")).alias("token"))
+        widen(docs.select("text"))
+        .select(F.explode(tokenize("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

@@ -32,3 +32,12 @@ def ts_ms(col: str | Column = "ts") -> Column:
 
 # DuckDB-side fragment mirroring ts_ms()
 ORACLE_TS_MS = "epoch_ms(CAST(ts AS TIMESTAMP))"
+
+
+def widen(df):
+    """Ensure a CPU-bound (pandas-kernel) stage runs with full-core
+    parallelism. A single-file parquet input scans as ONE task, which
+    would serialize every Arrow-batched Python kernel behind it; at
+    100 TB the file count provides this for free, locally we repartition
+    explicitly. Cheap for the small kernel inputs this guards."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

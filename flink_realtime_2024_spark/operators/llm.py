@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 
 from ..sources.io import load_table
 from ..plans.registry import register
+from ._util import widen
 
 # =============================================================================
 # L1 exact dedup
@@ -108,16 +109,29 @@ _MH_B = _rng.randint(0, _MERSENNE, size=_N_HASHES, dtype=np.int64).astype(np.uin
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_band_hashes(text: pd.Series) -> pd.Series:
-    """64 minhashes → 16 band hashes per document (the LSH signature)."""
+    """64 minhashes → 16 band hashes per document (the LSH signature).
+
+    Fully vectorized across the Arrow batch: all documents' shingle
+    hashes are concatenated, the 64 permutations applied as one matrix
+    op, and per-document minima taken with ``np.minimum.reduceat`` —
+    chunked to bound the (64 × total_shingles) intermediate."""
     import zlib
 
-    out = []
-    for t in text:
-        h = _shingle_hashes(t or "")
-        # (a*h + b) mod p, vectorized over 64 permutations
-        sig = ((_MH_A[:, None] * h[None, :] + _MH_B[:, None]) % _MERSENNE).min(axis=1)
-        bands = sig.reshape(_N_BANDS, _ROWS_PER_BAND)
-        out.append([zlib.crc32(b.tobytes()) for b in bands])
+    out: list[list[int]] = []
+    chunk = 512  # docs per matrix — caps the intermediate at ~40 MB
+    vals = text.tolist()
+    for lo in range(0, len(vals), chunk):
+        seg = [_shingle_hashes(t or "") for t in vals[lo : lo + chunk]]
+        if not seg:
+            continue
+        lengths = np.array([len(h) for h in seg])
+        H = np.concatenate(seg)
+        M = (_MH_A[:, None] * H[None, :] + _MH_B[:, None]) % _MERSENNE
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        mins = np.minimum.reduceat(M, starts, axis=1)  # (64, n_docs)
+        for i in range(len(seg)):
+            bands = mins[:, i].reshape(_N_BANDS, _ROWS_PER_BAND)
+            out.append([zlib.crc32(np.ascontiguousarray(b).tobytes()) for b in bands])
     return pd.Series(out)
 
 
@@ -145,7 +159,7 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressible; tests/test_llm.py cross-checks against brute force.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = docs.select(
+    sigs = widen(docs).select(
         "doc_id", F.posexplode(minhash_band_hashes("text")).alias("band", "band_hash")
     )
     buckets = (
@@ -205,7 +219,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 3 per 4-chunk split... banding again, no cross join); verified by
     exact popcount hamming ≤ 6."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fps = docs.select("doc_id", simhash64("text").alias("fp"))
+    fps = widen(docs).select("doc_id", simhash64("text").alias("fp"))
     # posexplode keeps the chunk position in the key (chunk i of A must
     # equal chunk i of B)
     chunks = fps.select(
@@ -310,7 +324,7 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             if rows:
                 yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
 
-    partial = emb.select("vec_id", "embedding").mapInPandas(partial_topk, out_schema)
+    partial = widen(emb.select("vec_id", "embedding")).mapInPandas(partial_topk, out_schema)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
@@ -367,7 +381,7 @@ def neardup_cosine_pipeline(emb: DataFrame, threshold: float = 0.9) -> DataFrame
                 )
             yield pd.concat(rows, ignore_index=True)
 
-    sigs = emb.select("vec_id", "embedding").mapInPandas(signatures, sig_schema)
+    sigs = widen(emb.select("vec_id", "embedding")).mapInPandas(signatures, sig_schema)
     buckets = (
         sigs.groupBy("table_idx", "sig")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
