@@ -335,6 +335,109 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NCENT = 16
+# fixtures are near-uniform on the sphere (max pairwise cosine ≈ 0.5) —
+# IVF's worst case; 6/16 lists probed gives ~0.7 recall here, while on
+# genuinely clustered embeddings the same setting approaches 1.0
+_IVF_NPROBE = 6
+
+
+@register("llm_knn_ivf", oracle=None, section="L3")
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: IVF-style approximate top-k. A coarse quantizer
+    (deterministic Lloyd k-means on a fixed sample) partitions the corpus
+    into inverted lists; each query probes only its nprobe nearest lists
+    — at 100 TB this prunes the scanned corpus by ~ncent/nprobe while
+    the exact path (llm_knn_cosine) would scan everything.
+
+    Rows-only (approximate by design); recall@k vs the exact kNN is
+    asserted in tests/test_semantics.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # coarse quantizer: deterministic sample → numpy Lloyd iterations.
+    # The sample (not the corpus) is driver-resident — bounded by the
+    # sampling rate, exactly like a production IVF training step.
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in emb.filter(F.col("vec_id") % 3 == 0).select("embedding").collect()
+        ],
+        dtype=np.float64,
+    )
+    cent = sample[: _IVF_NCENT].copy()
+    for _ in range(10):
+        assign = (sample @ cent.T).argmax(axis=1)  # cosine on unit vectors
+        for c in range(_IVF_NCENT):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    bc = spark.sparkContext.broadcast(cent)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def assign_lists(batches):
+        C = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cids = (E @ C.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"vec_id": ids, "centroid_id": cids, "emb": list(E)}
+            )
+
+    lists = widen(emb.select("vec_id", "embedding")).mapInPandas(
+        assign_lists, assign_schema
+    )
+
+    # queries probe their nprobe nearest centroids
+    q_rows = (
+        emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probes = []  # (query_id, centroid_id, q_embedding)
+    for r in q_rows:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        top = np.argsort(-(cent @ qv))[:_IVF_NPROBE]
+        for c in top:
+            probes.append((int(r["vec_id"]), int(c), [float(x) for x in qv]))
+    probe_df = spark.createDataFrame(
+        probes, "query_id bigint, centroid_id int, q_emb array<double>"
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def dot_probe(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(list(a), dtype=np.float64)
+        B = np.array(list(b), dtype=np.float64)
+        return pd.Series(np.round((A * B).sum(axis=1), 6))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        lists.join(F.broadcast(probe_df), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_probe("emb", "q_emb").alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
 @register("llm_neardup_cosine", oracle=None, section="L2,L3")
 def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2/L3 embedding near-dup via random-hyperplane LSH: 16-bit sign

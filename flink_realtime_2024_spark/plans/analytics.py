@@ -1,0 +1,176 @@
+"""Composite serving-layer analytics (classic warehouse query shapes).
+
+The reference's DWS layer exists to serve exactly these OLAP shapes from
+Doris (realtime-common/pom.xml:50-53): top-N open orders, per-region
+volumes, returned-value rankings, month-over-month trends. Each composes
+multiple §2 operators and has a full DuckDB oracle.
+
+Scale notes: all are pre-aggregate-then-join or top-k plans — the fact
+table is reduced before any wide join; top-k is TakeOrderedAndProject;
+the MoM trend sorts only the (tiny) month dimension.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.io import load_table
+from ..operators._util import dec
+from .registry import register
+
+_TOP_UNSHIPPED_ORACLE = """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderstatus = 'O'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("analytics_top_unshipped", oracle=_TOP_UNSHIPPED_ORACLE, section="J1,A1,O2")
+def analytics_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top open-order revenue in a market segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderstatus") == "O"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            li.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_REGION_VOLUME_ORACLE = """
+SELECT r.r_name AS region,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name, year(o.o_orderdate)
+"""
+
+
+@register("analytics_region_volume", oracle=_REGION_VOLUME_ORACLE, section="J1,J2,A1,A3", bench=True)
+def analytics_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per region per year through the full dim
+    chain (region←nation←customer←orders←lineitem); dims broadcast."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_RETURNED_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS lost_revenue,
+       COUNT(*) AS n_returned_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("analytics_returned_value", oracle=_RETURNED_ORACLE, section="J1,J2,A1,O2")
+def analytics_returned_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by returned-item revenue."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("double").alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_MOM_ORACLE = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue, n_orders,
+       CAST(revenue - LAG(revenue) OVER (ORDER BY month) AS DOUBLE) AS mom_delta
+FROM monthly
+"""
+
+
+@register("analytics_monthly_trend", oracle=_MOM_ORACLE, section="X2,A1,W3")
+def analytics_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend: A1 aggregate to month grain, then
+    a W3 lag over the tiny month dimension (global window is fine — the
+    partition count is the month count, not the fact count)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        (F.col("revenue") - F.lag("revenue").over(w)).cast("double").alias("mom_delta"),
+    )

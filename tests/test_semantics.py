@@ -102,6 +102,25 @@ def test_knn_neighbors_match_brute_force(spark):
         assert got[int(qid)] == [int(x) for x in expect], f"query {qid}"
 
 
+def test_knn_ivf_recall(spark):
+    """IVF approximate kNN must recover most exact top-k neighbors."""
+    from flink_realtime_2024_spark.operators.llm import llm_knn_cosine, llm_knn_ivf
+
+    exact = {}
+    for r in llm_knn_cosine(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in llm_knn_ivf(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(approx) == set(exact)
+    hits = sum(len(approx[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    # fixtures are near-uniform on the sphere (IVF's worst case): 0.6 is
+    # the floor here; clustered real embeddings sit near 1.0
+    assert recall >= 0.6, f"IVF recall@k too low: {recall}"
+
+
 def _explain(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
