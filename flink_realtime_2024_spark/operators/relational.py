@@ -25,9 +25,10 @@ _PROJECT_ORACLE = """
 SELECT
   l_orderkey,
   l_linenumber,
-  CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-       * (1 - CAST(l_discount AS DECIMAL(18,4)))
-       * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS charge,
+  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST((1 - CAST(l_discount AS DECIMAL(9,4)))
+                   * (1 + CAST(l_tax AS DECIMAL(9,4))) AS DECIMAL(12,8))
+            AS DECIMAL(24,6)) AS DOUBLE) AS charge,
   concat(l_returnflag, '/', l_linestatus) AS flag_status,
   CAST(l_quantity >= 25 AS INTEGER) AS is_bulk
 FROM lineitem
@@ -39,7 +40,14 @@ def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 map/project + F6 bean-copy (select with aliases); per-record
     compute stays inside whole-stage codegen — no Python, no shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    charge = dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) * (F.lit(1) + dec("l_tax"))
+    # pre-multiply the small factors into exact DECIMAL(12,8): a triple
+    # wide-decimal product would exceed 38 digits and the engines round
+    # the overflow differently
+    rate = (
+        (F.lit(1) - F.col("l_discount").cast("decimal(9,4)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(9,4)"))
+    ).cast("decimal(12,8)")
+    charge = (dec("l_extendedprice") * rate).cast("decimal(24,6)")
     return li.select(
         "l_orderkey",
         "l_linenumber",

@@ -46,6 +46,38 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> st
     return staged
 
 
+def staged_events_dir_ordered(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage events as n_files consecutive event-time ranges with
+    ascending modification times — a realistic in-order topic replay
+    (FileStreamSource picks oldest files first). Required by operators
+    whose semantics depend on watermark progression (event-time timers,
+    late-row accounting)."""
+    staged = os.path.join(
+        tempfile.gettempdir(), f"events_topic_ordered_{os.path.basename(sf_dir)}_{n_files}"
+    )
+    marker = os.path.join(staged, "_STAGED_OK")
+    if not os.path.exists(marker):
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ns-long ts
+        raw.repartitionByRange(n_files, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(staged)
+        # one file per range; enforce mtime order == event-time order
+        import pyarrow.parquet as pq
+
+        files = [
+            os.path.join(staged, f)
+            for f in os.listdir(staged)
+            if f.endswith(".parquet")
+        ]
+        files.sort(key=lambda p: pq.read_table(p, columns=["ts"])["ts"][0].as_py())
+        base = int(os.path.getmtime(files[0]))
+        for i, p in enumerate(files):
+            os.utime(p, (base + i, base + i))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return staged
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 stream source: the engine's Kafka-source equivalent. Schema is
     declared (streams require one); ts converted ns→µs like the batch
@@ -67,6 +99,38 @@ def run_stream(df_writer, checkpoint_tag: str):
     q = df_writer.option("checkpointLocation", ckpt).trigger(availableNow=True).start()
     q.awaitTermination()
     return q
+
+
+def late_rows_metrics(spark: SparkSession, sf_dir: str, delay: str = "1 hour") -> dict:
+    """T7 allowed-lateness accounting. Structured Streaming has no late-
+    data *side output* (documented semantic gap, SURVEY §2.8 T7) — the
+    engine's substitute is the state-store metric
+    ``numRowsDroppedByWatermark``, surfaced per micro-batch here: you
+    can count and alert on dropped-late rows, you cannot reroute them.
+
+    Runs a windowed count with a deliberately short watermark over the
+    *unordered* replay (late arrivals guaranteed) and returns
+    {'dropped': n, 'batches': k}.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = tempfile.mkdtemp(prefix="late_metrics_out_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = run_stream(agg.writeStream.outputMode("append").foreachBatch(sink), "late")
+    dropped = 0
+    batches = 0
+    for p in q.recentProgress:
+        batches += 1
+        for op in p.get("stateOperators", []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    return {"dropped": dropped, "batches": batches}
 
 
 _SMOKE_ORACLE = """

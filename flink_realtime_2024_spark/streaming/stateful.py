@@ -103,6 +103,93 @@ def first_visits_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_TIMEOUT_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_event_id", LongType()),
+        StructField("purchase_us", LongType()),
+        StructField("outcome", StringType()),  # 'confirmed' | 'timed_out'
+    ]
+)
+
+_TIMEOUT_STATE = StructType(
+    [
+        StructField("purchase_event_id", LongType()),
+        StructField("purchase_us", LongType()),
+    ]
+)
+
+_CONFIRM_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def _order_timeout_fn(key, pdfs, state: GroupState):
+    """The reference's cancel-order-timeout job (KeyedProcessFunction +
+    timer): a 'purchase' arms a per-key timer; a later 'signup'
+    (stand-in confirmation event) within 1h emits 'confirmed'; the
+    event-time timeout fires 'timed_out' otherwise.
+
+    Timer mapping: Flink's registerEventTimeTimer ==
+    GroupState.setTimeoutTimestamp against the event-time watermark —
+    with one Spark-specific wrinkle: a key that receives data in a batch
+    is invoked with hasTimedOut=False even if its timer expired, so the
+    kernel must self-check expiry against getCurrentWatermarkMs().
+    """
+    cols = ["user_id", "purchase_event_id", "purchase_us", "outcome"]
+    if state.hasTimedOut:
+        pid, pus = state.get
+        state.remove()
+        yield pd.DataFrame([(key[0], pid, pus, "timed_out")], columns=cols)
+        return
+
+    wm_ms = state.getCurrentWatermarkMs()
+    rows = []
+    pending = state.get if state.exists else None
+
+    def expired(p) -> bool:
+        return (p[1] + _CONFIRM_WINDOW_US) // 1000 <= wm_ms
+
+    if pending is not None and expired(pending):
+        rows.append((key[0], pending[0], pending[1], "timed_out"))
+        pending = None
+    for pdf in pdfs:
+        for r in pdf.sort_values(["us", "event_id"]).itertuples(index=False):
+            if r.event_type == "purchase":
+                if pending is None:
+                    pending = (r.event_id, r.us)
+            elif r.event_type == "signup" and pending is not None:
+                if r.us - pending[1] <= _CONFIRM_WINDOW_US:
+                    rows.append((key[0], pending[0], pending[1], "confirmed"))
+                    pending = None
+    if pending is not None and expired(pending):
+        rows.append((key[0], pending[0], pending[1], "timed_out"))
+        pending = None
+    if pending is not None:
+        state.update(pending)
+        state.setTimeoutTimestamp((pending[1] + _CONFIRM_WINDOW_US) // 1000)
+    elif state.exists:
+        state.remove()
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def order_timeouts_stream(events: DataFrame) -> DataFrame:
+    """T5 keyed state + event-time timers over a watermarked stream."""
+    prepared = events.withWatermark("ts", "10 minutes").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _order_timeout_fn,
+        outputStructType=_TIMEOUT_OUT,
+        stateStructType=_TIMEOUT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_first_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute the streaming first-visit job over the staged replay and
     return the accumulated output (all micro-batches appended)."""
@@ -117,5 +204,34 @@ def run_first_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream(
         first_visits_stream(ev).writeStream.outputMode("append").foreachBatch(sink),
         "first_visits",
+    )
+    return spark.read.parquet(out)
+
+
+def run_order_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the timer job over an in-order replay (timers need the
+    watermark to advance monotonically across micro-batches)."""
+    import pyspark.sql.functions as SF
+
+    from .. import schemas
+    from ..session import prepare
+    from .jobs import run_stream, staged_events_dir_ordered
+
+    prepare(spark)
+    staged = staged_events_dir_ordered(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(schemas.events_raw)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
+    )
+    out = tempfile.mkdtemp(prefix="order_timeouts_out_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    run_stream(
+        order_timeouts_stream(ev).writeStream.outputMode("append").foreachBatch(sink),
+        "order_timeouts",
     )
     return spark.read.parquet(out)

@@ -104,6 +104,53 @@ def test_stateful_first_visits_equals_batch(spark):
     assert set(got) == want and len(got) > 0
 
 
+def test_order_timeout_timers(spark):
+    """T5 event-time timers: purchases confirmed by a signup within 1h
+    emit 'confirmed'; otherwise the GroupState timeout fires 'timed_out'
+    once the watermark passes. Invariants hold against the raw data:
+    confirmed ⇒ signup exists in window; timed_out ⇒ it doesn't."""
+    from flink_realtime_2024_spark.streaming.stateful import run_order_timeouts
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    out = run_order_timeouts(spark, SF_DIR).collect()
+    assert out, "no outcomes emitted"
+    outcomes = {r["outcome"] for r in out}
+    assert outcomes <= {"confirmed", "timed_out"}
+
+    ev = load_table(spark, SF_DIR, "events")
+    signups = {}
+    for r in (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    ):
+        signups.setdefault(r["user_id"], []).append(r["us"])
+    window_us = 3_600_000_000
+    for r in out:
+        in_window = any(
+            r["purchase_us"] < s <= r["purchase_us"] + window_us
+            for s in signups.get(r["user_id"], [])
+        )
+        if r["outcome"] == "confirmed":
+            assert in_window, f"confirmed without signup in window: {r}"
+        else:
+            assert not in_window, f"timed_out despite signup in window: {r}"
+    # a purchase decides at most once
+    keys = [(r["user_id"], r["purchase_event_id"]) for r in out]
+    assert len(keys) == len(set(keys))
+
+
+def test_late_rows_are_counted(spark):
+    """T7: no late side output exists in Structured Streaming (documented
+    gap); the numRowsDroppedByWatermark metric must make the loss
+    observable when the watermark is short and the replay is unordered."""
+    from flink_realtime_2024_spark.streaming.jobs import late_rows_metrics
+
+    m = late_rows_metrics(spark, SF_DIR, delay="1 hour")
+    assert m["batches"] >= 2
+    assert m["dropped"] > 0, f"expected late rows to be dropped+counted: {m}"
+
+
 def test_streaming_runs_in_micro_batches(spark):
     """The staged replay really produces multiple micro-batches (the
     maxFilesPerTrigger=1 'topic' contract the jobs rely on)."""
