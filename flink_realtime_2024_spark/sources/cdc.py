@@ -91,16 +91,24 @@ def build_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def latest_per_key(changelog: DataFrame) -> DataFrame:
     """Materialize current state from a changelog: last image per key by
-    (ts_ms, op-precedence), deletes drop the key. One shuffle."""
+    (ts_ms, op-precedence), deletes drop the key.
+
+    Implemented as MAX_BY over an ordering struct rather than a
+    row_number window: an aggregate gets map-side partial combining
+    (each upstream partition pre-reduces to one candidate per key before
+    the shuffle), while a window must shuffle and sort every changelog
+    row — at 100 TB of CDC that is the difference between shuffling
+    O(keys) and O(events)."""
     # op precedence breaks same-ts ties deterministically: d > u > c
     prec = F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
-    w = Window.partitionBy("key").orderBy(
-        F.col("ts_ms").desc(), prec.desc()
+    latest = changelog.groupBy("key").agg(
+        F.max_by(
+            F.struct("op", "totalprice", "orderstatus", "ts_ms"),
+            F.struct(F.col("ts_ms"), prec),
+        ).alias("last")
     )
-    return (
-        changelog.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
-        .select("key", "op", "totalprice", "orderstatus", "ts_ms")
+    return latest.filter(F.col("last.op") != "d").select(
+        "key", "last.op", "last.totalprice", "last.orderstatus", "last.ts_ms"
     )
 
 
