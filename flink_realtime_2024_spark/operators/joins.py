@@ -304,6 +304,41 @@ def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- skew utility: salted join ------------------------------------------------------
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster for fact⋈fact joins on hot keys: the (skewed) left
+    side gets a random-but-deterministic salt appended to its key; the
+    right side is replicated n_salts× with every salt value, so a hot
+    key's rows spread over n_salts reducers instead of one. AQE's skew
+    handling covers sort-merge joins automatically — this is the manual
+    pattern for the cases it can't see (e.g. aggregations downstream, or
+    non-AQE engines), kept as a library utility + test.
+
+    Salt is derived from a stable hash of a whole left row (xxhash64),
+    not rand(): deterministic across retries — an exactly-once
+    requirement under task re-execution.
+    """
+    salt = (F.abs(F.xxhash64(*left.columns)) % n_salts).alias("__salt")
+    l_salted = left.withColumn("__salt", salt)
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("__salt")
+    r_replicated = right.select("*", salts)
+    joined = l_salted.join(
+        r_replicated,
+        (F.col(left_key) == F.col(right_key)) & (l_salted["__salt"] == r_replicated["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
+
+
 # --- J8 theta (non-equi) join ------------------------------------------------------
 
 _THETA_ORACLE = """

@@ -115,6 +115,44 @@ def warehouse_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SERVING_ORACLE = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         o_orderpriority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT * FROM daily WHERE day BETWEEN '1997-01-01' AND '1997-12-31'
+"""
+
+
+@register("serving_partition_prune", oracle=_SERVING_ORACLE, section="S7")
+def serving_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 OLAP serving sink (reference: Doris stream-load,
+    realtime-common/pom.xml:50-53): the DWS daily aggregate is written
+    partitioned by month — the serving table's distribution key — and
+    read back with a partition filter, so the scan touches only the
+    matching directories (partition pruning; asserted in
+    tests/test_semantics.py). At 100 TB the dashboard query reads 12
+    directories, not the year."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+    ).withColumn("month", F.substring("day", 1, 7))
+    out = tempfile.mkdtemp(prefix="serving_dws_")
+    daily.write.mode("overwrite").partitionBy("month").parquet(out)
+    served = spark.read.parquet(out)
+    # the filter targets the PARTITION column → directory-level pruning
+    return served.filter(
+        F.col("month").between("1997-01", "1997-12")
+    ).select("day", "o_orderpriority", "n_orders", "revenue")
+
+
 _TRAFFIC_ORACLE = """
 WITH e AS (
   SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events

@@ -1,0 +1,96 @@
+"""Scale techniques the 100 TB design relies on, demonstrated and
+asserted at the plan level: partition pruning, bucketed (shuffle-free)
+joins, salted skew joins."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import tempfile
+
+import pyspark.sql.functions as F
+
+from .conftest import SF_DIR
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_serving_partition_prune(spark):
+    """The serving-table read must scan only the 12 matching month
+    directories (partition filters present, no post-scan month filter)."""
+    from flink_realtime_2024_spark.plans.warehouse import serving_partition_prune
+
+    df = serving_partition_prune(spark, SF_DIR)
+    plan = _explain(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "month" in m.group(1), plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Bucketing both fact tables by the join key co-locates them: the
+    join plan must contain NO Exchange (the shuffle happened once at
+    write time — the pattern for repeated 100 TB fact⋈fact joins)."""
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    # (spark.sql.warehouse.dir is a static conf — the default
+    # ./spark-warehouse is used; DROP TABLE below removes the files)
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_bkt")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_bkt")
+    )
+    try:
+        # disable broadcast so the plan shows the bucketed SMJ path (at
+        # 100 TB neither fact side would be broadcastable anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("lineitem_bkt").join(
+            spark.table("orders_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _explain(joined)
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        n = joined.count()
+        expect = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert n == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics, only key distribution."""
+    from flink_realtime_2024_spark.operators.joins import salted_join
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    plain = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=4)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
