@@ -58,6 +58,23 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csv_roundtrip(spark, nation, out).select("n_nationkey", "n_name", "n_regionkey")
 
 
+_JSON_RT_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@register("scan_json_roundtrip", oracle=_JSON_RT_ORACLE, section="S10")
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 JSON format ser/de at the file level (flink-json,
+    pom.xml:53-58): region written as JSON lines and read back with the
+    declared schema equals the parquet original. (Record-level JSON
+    parsing is `json_extract`.)"""
+    region = load_table(spark, sf_dir, "region")
+    out = tempfile.mkdtemp(prefix="json_roundtrip_")
+    region.write.mode("overwrite").json(out)
+    return spark.read.schema(region.schema).json(out).select("r_regionkey", "r_name")
+
+
 _ORDER_WIDE_ORACLE = """
 SELECT o.o_orderkey,
        o.o_orderstatus,
@@ -159,7 +176,7 @@ WITH e AS (
 ), marked AS (
   SELECT user_id, value, us,
          CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
-                   >= 1800000000 OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                   > 1800000000 OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
               THEN 1 ELSE 0 END AS is_new
   FROM e
 ), islands AS (

@@ -99,12 +99,20 @@ def latest_per_key(changelog: DataFrame) -> DataFrame:
     the shuffle), while a window must shuffle and sort every changelog
     row — at 100 TB of CDC that is the difference between shuffling
     O(keys) and O(events)."""
-    # op precedence breaks same-ts ties deterministically: d > u > c
+    # op precedence breaks same-ts ties deterministically: d > u > c;
+    # remaining ties (identical ts+op — possible in a replayed/merged
+    # changelog) are broken by the image itself so the result is a
+    # deterministic function of the input SET, not of arrival order
     prec = F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
     latest = changelog.groupBy("key").agg(
         F.max_by(
             F.struct("op", "totalprice", "orderstatus", "ts_ms"),
-            F.struct(F.col("ts_ms"), prec),
+            F.struct(
+                F.col("ts_ms"),
+                prec,
+                F.coalesce(F.col("totalprice"), F.lit(-1.0)),
+                F.coalesce(F.col("orderstatus"), F.lit("")),
+            ),
         ).alias("last")
     )
     return latest.filter(F.col("last.op") != "d").select(
@@ -118,7 +126,8 @@ SELECT key, op, totalprice, orderstatus, ts_ms
 FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY key
-    ORDER BY ts_ms DESC, CASE op WHEN 'd' THEN 2 WHEN 'u' THEN 1 ELSE 0 END DESC
+    ORDER BY ts_ms DESC, CASE op WHEN 'd' THEN 2 WHEN 'u' THEN 1 ELSE 0 END DESC,
+             COALESCE(totalprice, -1) DESC, COALESCE(orderstatus, '') DESC
   ) AS rn
   FROM changelog
 )

@@ -117,15 +117,17 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 # gaps-and-islands: a new session starts when the gap to the previous
-# event of the same user is >= the session gap (Spark merges intervals
-# [ts, ts+gap), so an event exactly gap-after starts a new session).
+# event of the same user EXCEEDS the session gap. Spark merges adjacent
+# intervals — an event exactly gap-after still belongs to the session
+# (caught by hypothesis in tests/test_properties.py; '>=' is wrong at
+# the boundary).
 _SESSION_ORACLE = f"""
 WITH e AS (
   SELECT user_id, {ORACLE_TS_US} AS us, value FROM events
 ), marked AS (
   SELECT user_id, us, value,
          CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
-                   >= {_GAP_US} OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                   > {_GAP_US} OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
               THEN 1 ELSE 0 END AS is_new
   FROM e
 ), islands AS (

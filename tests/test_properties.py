@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): engine operators vs pure-Python
+reference models on generated inputs — catches semantic edge cases the
+fixture data never exercises (same-timestamp ties, all-delete keys,
+empty sessions)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+# each example runs a Spark job — keep the count tight, the generated
+# batches rich
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+_OPS = ["c", "u", "d"]
+
+
+@st.composite
+def changelogs(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    for _ in range(n):
+        rows.append(
+            (
+                draw(st.integers(min_value=0, max_value=5)),  # key (few → collisions)
+                _OPS[draw(st.integers(min_value=0, max_value=2))],
+                float(draw(st.integers(min_value=0, max_value=999))),
+                draw(st.sampled_from(["F", "O", "P"])),
+                draw(st.integers(min_value=0, max_value=10)),  # ts_ms (ties likely)
+            )
+        )
+    return rows
+
+
+def _reference_latest(rows):
+    """Pure-python model of latest_per_key: max by (ts_ms, precedence)."""
+    prec = {"c": 0, "u": 1, "d": 2}
+    best = {}
+    for key, op, price, status, ts in rows:
+        rank = (ts, prec[op], price if price is not None else -1.0, status or "")
+        if key not in best or rank > best[key][0]:
+            best[key] = (rank, op, price, status, ts)
+    return {
+        (k, v[1], v[2], v[3], v[4]) for k, v in best.items() if v[1] != "d"
+    }
+
+
+@given(changelogs())
+@settings(**_SETTINGS)
+def test_latest_per_key_matches_reference(spark, rows):
+    import pyspark.sql.functions as F  # noqa: F401
+    from flink_realtime_2024_spark.sources.cdc import latest_per_key
+
+    df = spark.createDataFrame(
+        rows, "key bigint, op string, totalprice double, orderstatus string, ts_ms bigint"
+    )
+    got = {tuple(r) for r in latest_per_key(df).collect()}
+    assert got == _reference_latest(rows)
+
+
+@st.composite
+def event_times(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    # microsecond timestamps with gaps around the 10µs session boundary
+    return sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=0, max_value=300),
+                min_size=n,
+                max_size=n,
+                unique=True,
+            )
+        )
+    )
+
+
+def _reference_sessions(ts_list, gap):
+    sessions = []
+    cur = [ts_list[0]]
+    for t in ts_list[1:]:
+        if t - cur[-1] > gap:
+            sessions.append(cur)
+            cur = [t]
+        else:
+            cur.append(t)
+    sessions.append(cur)
+    return {(s[0], len(s)) for s in sessions}
+
+
+@given(event_times())
+@settings(**_SETTINGS)
+def test_session_window_matches_gaps_and_islands(spark, ts_list):
+    """Spark session_window must agree with the gaps-and-islands model,
+    including events exactly at the gap boundary: adjacent intervals
+    MERGE (diff == gap stays in the session; only diff > gap splits)."""
+    import pyspark.sql.functions as F
+
+    gap_us = 10
+    df = spark.createDataFrame([(t,) for t in ts_list], "us bigint").select(
+        F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    got = {
+        (r["start_us"], r["n"])
+        for r in df.groupBy(F.session_window("ts", f"{gap_us} microseconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("session_window.start")).alias("start_us"), "n")
+        .collect()
+    }
+    assert got == _reference_sessions(ts_list, gap_us)
