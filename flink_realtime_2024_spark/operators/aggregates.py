@@ -28,8 +28,9 @@ SELECT
   l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4))
+       AS DOUBLE) AS sum_disc_price,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
   COUNT(*) AS count_order
 FROM lineitem
@@ -50,7 +51,7 @@ def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             money_sum(dec("l_quantity")).alias("sum_qty"),
             money_sum(dec("l_extendedprice")).alias("sum_base_price"),
-            money_sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
             (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )

@@ -67,8 +67,9 @@ def analytics_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGION_VOLUME_ORACLE = """
 SELECT r.r_name AS region,
        CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4))
+            AS DOUBLE) AS revenue,
        COUNT(DISTINCT o.o_orderkey) AS n_orders
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -99,7 +100,7 @@ def analytics_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("order_year"),
         )
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )

@@ -24,8 +24,9 @@ from .registry import register
 _ORACLE = """
 SELECT
   n.n_name AS nation,
-  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-           * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4))
+       AS DOUBLE) AS revenue,
   COUNT(*) AS order_lines
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -58,7 +59,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(revenue_expr).cast("double").alias("revenue"),
+            F.sum(revenue_expr).cast("decimal(38,4)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("order_lines"),
         )
         .orderBy(F.col("revenue").desc(), F.col("nation"))
