@@ -51,10 +51,15 @@ def main() -> None:
     # would already have — and bill the staging separately.
     t_stage = time.perf_counter()
     enable_hot_cache(True)
-    for t in (
+    from concurrent.futures import ThreadPoolExecutor
+
+    tables = (
         "lineitem orders customer supplier part nation region events documents embeddings"
-    ).split():
-        load_table(spark, SF_DIR, t)
+    ).split()
+    # stage concurrently: each table's 1-task scan+cache would otherwise
+    # serialize; Spark schedules the independent jobs across the pool
+    with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+        list(pool.map(lambda t: load_table(spark, SF_DIR, t), tables))
     staging_s = round(time.perf_counter() - t_stage, 3)
 
     # warm-up: run every headline plan once at the smallest SF so JVM

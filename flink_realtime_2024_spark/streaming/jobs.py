@@ -182,11 +182,14 @@ def stream_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def split_sink(batch_df: DataFrame, batch_id: int) -> None:
+        # exactly-once contract (SURVEY §7): idempotent writes keyed by
+        # batchId — a retried batch overwrites its own directory instead
+        # of appending duplicates
         batch_df.persist()
         try:
             for name, cond in branches.items():
-                branch_dir = os.path.join(root, name)
-                batch_df.filter(cond).write.mode("append").parquet(branch_dir)
+                branch_dir = os.path.join(root, name, f"batch={batch_id}")
+                batch_df.filter(cond).write.mode("overwrite").parquet(branch_dir)
         finally:
             batch_df.unpersist()
 
@@ -228,7 +231,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="stream_dedup_out_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out)
+        # idempotent per-batch overwrite (exactly-once under retries)
+        batch_df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
 
     run_stream(deduped.writeStream.outputMode("append").foreachBatch(sink), "dedup")
     return spark.read.parquet(out).agg(F.count(F.lit(1)).alias("n_unique"))
@@ -273,7 +277,10 @@ def config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         routed = batch_df.join(config, "event_type", "left").withColumn(
             "route", F.coalesce("route", F.lit("dwd_traffic"))
         )
-        routed.write.mode("append").partitionBy("route").parquet(out)
+        # idempotent per-batch overwrite (exactly-once under retries)
+        routed.write.mode("overwrite").partitionBy("route").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
 
     run_stream(ev.writeStream.foreachBatch(route_sink), "routing")
     return (
