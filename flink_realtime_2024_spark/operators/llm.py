@@ -156,7 +156,7 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle bucket; pairs are enumerated only inside buckets. Runaway
     buckets (degenerate text) are capped at 64 docs — cap + salt is the
     documented skew strategy at 100 TB. Rows-only: MinHash isn't SQL-
-    expressible; tests/test_llm.py cross-checks against brute force.
+    expressible; tests/test_semantics.py cross-checks against brute force.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = widen(docs).select(
