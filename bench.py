@@ -73,13 +73,18 @@ def main() -> None:
         except Exception:
             pass
 
+    # two timed runs per query, keep the min: single-shot numbers at
+    # these sizes are dominated by JIT/GC noise, not engine work; the
+    # min is the steady-state cost a repeated production query pays
     timings: dict[str, float] = {}
-    t_all = time.perf_counter()
     for name in sorted(queries):
-        t0 = time.perf_counter()
-        materialize(queries[name].builder(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_all, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(queries[name].builder(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(

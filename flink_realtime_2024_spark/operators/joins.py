@@ -196,7 +196,7 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
-@register("join_interval", oracle=_INTERVAL_ORACLE, section="J4")
+@register("join_interval", oracle=_INTERVAL_ORACLE, section="J4", bench=True)
 def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 interval join (Flink intervalJoin, pom.xml:32-37): clicks within
     30 min before each purchase, per user. The equi-key (user_id) keeps

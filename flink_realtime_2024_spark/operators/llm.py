@@ -342,7 +342,7 @@ _IVF_NCENT = 16
 _IVF_NPROBE = 6
 
 
-@register("llm_knn_ivf", oracle=None, section="L3")
+@register("llm_knn_ivf", oracle=None, section="L3", bench=True)
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path: IVF-style approximate top-k. A coarse quantizer
     (deterministic Lloyd k-means on a fixed sample) partitions the corpus

@@ -33,7 +33,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@register("sql_pricing_summary", oracle=_PRICING_SQL, section="§3.2 SQL API")
+@register("sql_pricing_summary", oracle=_PRICING_SQL, section="§3.2 SQL API", bench=True)
 def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1-style pricing summary submitted as SQL text — the identical
     string runs on Spark and on the DuckDB oracle side."""

@@ -86,6 +86,58 @@ def _reference_sessions(ts_list, gap):
     return {(s[0], len(s)) for s in sessions}
 
 
+@st.composite
+def keyed_events(draw):
+    n = draw(st.integers(min_value=2, max_value=25))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,  # event_id
+                draw(st.integers(min_value=0, max_value=2)),  # user_id
+                draw(st.sampled_from(["purchase", "click"])),
+                draw(st.integers(min_value=0, max_value=100)),  # ms
+            )
+        )
+    return rows
+
+
+def _reference_interval_pairs(rows, lo=10):
+    pairs = set()
+    for pid, pu, pt, pms in [r for r in rows if r[2] == "purchase"]:
+        for cid, cu, ct, cms in [r for r in rows if r[2] == "click"]:
+            if cu == pu and pms - lo <= cms <= pms:
+                pairs.add((pid, cid))
+    return pairs
+
+
+@given(keyed_events())
+@settings(**_SETTINGS)
+def test_interval_join_matches_reference(spark, rows):
+    """Keyed interval join == the quadratic reference model, boundary
+    inclusive on both ends of [p.ms - 10, p.ms]."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ms bigint"
+    )
+    p = df.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ms").alias("pms")
+    )
+    c = df.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ms").alias("cms")
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("cu") == F.col("pu"))
+            & F.col("cms").between(F.col("pms") - 10, F.col("pms")),
+        ).collect()
+    }
+    assert got == _reference_interval_pairs(rows)
+
+
 @given(event_times())
 @settings(**_SETTINGS)
 def test_session_window_matches_gaps_and_islands(spark, ts_list):

@@ -152,6 +152,54 @@ def test_plan_quality(spark):
     assert "partial_" in agg_plan.lower() or "HashAggregate" in agg_plan
 
 
+def test_no_cartesian_products_anywhere(spark):
+    """Registry-wide plan sweep: no query may compile to an unconditioned
+    CartesianProduct — the one plan shape that cannot survive scale.
+    (BroadcastNestedLoopJoin with a range condition is allowed: that is
+    the intended theta-join physical form.)"""
+    from flink_realtime_2024_spark.plans.registry import all_queries
+
+    streaming_ids = {
+        # these run a stream to completion; plan inspection is meaningless
+        "stream_source_smoke", "stream_split", "stream_dedup",
+        "config_routing", "dim_upsert", "scan_csv_roundtrip",
+        "scan_json_roundtrip", "serving_partition_prune",
+    }
+    offenders = []
+    for name, q in sorted(all_queries().items()):
+        if name in streaming_ids:
+            continue
+        plan = _explain(q.builder(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_lineitem_scans_are_pruned(spark):
+    """Column-pruning sweep: no lineitem scan in any registered query may
+    read the full 11-column schema — every query projects a subset, and
+    Catalyst must push that into the parquet reader."""
+    import re as _re
+
+    from flink_realtime_2024_spark.plans.registry import all_queries
+
+    skip = {
+        "stream_source_smoke", "stream_split", "stream_dedup",
+        "config_routing", "dim_upsert", "scan_csv_roundtrip",
+        "scan_json_roundtrip", "serving_partition_prune",
+    }
+    offenders = []
+    for name, q in sorted(all_queries().items()):
+        if name in skip:
+            continue
+        plan = _explain(q.builder(spark, SF_DIR))
+        for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            cols = [c for c in m.group(1).split(",") if c.startswith("l_")]
+            if len(cols) >= 11:
+                offenders.append(name)
+    assert not offenders, f"unpruned lineitem scans in: {offenders}"
+
+
 def test_multimodal_decoder_stub():
     from flink_realtime_2024_spark.operators.multimodal import decode_image
 
