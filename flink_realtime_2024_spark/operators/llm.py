@@ -345,10 +345,17 @@ _IVF_NPROBE = 6
 @register("llm_knn_ivf", oracle=None, section="L3", bench=True)
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path: IVF-style approximate top-k. A coarse quantizer
-    (deterministic Lloyd k-means on a fixed sample) partitions the corpus
-    into inverted lists; each query probes only its nprobe nearest lists
-    — at 100 TB this prunes the scanned corpus by ~ncent/nprobe while
-    the exact path (llm_knn_cosine) would scan everything.
+    (deterministic Lloyd k-means on a fixed sample) defines inverted
+    lists; each query probes only its nprobe nearest lists.
+
+    Fused single-pass plan: one mapInPandas scan assigns each corpus
+    vector to its list AND scores it against exactly the queries probing
+    that list — no inverted-list materialization, no join, and the
+    embedding arrays never leave the scan stage. Only per-batch partial
+    top-k rows (≤ k × n_queries per batch) hit the final row_number
+    shuffle. At 100 TB the lists would additionally be written
+    partitioned by centroid_id so probing prunes at the SCAN (partition
+    pruning), not just at compute — the kernel is unchanged.
 
     Rows-only (approximate by design); recall@k vs the exact kNN is
     asserted in tests/test_semantics.py.
@@ -375,64 +382,56 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = np.linalg.norm(m)
                 if n > 0:
                     cent[c] = m / n
-    bc = spark.sparkContext.broadcast(cent)
 
-    assign_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("centroid_id", T.IntegerType()),
-            T.StructField("emb", T.ArrayType(T.DoubleType())),
-        ]
-    )
-
-    def assign_lists(batches):
-        C = bc.value
-        for pdf in batches:
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            E = np.array(list(pdf["embedding"]), dtype=np.float64)
-            cids = (E @ C.T).argmax(axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {"vec_id": ids, "centroid_id": cids, "emb": list(E)}
-            )
-
-    lists = widen(emb.select("vec_id", "embedding")).mapInPandas(
-        assign_lists, assign_schema
-    )
-
-    # queries probe their nprobe nearest centroids
+    # queries + their probe sets (tiny: broadcast with the centroids)
     q_rows = (
         emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
         .select("vec_id", "embedding")
         .collect()
     )
-    probes = []  # (query_id, centroid_id, q_embedding)
-    for r in q_rows:
-        qv = np.array(r["embedding"], dtype=np.float64)
-        top = np.argsort(-(cent @ qv))[:_IVF_NPROBE]
-        for c in top:
-            probes.append((int(r["vec_id"]), int(c), [float(x) for x in qv]))
-    probe_df = spark.createDataFrame(
-        probes, "query_id bigint, centroid_id int, q_emb array<double>"
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    probe_mask = np.zeros((len(qids), _IVF_NCENT), dtype=bool)
+    for j in range(len(qids)):
+        top = np.argsort(-(cent @ Q[j]))[:_IVF_NPROBE]
+        probe_mask[j, top] = True
+    bc = spark.sparkContext.broadcast((cent, qids, Q, probe_mask))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
     )
 
-    @F.pandas_udf(T.DoubleType())
-    def dot_probe(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.array(list(a), dtype=np.float64)
-        B = np.array(list(b), dtype=np.float64)
-        return pd.Series(np.round((A * B).sum(axis=1), 6))
+    def scan_lists(batches):
+        C, bqids, bQ, M = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cids = (E @ C.T).argmax(axis=1)
+            rows = []
+            for j in range(len(bqids)):
+                # only rows in this query's probed lists are scored —
+                # the compute-side pruning IVF exists for
+                allowed = M[j, cids] & (ids != bqids[j])
+                if not allowed.any():
+                    continue
+                mids = ids[allowed]
+                ms = np.round(E[allowed] @ bQ[j], 6)
+                order = np.lexsort((mids, -ms))[:_KNN_K]
+                for i in order:
+                    rows.append((int(bqids[j]), int(mids[i]), float(ms[i])))
+            if rows:
+                yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
 
+    partial = widen(emb.select("vec_id", "embedding")).mapInPandas(scan_lists, out_schema)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
-        lists.join(F.broadcast(probe_df), "centroid_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dot_probe("emb", "q_emb").alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
+        partial.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KNN_K)
         .select("query_id", "neighbor_id", "score")
     )
