@@ -108,8 +108,18 @@ _MH_B = _rng.randint(0, _MERSENNE, size=_N_HASHES, dtype=np.int64).astype(np.uin
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
-def minhash_band_hashes(text: pd.Series) -> pd.Series:
-    """64 minhashes → 16 band hashes per document (the LSH signature).
+def shingle_hash_array(text: pd.Series) -> pd.Series:
+    """Per-document sorted unique shingle hashes (the signature store
+    column) — the ONLY place document text crosses into Python."""
+    return pd.Series(
+        [_shingle_hashes(t or "").astype(np.int64).tolist() for t in text]
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_bands_from_hashes(sh: pd.Series) -> pd.Series:
+    """64 minhashes → 16 band hashes from precomputed shingle hashes
+    (pure numpy — no string work).
 
     Fully vectorized across the Arrow batch: all documents' shingle
     hashes are concatenated, the 64 permutations applied as one matrix
@@ -119,9 +129,9 @@ def minhash_band_hashes(text: pd.Series) -> pd.Series:
 
     out: list[list[int]] = []
     chunk = 512  # docs per matrix — caps the intermediate at ~40 MB
-    vals = text.tolist()
+    vals = sh.tolist()
     for lo in range(0, len(vals), chunk):
-        seg = [_shingle_hashes(t or "") for t in vals[lo : lo + chunk]]
+        seg = [np.asarray(h, dtype=np.uint64) for h in vals[lo : lo + chunk]]
         if not seg:
             continue
         lengths = np.array([len(h) for h in seg])
@@ -135,18 +145,6 @@ def minhash_band_hashes(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@F.pandas_udf(T.DoubleType())
-def shingle_jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
-    """Exact 3-token-shingle Jaccard — the verification kernel."""
-    vals = []
-    for a, b in zip(text_a, text_b):
-        sa, sb = set(_shingle_hashes(a or "")), set(_shingle_hashes(b or ""))
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        vals.append(inter / union if union else 0.0)
-    return pd.Series(vals, dtype="float64")
-
-
 @register("llm_dedup_minhash", oracle=None, section="L2", bench=True)
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 near-dup detection: MinHash signatures → LSH band bucketing →
@@ -157,10 +155,22 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (degenerate text) are capped at 64 docs — cap + salt is the
     documented skew strategy at 100 TB. Rows-only: MinHash isn't SQL-
     expressible; tests/test_semantics.py cross-checks against brute force.
+
+    One-pass Python design: document text crosses into Python exactly
+    once (shingle_hash_array); the persisted signature store feeds both
+    the banding branch (numpy minhash over the hash arrays) and the
+    verification joins, where exact Jaccard is computed JVM-side with
+    array_intersect/array_union over the already-unique hash arrays —
+    no per-pair Python and no second text scan. At 100 TB the signature
+    store is exactly what you'd materialize to parquet.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = widen(docs).select(
-        "doc_id", F.posexplode(minhash_band_hashes("text")).alias("band", "band_hash")
+    store = widen(docs).select(
+        "doc_id", shingle_hash_array("text").alias("sh")
+    ).persist()
+    sigs = store.select(
+        "doc_id",
+        F.posexplode(minhash_bands_from_hashes("sh")).alias("band", "band_hash"),
     )
     buckets = (
         sigs.groupBy("band", "band_hash")
@@ -176,17 +186,104 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     verified = (
-        pairs.join(docs.withColumnsRenamed({"doc_id": "doc_a", "text": "text_a"}), "doc_a")
-        .join(docs.withColumnsRenamed({"doc_id": "doc_b", "text": "text_b"}), "doc_b")
-        .select(
+        pairs.join(
+            store.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
             "doc_a",
-            "doc_b",
-            F.round(shingle_jaccard("text_a", "text_b"), 4).alias("jaccard"),
         )
+        .join(
+            store.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
     return verified
+
+
+# =============================================================================
+# L2a near-dup: exact n-gram Jaccard (oracle-checked)
+# =============================================================================
+
+_NGRAM_DF_CAP = 64  # blocking: shingles seen in > cap docs are non-discriminative
+
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t)-1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents)
+), rare AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_NGRAM_DF_CAP}
+), shr AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+FROM shared
+JOIN cnt na ON na.doc_id = doc_a
+JOIN cnt nb ON nb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+"""
+
+
+@register("llm_dedup_ngram", oracle=_NGRAM_ORACLE, section="L2")
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 exact token-3-gram Jaccard near-dup, fully SQL-expressible
+    (oracle-checked, unlike the probabilistic MinHash/SimHash paths).
+
+    Inverted-index formulation — NO cross join: docs sharing a shingle
+    meet in that shingle's shuffle bucket; the per-pair shared count is
+    a groupBy. Blocking for 100 TB: shingles appearing in more than
+    _NGRAM_DF_CAP docs are non-discriminative and dropped from the
+    shingle universe (both engines apply the same cap, so Jaccard is
+    defined over the capped universe). Everything is JVM built-ins —
+    no Python in the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.col("text")), "\\s+")
+    n = F.size(toks)
+    tri = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    shingles = F.array_distinct(
+        F.when(n >= 3, tri).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+    sh = docs.select("doc_id", F.explode(shingles).alias("s"))
+    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _NGRAM_DF_CAP
+    )
+    shr = sh.join(rare.select("s"), "s")
+    cnt = shr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        shr.alias("a")
+        .join(shr.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("inter"))
+    return (
+        shared.join(cnt.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(cnt.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
 
 
 # =============================================================================
