@@ -56,37 +56,50 @@ changelog AS (
 
 
 def build_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered changelog of (key, op, after-image columns, ts_ms)."""
+    """Ordered changelog of (key, op, after-image columns, ts_ms).
+
+    Single-scan formulation: each order emits its 1-3 envelopes as an
+    inline array that is exploded — one pass over the source instead of
+    a 3-branch union (1 scan, not 3, per changelog build; matters when
+    the snapshot table is the 100 TB side)."""
     o = load_table(spark, sf_dir, "orders")
     ts0 = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
-    inserts = o.select(
-        F.col("o_orderkey").alias("key"),
-        F.lit("c").alias("op"),
-        F.col("o_totalprice").alias("totalprice"),
-        F.col("o_orderstatus").alias("orderstatus"),
-        ts0.alias("ts_ms"),
-    )
-    updates = (
-        o.filter(F.col("o_orderstatus") == "F")
-        .select(
-            F.col("o_orderkey").alias("key"),
-            F.lit("u").alias("op"),
-            (dec("o_totalprice") * F.lit(1.1).cast("decimal(18,4)")).cast("double").alias("totalprice"),
-            F.col("o_orderstatus").alias("orderstatus"),
-            (ts0 + 86400000).alias("ts_ms"),
+    env = "struct<op:string,totalprice:double,orderstatus:string,ts_ms:bigint>"
+
+    def _env(op, totalprice, orderstatus, ts):
+        return F.struct(
+            op.alias("op"),
+            totalprice.alias("totalprice"),
+            orderstatus.alias("orderstatus"),
+            ts.alias("ts_ms"),
+        )
+
+    envelopes = F.array_compact(
+        F.array(
+            _env(F.lit("c"), F.col("o_totalprice"), F.col("o_orderstatus"), ts0),
+            F.when(
+                F.col("o_orderstatus") == "F",
+                _env(
+                    F.lit("u"),
+                    (dec("o_totalprice") * F.lit(1.1).cast("decimal(18,4)")).cast("double"),
+                    F.col("o_orderstatus"),
+                    ts0 + 86400000,
+                ),
+            ).cast(env),
+            F.when(
+                F.col("o_orderkey") % 50 == 0,
+                _env(
+                    F.lit("d"),
+                    F.lit(None).cast("double"),
+                    F.lit(None).cast("string"),
+                    ts0 + 172800000,
+                ),
+            ).cast(env),
         )
     )
-    deletes = (
-        o.filter(F.col("o_orderkey") % 50 == 0)
-        .select(
-            F.col("o_orderkey").alias("key"),
-            F.lit("d").alias("op"),
-            F.lit(None).cast("double").alias("totalprice"),
-            F.lit(None).cast("string").alias("orderstatus"),
-            (ts0 + 172800000).alias("ts_ms"),
-        )
-    )
-    return inserts.unionByName(updates).unionByName(deletes)
+    return o.select(
+        F.col("o_orderkey").alias("key"), F.explode(envelopes).alias("e")
+    ).select("key", "e.op", "e.totalprice", "e.orderstatus", "e.ts_ms")
 
 
 def latest_per_key(changelog: DataFrame) -> DataFrame:
