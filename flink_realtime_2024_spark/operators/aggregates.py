@@ -95,6 +95,36 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A4a exact percentiles ---------------------------------------------------------
+
+_PERCENTILE_ORACLE = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_percentile", oracle=_PERCENTILE_ORACLE, section="A4a")
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4a exact interpolated percentiles per group (p25/p50/p75 of order
+    value) — Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    continuous index = p·(n-1) definition; round(4) absorbs last-ulp
+    interpolation noise. At 100 TB swap to ``approx_percentile``
+    (t-digest-style sketch, constant memory per key) the same way
+    agg_approx_distinct trades exact distinct for HLL."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # --- A5 rollup / cube --------------------------------------------------------------
 
 _ROLLUP_ORACLE = """
