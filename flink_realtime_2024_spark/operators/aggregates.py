@@ -235,3 +235,62 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         nations.alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- A8 statistical moments ----------------------------------------------------------
+
+_STATS_ORACLE = """
+SELECT o_orderstatus,
+       round(stddev_samp(o_totalprice), 4) AS sd_price,
+       round(corr(o_totalprice, epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000.0), 6)
+         AS corr_price_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_stats", oracle=_STATS_ORACLE, section="A8")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 statistical moments per group: sample stddev, Pearson
+    correlation (price vs order day), exact-decimal average. Both engines
+    merge co-moments pairwise, so values agree to well under the round(4)
+    / round(6) quantum; the average follows the decimal-sum-then-divide
+    parity rule. One pass, map-side partial moments — the same
+    constant-memory-per-key profile as sum/count at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.unix_millis(F.col("o_orderdate").cast("timestamp")) / 86400000.0
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.corr(F.col("o_totalprice"), day), 6).alias("corr_price_day"),
+        (money_sum(dec("o_totalprice")) / F.count(F.lit(1))).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- A9 pivot ------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_pivot", oracle=_PIVOT_ORACLE, section="A9")
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 pivot (rows→columns crosstab) with an EXPLICIT values list —
+    without it Spark runs an extra distinct-values job over the fact
+    table before it can even plan; with it the pivot compiles to one
+    conditional-aggregation pass (same plan as A6). Money cells follow
+    the decimal-sum parity rule."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(dec("o_totalprice")).cast("double"))
+    )
