@@ -284,10 +284,12 @@ GROUP BY o_orderpriority
 @register("agg_pivot", oracle=_PIVOT_ORACLE, section="A9")
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 pivot (rows→columns crosstab) with an EXPLICIT values list —
-    without it Spark runs an extra distinct-values job over the fact
-    table before it can even plan; with it the pivot compiles to one
-    conditional-aggregation pass (same plan as A6). Money cells follow
-    the decimal-sum parity rule."""
+    without it Spark runs an extra eager distinct-values job over the
+    fact table before it can even plan. The plan is two-phase: a
+    map-side-combined sum per (group, pivot-value) cell, then a tiny
+    pivotfirst shuffle carrying only O(groups) rows — the fact table is
+    read and shuffled once. Money cells follow the decimal-sum parity
+    rule."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")

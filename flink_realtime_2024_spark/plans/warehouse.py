@@ -35,7 +35,7 @@ WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity >= 45
 def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 filesystem/parquet scan with predicate+projection pushdown:
     the scan reads 3 of 11 columns and both filters reach PushedFilters
-    (asserted in tests/test_plans.py)."""
+    (asserted in tests/test_semantics.py::test_plan_quality)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))

@@ -151,6 +151,13 @@ def test_plan_quality(spark):
     agg_plan = _explain(qs["agg_hash_groupby"].builder(spark, SF_DIR))
     assert "partial_" in agg_plan.lower() or "HashAggregate" in agg_plan
 
+    # A9: pivot with explicit values — no eager distinct-values job, and
+    # both aggregation phases map-side combine (partial_ before every
+    # Exchange); the second exchange carries only O(groups) rows
+    pivot_plan = _explain(qs["agg_pivot"].builder(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", pivot_plan)) == 2, pivot_plan
+    assert "partial_pivotfirst" in pivot_plan and "partial_sum" in pivot_plan
+
 
 def test_no_cartesian_products_anywhere(spark):
     """Registry-wide plan sweep: no query may compile to an unconditioned
