@@ -339,6 +339,35 @@ def salted_join(
     return joined.drop("__salt")
 
 
+_SKEW_SALTED_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+@register("join_skew_salted", oracle=_SKEW_SALTED_ORACLE, section="J1,SKEW")
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew-salted fact⋈fact join, oracle-checked against the
+    plain join: salting redistributes hot keys over n_salts reducers
+    without changing semantics. This is the documented fallback when
+    AQE's skew-join can't help (aggregation directly downstream, or a
+    deliberately disabled AQE); the oracle equality IS the correctness
+    claim that salting is invisible in the result."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return (
+        salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
 # --- J8 theta (non-equi) join ------------------------------------------------------
 
 _THETA_ORACLE = """
