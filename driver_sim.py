@@ -1,0 +1,70 @@
+"""Driver simulation per .claude/skills/verify/SKILL.md: vanilla
+SparkSession, sf0.01, every queries() entry vs its DuckDB oracle using
+the same comparison the driver's gate applies (tests/parity.py).
+
+Usage: python driver_sim.py [--sf /root/testdata/sf0.01] [name ...]
+Exit 0 iff every checked query matches (rows-only ids must merely run).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+only = [a for a in sys.argv[1:] if not a.startswith("--")]
+if "--sf" in sys.argv:
+    SF = sys.argv[sys.argv.index("--sf") + 1]
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e  # noqa: E402
+from tests.parity import compare  # noqa: E402
+
+rows = e.entry(spark).collect()
+assert len(rows) > 0, "entry() smoke failed"
+print(f"entry() smoke: {len(rows)} rows OK", flush=True)
+
+import duckdb  # noqa: E402
+
+con = duckdb.connect()
+for n in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {n} AS SELECT * FROM read_parquet('{SF}/{n}.parquet')")
+
+queries = e.queries()
+oracles = e.oracle_sql()
+names = only or sorted(queries)
+n_pass = n_rowsonly = 0
+failures = []
+for name in names:
+    t0 = time.time()
+    try:
+        sp = queries[name](spark, SF).toPandas()
+        sql = oracles.get(name)
+        if sql is None:
+            n_rowsonly += 1
+            status = f"rows-only ({len(sp)} rows)"
+        else:
+            od = con.execute(sql).df()
+            compare(sp, od, name=name)
+            n_pass += 1
+            status = f"match ({len(sp)} rows)"
+    except Exception as ex:  # noqa: BLE001
+        failures.append((name, ex))
+        status = f"FAIL: {type(ex).__name__}: {str(ex)[:200]}"
+    print(f"  {name:32s} {time.time()-t0:5.1f}s  {status}", flush=True)
+
+print(f"\n{n_pass} oracle-match, {n_rowsonly} rows-only, {len(failures)} FAIL")
+if failures:
+    for name, ex in failures:
+        print(f"\n=== {name} ===\n{ex}")
+    sys.exit(1)

@@ -10,21 +10,29 @@ import pandas as pd
 
 
 def _canon_cell(v: Any) -> Any:
+    """Canonicalize a cell to a (type_tag, value) pair.
+
+    The driver's value-hash is TYPE-sensitive (it hashes arrow cells), so a
+    DuckDB HUGEINT/decimal128 column with the same values as a Spark BIGINT
+    column still fails its gate.  Tagging each cell with its Python type class
+    makes Decimal(1000) != 1000 here too, so local green predicts driver green
+    (VERDICT r1 "What's wrong" #2).
+    """
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("float", "NaN")
+        return ("float", v)
     if pd.isna(v):
         return None
-    if hasattr(v, "item"):  # numpy scalar
+    if hasattr(v, "item") and not isinstance(v, pd.Timestamp):  # numpy scalar
         v = v.item()
-        if isinstance(v, float) and math.isnan(v):
-            return "NaN"
+        if isinstance(v, float):
+            return ("float", "NaN") if math.isnan(v) else ("float", v)
     if isinstance(v, pd.Timestamp):
-        return v.isoformat()
-    return v
+        return ("timestamp", v.isoformat())
+    return (type(v).__name__, v)
 
 
 def _canon(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:

@@ -25,6 +25,24 @@ def test_query_parity(name, spark, duck):
     compare(spark_pdf, oracle_pdf, name=name)
 
 
+def test_compare_is_type_faithful():
+    """int64 vs decimal128 columns with equal VALUES must fail compare() —
+    the driver's arrow value-hash is type-sensitive, and round 1's only red
+    cell (agg_conditional) was exactly this class slipping past a
+    value-only comparison."""
+    from decimal import Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    ints = pd.DataFrame({"n": np.array([1000, 2000], dtype=np.int64)})
+    decs = pd.DataFrame({"n": [Decimal(1000), Decimal(2000)]})
+    with pytest.raises(AssertionError):
+        compare(ints, decs, name="int64-vs-decimal128")
+    # same-type equal values still pass
+    compare(ints, ints.copy(), name="int64-vs-int64")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

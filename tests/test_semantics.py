@@ -55,6 +55,33 @@ def test_minhash_finds_brute_force_pairs(spark):
     assert recall >= 0.9, f"minhash recall too low: {recall}"
 
 
+def test_simhash_matches_brute_force(spark):
+    """SimHash banding (4×16-bit chunks) has pigeonhole recall 1.0 for
+    hamming ≤ 3, and the operator verifies candidates with exact popcount
+    ≤ 3 — so its output must EQUAL the brute-force O(n²) hamming scan
+    (modulo the ≤64 bucket-size cap, which must not bind on fixtures)."""
+    from flink_realtime_2024_spark.operators.llm import llm_dedup_simhash, simhash64
+    from flink_realtime_2024_spark.operators._util import widen
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    fps = widen(docs).select("doc_id", simhash64("text").alias("fp")).collect()
+    ids = np.array([r["doc_id"] for r in fps], dtype=np.int64)
+    vals = np.array([r["fp"] for r in fps], dtype=np.int64).astype(np.uint64)
+    truth = set()
+    for i in range(len(ids)):
+        ham = np.array(
+            [bin(int(vals[i] ^ v)).count("1") for v in vals], dtype=np.int64
+        )
+        for j in np.nonzero((ham <= 3) & (ids > ids[i]))[0]:
+            truth.add((int(ids[i]), int(ids[j])))
+    found = _collect_set(llm_dedup_simhash(spark, SF_DIR), "doc_a", "doc_b")
+    assert truth, "fixtures should contain simhash near-dups"
+    assert found == truth, (
+        f"missing={sorted(truth - found)[:5]} extra={sorted(found - truth)[:5]}"
+    )
+
+
 def test_neardup_cosine_recall(spark):
     """Hyperplane-LSH near-dup must recover high-cosine pairs. The driver
     fixtures contain none (max cosine ≈ 0.6), so synthetic near-dups are
