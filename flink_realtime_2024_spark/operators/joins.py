@@ -273,10 +273,12 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY o.o_orderkey ORDER BY v.valid_from DESC)
 def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 temporal/as-of join (Flink temporal table join over CDC-versioned
     dims): each order joins the dim version valid at its event time.
-    Implementation: broadcast the (small) versioned dim, range join
-    valid_from <= ts, keep latest version per probe row via row_number.
-    At scale the dim stays broadcast (versions ≪ facts); if the dim were
-    huge, the same plan works shuffled with the range residual."""
+    Implementation: shuffled equi-join on the entity key with the
+    valid_from <= ts range as a residual predicate, then keep the latest
+    version per probe row via row_number. The versioned dim here derives
+    from customer — it SCALES with the data, so no explicit broadcast
+    (that was round 1's plan and would OOM executors at 100 TB); AQE
+    still auto-broadcasts whenever the dim side is actually small."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     versions = (
@@ -292,7 +294,7 @@ def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = orders.join(
-        F.broadcast(versions),
+        versions,
         (F.col("c_custkey") == F.col("o_custkey"))
         & (F.col("valid_from") <= F.col("o_orderdate")),
     )
@@ -382,10 +384,12 @@ GROUP BY s.s_suppkey
 
 @register("join_theta_range", oracle=_THETA_ORACLE, section="J8")
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8 theta/non-equi join → BroadcastNestedLoopJoin with the small
+    """J8 theta/non-equi join → BroadcastNestedLoopJoin with the smaller
     side (supplier) broadcast; result aggregated before any exchange.
-    At 100 TB you'd band the range into buckets to regain an equi-key —
-    the interval-join pattern above — but the raw operator exists."""
+    BNLJ is the ONLY physical form for a raw theta join, so this
+    operator is inherently broadcast-bound; the scale path is
+    join_range_banded below — same oracle, equi-join on a derived band
+    key — which is what you'd run at 100 TB."""
     supplier = load_table(spark, sf_dir, "supplier")
     part = load_table(spark, sf_dir, "part")
     lo = F.col("s_acctbal") / 10
@@ -394,6 +398,43 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(supplier),
             F.col("p_retailprice").between(lo, lo + 200),
         )
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            money_sum(dec("p_retailprice")).alias("sum_price"),
+        )
+    )
+
+
+@register("join_range_banded", oracle=_THETA_ORACLE, section="J8,SKEW")
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 scale path: the same range join as join_theta_range, rewritten
+    as a shuffled EQUI-join on a derived band key — no broadcast, no
+    nested loop, survives both sides growing with the data.
+
+    The interval [lo, lo+200] has exactly the band width (200), so each
+    supplier row lands in at most 2 bands (explode ×2); each part row
+    lands in exactly 1 (floor(price/200)). The equi-join on band
+    restores hash partitioning; the original range predicate runs as a
+    residual filter. Oracle equality with the BNLJ form proves the
+    rewrite is semantics-invisible."""
+    width = 200
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    part = load_table(spark, sf_dir, "part").select("p_retailprice")
+    lo = (F.col("s_acctbal") / 10).alias("lo")
+    s_banded = supplier.select("s_suppkey", lo).select(
+        "s_suppkey",
+        "lo",
+        F.explode(
+            F.array(F.floor(F.col("lo") / width), F.floor(F.col("lo") / width) + 1)
+        ).alias("band"),
+    )
+    p_banded = part.select(
+        "p_retailprice", F.floor(F.col("p_retailprice") / width).alias("band")
+    )
+    return (
+        p_banded.join(s_banded, "band")
+        .filter(F.col("p_retailprice").between(F.col("lo"), F.col("lo") + width))
         .groupBy("s_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),

@@ -83,14 +83,19 @@ GROUP BY r.r_name, year(o.o_orderdate)
 @register("analytics_region_volume", oracle=_REGION_VOLUME_ORACLE, section="J1,J2,A1,A3", bench=True)
 def analytics_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue per region per year through the full dim
-    chain (region←nation←customer←orders←lineitem); dims broadcast.
+    chain (region←nation←customer←orders←lineitem).
 
     An orderkey lands in exactly one (region, year) group, so lineitem
     is pre-aggregated per order FIRST (map-side combine collapses ~4×
     before any join) and the distinct-order count becomes a plain
     count — no Expand from countDistinct, and the orders join sees one
     row per order instead of one per line. The per-order agg and the
-    orderkey join share a partitioning (exchange reuse)."""
+    orderkey join share a partitioning (exchange reuse).
+
+    Broadcast policy: only FIXED-size dims (nation=25, region=5) are
+    explicitly broadcast. customer scales with the data (~150k×SF — an
+    executor-OOM broadcast at 100 TB), so that join is left to AQE:
+    shuffled at scale, auto-broadcast when a filter makes it small."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
@@ -100,7 +105,7 @@ def analytics_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("order_rev"))
     return (
         per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(
@@ -132,7 +137,11 @@ LIMIT 20
 
 @register("analytics_returned_value", oracle=_RETURNED_ORACLE, section="J1,J2,A1,O2")
 def analytics_returned_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: customers ranked by returned-item revenue."""
+    """TPC-H Q10 shape: customers ranked by returned-item revenue.
+
+    customer is NOT explicitly broadcast (it scales with SF); only the
+    fixed 25-row nation dim is. The customer join shuffles on custkey —
+    the scale-safe default — and AQE upgrades it when actually small."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -141,7 +150,7 @@ def analytics_returned_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(

@@ -102,7 +102,9 @@ def warehouse_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DWD wide-table job: per-order line rollup joined with customer and
     nation dims into one denormalized row (the reference's
     dwd_trade_order_detail shape). Aggregate-before-join keeps the big
-    side small ahead of the fact⋈fact shuffle; dims broadcast."""
+    side small ahead of the fact⋈fact shuffle. Only the fixed 25-row
+    nation dim is explicitly broadcast; customer scales with SF, so its
+    join shuffles on custkey (AQE may still broadcast it when small)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -115,7 +117,7 @@ def warehouse_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
     )
     return (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(line_rollup, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(

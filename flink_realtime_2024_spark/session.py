@@ -66,16 +66,20 @@ def get_spark(
     """Build (or fetch) the engine session.
 
     Local harness: ``local[$SPARK_GRAFT_CPUS]``; shuffle partitions default
-    to the core count (tiny SFs don't need more; AQE coalesces anyway).
+    to _RUNTIME_CONFS' 32 (tiny SFs don't need more; AQE coalesces anyway);
+    an explicit ``shuffle_partitions`` becomes the new process-wide default.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    if shuffle_partitions is not None:
+        # An explicit choice must survive prepare() — which every query
+        # builder re-runs — so update the module default rather than a
+        # builder conf that the _RUNTIME_CONFS loop (and later prepare()
+        # calls) would overwrite back to 32.
+        _RUNTIME_CONFS["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

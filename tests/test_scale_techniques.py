@@ -76,6 +76,41 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
 
 
+def test_no_explicit_broadcast_of_scaling_tables(spark):
+    """Registry-wide sweep: an explicit broadcast() hint may only wrap
+    the FIXED-size dims (nation=25, region=5 rows — constant at every
+    SF). Anything derived from customer/orders/lineitem/supplier/part/
+    documents/embeddings scales with the data, and an explicit hint
+    would force an executor-OOM broadcast at 100 TB where AQE would
+    have (correctly) chosen a shuffle. VERDICT r1 flagged four such
+    hints; this pins the fix."""
+    from flink_realtime_2024_spark.plans.registry import all_queries
+
+    skip = {
+        "stream_source_smoke", "stream_split", "stream_dedup",
+        "config_routing", "dim_upsert", "scan_csv_roundtrip",
+        "scan_json_roundtrip", "serving_partition_prune",
+    }
+    # raw theta join: BroadcastNestedLoopJoin is the only non-cartesian
+    # physical form — the scale path is its twin join_range_banded
+    exempt = {"join_theta_range"}
+    offenders = []
+    for name, q in sorted(all_queries().items()):
+        if name in skip or name in exempt:
+            continue
+        plan = q.builder(spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "ResolvedHint" not in ln:
+                continue
+            for nxt in lines[i + 1:]:
+                if "Relation" in nxt:
+                    if "n_nationkey" not in nxt and "r_regionkey" not in nxt:
+                        offenders.append((name, nxt.strip()[:80]))
+                    break
+    assert not offenders, f"broadcast hints on scaling tables: {offenders}"
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting must not change join semantics, only key distribution."""
     from flink_realtime_2024_spark.operators.joins import salted_join

@@ -59,7 +59,8 @@ def test_simhash_matches_brute_force(spark):
     """SimHash banding (4×16-bit chunks) has pigeonhole recall 1.0 for
     hamming ≤ 3, and the operator verifies candidates with exact popcount
     ≤ 3 — so its output must EQUAL the brute-force O(n²) hamming scan
-    (modulo the ≤64 bucket-size cap, which must not bind on fixtures)."""
+    (the degenerate-collision guard _SIMHASH_BUCKET_CAP must not bind
+    on fixtures, where the largest chunk bucket has 161 members)."""
     from flink_realtime_2024_spark.operators.llm import llm_dedup_simhash, simhash64
     from flink_realtime_2024_spark.operators._util import widen
     from flink_realtime_2024_spark.sources.io import load_table
