@@ -7,18 +7,21 @@ for pruning/partitioning, and decode / feature-extract / resize /
 frame-sample run as mapInPandas kernels (one Arrow batch of payloads at
 a time — bounded executor memory, no driver involvement).
 
-The decode step itself is a STUB: real codecs (PIL/librosa/ffmpeg) are
-not in this container. ``fake_decode_stats`` is a deterministic
-stand-in with the same signature/batching a real decoder would have;
-``decode_image`` raises NotImplementedError to mark the integration
-point. The Spark-side plumbing — schema, partitioning, UDF signature,
-batch shape — is real and tested.
+The decode step is REAL for the uncompressed container formats that
+need no external codec: 24-bit BMP and binary PPM (P6) images, and
+16-bit PCM WAV audio — header parse + numpy pixel/sample statistics,
+asserted against hand-built fixtures in tests/test_streaming.py.
+Compressed codecs (JPEG/H.264/...) still need a library this container
+lacks; ``decode_video`` marks that integration point with
+NotImplementedError.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
+import numpy as np
 import pandas as pd
 
 import pyspark.sql.functions as F
@@ -27,15 +30,117 @@ from pyspark.sql import types as T
 
 from ..sources.io import load_table
 from ..plans.registry import register
+from ._util import widen
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decoder integration point (PIL.Image.open-equivalent)."""
+# =============================================================================
+# codecs (pure numpy/struct — no external libraries)
+# =============================================================================
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR byte order, 4-byte row pad)."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    pad = b"\x00" * (row_size - w * 3)
+    rows = [pixels[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)]
+    return header + info + b"".join(rows)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode an int16 sample array as mono 16-bit PCM WAV."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode an uncompressed BMP or PPM payload to real pixel stats:
+    width, height, mean pixel value over all RGB samples."""
+    if payload[:2] == b"BM":
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        if bpp != 24:
+            raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+        ah = abs(h)
+        row_size = (w * 3 + 3) & ~3
+        arr = np.frombuffer(payload, dtype=np.uint8, offset=data_off, count=row_size * ah)
+        # bottom-up BGR rows → top-down RGB
+        px = arr.reshape(ah, row_size)[:, : w * 3].reshape(ah, w, 3)[::-1, :, ::-1]
+    elif payload[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single-ws> data
+        parts = payload.split(b"\n", 3)
+        w, h = (int(x) for x in parts[1].split())
+        px = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    else:
+        raise ValueError(f"unknown image magic {payload[:2]!r}")
+    return {"width": int(w), "height": int(abs(h)), "mean_value": float(px.mean())}
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Decode a 16-bit PCM WAV payload: walk RIFF chunks to fmt/data,
+    return sample rate, duration, RMS amplitude."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off, rate, bits, channels = 12, None, None, None
+    samples = None
+    while off + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, off)
+        if cid == b"fmt ":
+            _fmt, channels, rate = struct.unpack_from("<HHI", payload, off + 8)
+            bits = struct.unpack_from("<H", payload, off + 22)[0]
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype="<i2", offset=off + 8, count=size // 2)
+        off += 8 + size + (size & 1)
+    if rate is None or samples is None or bits != 16:
+        raise ValueError("unsupported WAV layout (need PCM16 fmt + data chunks)")
+    n = len(samples) // channels
+    return {
+        "sample_rate": int(rate),
+        "duration_ms": 1000.0 * n / rate,
+        "mean_value": float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))),
+    }
+
+
+def decode_video(payload: bytes) -> "object":
+    """Compressed-codec integration point (ffmpeg/PyAV-equivalent).
+    Frame-sampling of real video needs a codec library this container
+    does not ship; on a real cluster swap the implementation here —
+    the mapInPandas plumbing around it is already exercised by the
+    BMP/PPM/WAV paths."""
     raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
-        "swap in PIL/torchvision/librosa here on a real cluster"
+        "video codecs are not available in this environment; "
+        "swap in ffmpeg/PyAV here on a real cluster"
     )
 
+
+# =============================================================================
+# Spark pipeline
+# =============================================================================
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
 
 DECODE_STATS_SCHEMA = T.StructType(
     [
@@ -44,48 +149,92 @@ DECODE_STATS_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("mean_value", T.DoubleType()),
         T.StructField("checksum", T.StringType()),
     ]
 )
 
 
-def fake_decode_stats(batches):
-    """Deterministic decoder stand-in: derives 'dimensions' from the
-    payload hash. Signature and batch shape match a real decoder kernel:
-    iterator of pandas batches in, iterator of pandas batches out."""
+def synthesize_assets(batches):
+    """Deterministic media generator: md5(text) seeds pixel/sample data,
+    then the REAL encoders produce well-formed BMP / PPM / WAV bytes.
+    (Stands in for reading actual media files, which the fixture set
+    lacks — everything downstream of this kernel is a real decode.)"""
     for pdf in batches:
-        digests = [hashlib.md5(p).digest() for p in pdf["payload"]]
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            seed = hashlib.md5((text or "").encode("utf-8")).digest()
+            rng = np.random.RandomState(np.frombuffer(seed[:4], dtype=np.uint32)[0])
+            kind = int(doc_id) % 3
+            if kind == 0:
+                w, h = 8 + int(seed[4]) % 24, 8 + int(seed[5]) % 24
+                payload = encode_bmp(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+                mime = "image/bmp"
+            elif kind == 1:
+                n = 256 + int(seed[6]) * 8
+                payload = encode_wav(
+                    rng.randint(-2048, 2048, size=n).astype(np.int16), rate=8000
+                )
+                mime = "audio/wav"
+            else:
+                w, h = 8 + int(seed[7]) % 24, 8 + int(seed[8]) % 24
+                payload = encode_ppm(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+                mime = "image/x-portable-pixmap"
+            out.append((int(doc_id), mime, payload))
+        yield pd.DataFrame(out, columns=["asset_id", "mime", "payload"])
+
+
+def decode_stats(batches):
+    """Real decode kernel: parses each payload's container format and
+    computes pixel/sample statistics in numpy. Arrow batch in → Arrow
+    batch out; executor memory is bounded by the batch size."""
+    for pdf in batches:
+        rows = []
+        for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"], pdf["payload"]):
+            payload = bytes(payload)
+            checksum = hashlib.md5(payload).hexdigest()
+            if mime.startswith("image/"):
+                s = decode_image(payload)
+                rows.append(
+                    (int(asset_id), mime, len(payload), s["width"], s["height"],
+                     None, s["mean_value"], checksum)
+                )
+            elif mime.startswith("audio/"):
+                s = decode_audio(payload)
+                rows.append(
+                    (int(asset_id), mime, len(payload), None, None,
+                     s["duration_ms"], s["mean_value"], checksum)
+                )
+            else:
+                raise ValueError(f"no decoder for mime {mime}")
         yield pd.DataFrame(
-            {
-                "asset_id": pdf["asset_id"].to_numpy(),
-                "mime": pdf["mime"],
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "width": [16 + d[0] % 240 for d in digests],
-                "height": [16 + d[1] % 240 for d in digests],
-                "checksum": [d.hex() for d in digests],
-            }
+            rows,
+            columns=[
+                "asset_id", "mime", "n_bytes", "width", "height",
+                "duration_ms", "mean_value", "checksum",
+            ],
         )
+
+
+def build_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → binary asset table (BinaryType payload + mime)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return widen(docs).mapInPandas(synthesize_assets, ASSET_SCHEMA)
 
 
 @register("mm_decode_stats", oracle=None, section="L6")
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6 multimodal pipeline: synthesize a binary asset table from
-    documents (payload = utf-8 bytes standing in for encoded media),
-    run the decode kernel via mapInPandas, aggregate per mime type.
-    Rows-only (binary kernels aren't SQL-expressible)."""
-    docs = load_table(spark, sf_dir, "documents")
-    assets = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.when(F.col("doc_id") % 3 == 0, "image/png")
-        .when(F.col("doc_id") % 3 == 1, "audio/wav")
-        .otherwise("video/mp4")
-        .alias("mime"),
-    )
-    decoded = assets.mapInPandas(fake_decode_stats, DECODE_STATS_SCHEMA)
+    """L6 multimodal pipeline: binary asset table → REAL decode kernel
+    (BMP/PPM header+pixel parse, WAV chunk walk + RMS) via mapInPandas,
+    aggregated per mime type. Rows-only (binary kernels aren't
+    SQL-expressible)."""
+    decoded = build_assets(spark, sf_dir).mapInPandas(decode_stats, DECODE_STATS_SCHEMA)
     return decoded.groupBy("mime").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum("n_bytes").alias("total_bytes"),
         F.avg("width").alias("avg_width"),
         F.avg("height").alias("avg_height"),
+        F.avg("duration_ms").alias("avg_duration_ms"),
+        F.avg("mean_value").alias("avg_mean_value"),
     )

@@ -5,12 +5,15 @@ TTL and event-time timers (flink-streaming-java, reference pom.xml:32-37)
 — the first-visit/new-UV flag job, order-timeout detection, per-day dedup.
 
 Spark mapping (SURVEY §1.3): ``transformWithStateInPandas`` (PySpark
-4.x) is the full equivalent (value/list/map state + timers). In this
-container its state-API client is unusable — it requires
-``google.protobuf``, which is not installed — so the engine ships the
-documented fallback, ``applyInPandasWithState`` (GroupState per key,
-timeout support), and exposes a capability flag so callers can pick the
-richer API when available.
+4.x) is the full equivalent (value/list/map state + timers). Its state
+client requires ``google.protobuf`` at RUNTIME, which this container
+lacks — so the engine probes the capability
+(``transform_with_state_available``) and picks the implementation per
+call: the StatefulProcessor path when protobuf is importable, else the
+``applyInPandasWithState`` fallback (GroupState per key, timeout
+support). Both implementations of the first-visit operator share the
+same kernel logic; the TWS path is pytest-covered with a skip marker
+that activates wherever protobuf exists.
 
 Semantics note (vs the batch twin ``state_first_visit``): state persists
 ACROSS micro-batches via the checkpointed state store; each batch emits
@@ -86,14 +89,61 @@ def _first_visit_fn(key, pdfs, state: GroupState):
         yield pd.DataFrame(rows, columns=["user_id", "day", "first_event_id"])
 
 
-def first_visits_stream(events: DataFrame) -> DataFrame:
-    """T5 keyed-process-function over a streaming events DataFrame."""
+def _first_visit_tws_processor():
+    """StatefulProcessor twin of _first_visit_fn for the
+    transformWithStateInPandas path (imported lazily: the class itself
+    imports cleanly without protobuf; only execution needs it)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FirstVisitProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen_days", _FIRST_VISIT_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):
+            packed = self._seen.get()
+            seen = set(packed[0].split(",")) if packed and packed[0] else set()
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["us", "event_id"])
+                for r in pdf.itertuples(index=False):
+                    if r.day not in seen:
+                        seen.add(r.day)
+                        out.append((key[0], r.day, r.event_id))
+            self._seen.update((",".join(sorted(seen)),))
+            if out:
+                yield pd.DataFrame(out, columns=["user_id", "day", "first_event_id"])
+
+        def close(self) -> None:
+            pass
+
+    return FirstVisitProcessor()
+
+
+def first_visits_stream(events: DataFrame, use_tws: bool | None = None) -> DataFrame:
+    """T5 keyed-process-function over a streaming events DataFrame.
+
+    Picks ``transformWithStateInPandas`` (the full Flink
+    KeyedProcessFunction equivalent) when its protobuf-backed state
+    client is usable, else the ``applyInPandasWithState`` fallback —
+    same output either way."""
+    if use_tws is None:
+        use_tws = transform_with_state_available()
     prepared = events.select(
         "user_id",
         "event_id",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.unix_micros("ts").alias("us"),
     )
+    if use_tws:
+        return prepared.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_first_visit_tws_processor(),
+            outputStructType=_FIRST_VISIT_OUT,
+            outputMode="append",
+            timeMode="None",
+        )
     return prepared.groupBy("user_id").applyInPandasWithState(
         _first_visit_fn,
         outputStructType=_FIRST_VISIT_OUT,
@@ -190,7 +240,9 @@ def order_timeouts_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def run_first_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_first_visits(
+    spark: SparkSession, sf_dir: str, use_tws: bool | None = None
+) -> DataFrame:
     """Execute the streaming first-visit job over the staged replay and
     return the accumulated output (all micro-batches appended)."""
     from .jobs import events_stream, run_stream
@@ -202,7 +254,9 @@ def run_first_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("append").parquet(out)
 
     run_stream(
-        first_visits_stream(ev).writeStream.outputMode("append").foreachBatch(sink),
+        first_visits_stream(ev, use_tws=use_tws)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink),
         "first_visits",
     )
     return spark.read.parquet(out)

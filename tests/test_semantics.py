@@ -8,6 +8,7 @@ import contextlib
 import re
 
 import numpy as np
+import pyspark.sql.functions as F
 import pytest
 
 from .conftest import SF_DIR
@@ -235,8 +236,76 @@ def test_lineitem_scans_are_pruned(spark):
     assert not offenders, f"unpruned lineitem scans in: {offenders}"
 
 
-def test_multimodal_decoder_stub():
-    from flink_realtime_2024_spark.operators.multimodal import decode_image
+def test_multimodal_codecs_roundtrip():
+    """The decoders are REAL: encode known pixels/samples, decode the
+    bytes, get the exact stats back."""
+    from flink_realtime_2024_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
 
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)  # 3x2 RGB
+    for enc in (encode_bmp, encode_ppm):
+        s = decode_image(enc(px))
+        assert (s["width"], s["height"]) == (3, 2)
+        assert s["mean_value"] == float(px.mean())
+
+    # BMP row padding: width 3 → 9 data bytes padded to 12 per row; the
+    # pad must not leak into the stats (equality above proves it)
+
+    samples = np.array([0, 1000, -1000, 500], dtype=np.int16)
+    a = decode_audio(encode_wav(samples, rate=8000))
+    assert a["sample_rate"] == 8000
+    assert a["duration_ms"] == 1000.0 * 4 / 8000
+    assert a["mean_value"] == float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG----")
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_video(b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_multimodal_pipeline_decodes_real_bytes(spark):
+    """End-to-end: synthesized BMP/PPM/WAV payloads flow through the
+    mapInPandas decode kernel; spot-check a few assets against a local
+    re-decode of the same bytes."""
+    from flink_realtime_2024_spark.operators.multimodal import (
+        DECODE_STATS_SCHEMA,
+        build_assets,
+        decode_audio,
+        decode_image,
+        decode_stats,
+        mm_decode_stats,
+    )
+
+    agg = {r["mime"]: r for r in mm_decode_stats(spark, SF_DIR).collect()}
+    assert set(agg) == {"image/bmp", "image/x-portable-pixmap", "audio/wav"}
+    for mime, r in agg.items():
+        assert r["n_assets"] > 0 and r["total_bytes"] > 0
+        assert r["avg_mean_value"] is not None
+        if mime.startswith("image/"):
+            assert r["avg_width"] > 0 and r["avg_height"] > 0
+        else:
+            assert r["avg_duration_ms"] > 0
+
+    assets = build_assets(spark, SF_DIR)
+    decoded = {
+        r["asset_id"]: r
+        for r in assets.mapInPandas(decode_stats, DECODE_STATS_SCHEMA)
+        .filter(F.col("asset_id") < 9)
+        .collect()
+    }
+    for r in assets.filter(F.col("asset_id") < 9).collect():
+        local = (
+            decode_image(bytes(r["payload"]))
+            if r["mime"].startswith("image/")
+            else decode_audio(bytes(r["payload"]))
+        )
+        got = decoded[r["asset_id"]]
+        assert got["mean_value"] == pytest.approx(local["mean_value"], abs=1e-9)
+        if r["mime"].startswith("image/"):
+            assert (got["width"], got["height"]) == (local["width"], local["height"])

@@ -104,6 +104,42 @@ def test_stateful_first_visits_equals_batch(spark):
     assert set(got) == want and len(got) > 0
 
 
+def test_stateful_first_visits_tws_path(spark):
+    """Same invariant as above through the transformWithStateInPandas
+    implementation — the preferred T5 primitive, auto-selected when its
+    protobuf-backed state client is importable. Skipped in environments
+    without google.protobuf (this container), active everywhere else."""
+    import pytest as _pytest
+
+    from flink_realtime_2024_spark.streaming.stateful import (
+        run_first_visits,
+        transform_with_state_available,
+    )
+    from flink_realtime_2024_spark.streaming.event_time import state_first_visit
+
+    if not transform_with_state_available():
+        _pytest.skip("google.protobuf absent — transformWithStateInPandas state client unusable")
+    emitted = run_first_visits(spark, SF_DIR, use_tws=True).collect()
+    got = [(r["user_id"], r["day"]) for r in emitted]
+    assert len(got) == len(set(got)), "a (user, day) was emitted twice"
+    want = {
+        (r["user_id"], r["day"])
+        for r in state_first_visit(spark, SF_DIR).select("user_id", "day").collect()
+    }
+    assert set(got) == want and len(got) > 0
+
+
+def test_tws_plan_compiles_without_protobuf(spark):
+    """The TWS DataFrame must at least BUILD on any environment (the
+    protobuf dependency is runtime-only) — guards against API drift in
+    the transformWithStateInPandas call signature."""
+    from flink_realtime_2024_spark.streaming.jobs import events_stream
+    from flink_realtime_2024_spark.streaming.stateful import first_visits_stream
+
+    df = first_visits_stream(events_stream(spark, SF_DIR), use_tws=True)
+    assert set(df.columns) == {"user_id", "day", "first_event_id"}
+
+
 def test_order_timeout_timers(spark):
     """T5 event-time timers: purchases confirmed by a signup within 1h
     emit 'confirmed'; otherwise the GroupState timeout fires 'timed_out'
