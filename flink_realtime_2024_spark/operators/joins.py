@@ -406,7 +406,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("join_range_banded", oracle=_THETA_ORACLE, section="J8,SKEW")
+@register("join_range_banded", oracle=_THETA_ORACLE, section="J8,SKEW", bench=True)
 def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 scale path: the same range join as join_theta_range, rewritten
     as a shuffled EQUI-join on a derived band key — no broadcast, no

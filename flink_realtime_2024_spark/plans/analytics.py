@@ -37,7 +37,7 @@ LIMIT 10
 """
 
 
-@register("analytics_top_unshipped", oracle=_TOP_UNSHIPPED_ORACLE, section="J1,A1,O2")
+@register("analytics_top_unshipped", oracle=_TOP_UNSHIPPED_ORACLE, section="J1,A1,O2", bench=True)
 def analytics_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top open-order revenue in a market segment."""
     customer = load_table(spark, sf_dir, "customer")
@@ -135,7 +135,7 @@ LIMIT 20
 """
 
 
-@register("analytics_returned_value", oracle=_RETURNED_ORACLE, section="J1,J2,A1,O2")
+@register("analytics_returned_value", oracle=_RETURNED_ORACLE, section="J1,J2,A1,O2", bench=True)
 def analytics_returned_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: customers ranked by returned-item revenue.
 
@@ -175,7 +175,7 @@ FROM monthly
 """
 
 
-@register("analytics_monthly_trend", oracle=_MOM_ORACLE, section="X2,A1,W3")
+@register("analytics_monthly_trend", oracle=_MOM_ORACLE, section="X2,A1,W3", bench=True)
 def analytics_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue trend: A1 aggregate to month grain, then
     a W3 lag over the tiny month dimension (global window is fine — the

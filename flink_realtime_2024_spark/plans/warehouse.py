@@ -203,7 +203,7 @@ GROUP BY 1
 """
 
 
-@register("warehouse_traffic_dws", oracle=_TRAFFIC_ORACLE, section="DWS,T4")
+@register("warehouse_traffic_dws", oracle=_TRAFFIC_ORACLE, section="DWS,T4", bench=True)
 def warehouse_traffic_dws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DWS traffic summary: sessionize (30-min gap), then roll up per day
     of session start — sessions, UV, events, total value. This is the
