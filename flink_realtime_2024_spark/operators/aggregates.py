@@ -178,6 +178,38 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GROUPING_SETS_ORACLE, section="A5")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 arbitrary GROUPING SETS (not the rollup/cube lattice): status
+    totals, priority totals, and the grand total in ONE pass — Spark's
+    Expand replicates each row once per set before a single two-phase
+    aggregate, vs three separate scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+        money_sum(dec("o_totalprice")).alias("sum_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n", "sum_price"
+    )
+
+
 # --- A6 conditional / filtered aggregation ---------------------------------------------
 
 _CONDITIONAL_ORACLE = """

@@ -750,3 +750,66 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(stop_ratio >= 0.05, "en").otherwise("other").alias("lang_guess"),
         ((n_tokens >= 10) & (len_chars / n_tokens <= 12)).cast("int").alias("quality_ok"),
     )
+
+
+# --- L5 multi-language ID ----------------------------------------------------------
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    # tiny high-frequency function-word sets; distinct hits are the score
+    "en": "the and of to in is for with that on".split(),
+    "de": "der die und das nicht ist ich ein zu mit".split(),
+    "fr": "le les et des une que pour dans qui pas".split(),
+    "es": "el los las una por con para como pero más".split(),
+}
+
+_LANG_ID_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS words FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(list_intersect(words, {_LANG_MARKERS['en']!r})) AS BIGINT) AS en_hits,
+         CAST(len(list_intersect(words, {_LANG_MARKERS['de']!r})) AS BIGINT) AS de_hits,
+         CAST(len(list_intersect(words, {_LANG_MARKERS['fr']!r})) AS BIGINT) AS fr_hits,
+         CAST(len(list_intersect(words, {_LANG_MARKERS['es']!r})) AS BIGINT) AS es_hits
+  FROM w
+)
+SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+            WHEN fr_hits >= es_hits THEN 'fr'
+            ELSE 'es' END AS lang_id
+FROM s
+"""
+
+
+@register("llm_lang_id", oracle=_LANG_ID_ORACLE, section="L5")
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 language identification via function-word (stopword-marker)
+    scoring: per language, count DISTINCT marker words present (an
+    n-gram-class heuristic — word unigrams); argmax with a fixed
+    precedence order (en>de>fr>es) so ties are deterministic on both
+    engines. Entirely JVM-side: regexp token extraction +
+    array_intersect — zero Python, one narrow scan, no shuffle at all
+    (per-row classification parallelizes embarrassingly at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower("text"), F.lit("[a-zà-ÿ]+"), 0)
+    hits = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in ws])))
+        .cast("bigint")
+        .alias(f"{lang}_hits")
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", *hits.values())
+    en, de, fr, es = (F.col(f"{l}_hits") for l in ("en", "de", "fr", "es"))
+    return scored.select(
+        "doc_id",
+        "en_hits",
+        "de_hits",
+        "fr_hits",
+        "es_hits",
+        F.when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+        .alias("lang_id"),
+    )

@@ -58,3 +58,59 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a left-semi join (RewritePredicateSubquery, SURVEY §4)."""
     register_views(spark, sf_dir, ["orders", "lineitem"])
     return spark.sql(_SQL_EXISTS)
+
+
+_SQL_IN_HAVING = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+"""
+
+
+@register("sql_in_subquery_having", oracle=_SQL_IN_HAVING, section="§3.2 SQL API,J6,A1")
+def sql_in_subquery_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over an aggregated+HAVING subquery. Catalyst
+    turns the IN into a left-semi join against the pre-aggregated
+    subquery — the 100 TB plan is two shuffles on orderkey (the HAVING
+    rollup and the semi join reuse the same partitioning) plus the
+    final group-by. The Spark copy differs from the oracle string in
+    exactly one token — date_format vs DuckDB's strftime (no shared
+    date-format function exists) — and the oracle comparison asserts
+    the results equal."""
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(
+        _SQL_IN_HAVING.replace(
+            "strftime(o.o_orderdate, '%Y-%m-%d')",
+            "date_format(o.o_orderdate, 'yyyy-MM-dd')",
+        )
+    )
+
+
+_SQL_CORRELATED_SCALAR = """
+SELECT l.l_orderkey, l.l_linenumber, CAST(l.l_quantity AS DOUBLE) AS qty
+FROM lineitem l
+WHERE l.l_quantity = (
+  SELECT MAX(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_orderkey = l.l_orderkey
+)
+"""
+
+
+@register("sql_correlated_scalar", oracle=_SQL_CORRELATED_SCALAR, section="§3.2 SQL API,J6,W1")
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (per-order max): Catalyst decorrelates
+    into an aggregate + join on the correlation key — at scale one
+    shuffle of lineitem by orderkey feeding both sides. MAX keeps the
+    comparison exact (decimal equality, no float boundary), so both
+    engines select identical rows. The identical SQL string runs on
+    Spark and DuckDB."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_SQL_CORRELATED_SCALAR)
