@@ -752,6 +752,65 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L3/X4 embedding vector ops as JVM higher-order functions ----------------------
+
+_EMB_NORM_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
+         AS l2_norm
+FROM embeddings
+"""
+
+
+@register("llm_embedding_norms", oracle=_EMB_NORM_ORACLE, section="L3,X4")
+def llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math WITHOUT Python: per-row L2 norm via transform +
+    aggregate (Spark's higher-order array functions) — stays inside
+    whole-stage codegen, no UDF crossing, embarrassingly parallel at
+    any scale. Both engines reduce the array sequentially, so the
+    float64 sum is order-identical; round(6) absorbs last-ulp noise.
+    (Also the pipeline's normalization sanity check: fixture embeddings
+    are pre-normalized ⇒ l2_norm ≈ 1.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    ssum = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.sqrt(ssum), 6).alias("l2_norm"),
+    )
+
+
+_COS_PAIRS_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+"""
+
+
+@register("llm_cosine_pairs", oracle=_COS_PAIRS_ORACLE, section="L3,X4,J1")
+def llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine (pre-normalized ⇒ dot product) via zip_with +
+    aggregate on an equi-join of consecutive vec_ids — the JVM-side
+    similarity kernel for when per-pair scoring rides an existing join
+    (vs the batched BLAS kernel in llm_knn_cosine for all-pairs top-k).
+    One shuffle on the derived join key; zero Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        .select("vec_a", "vec_b", F.round(dot, 6).alias("cosine"))
+    )
+
+
 # --- L5 multi-language ID ----------------------------------------------------------
 
 _LANG_MARKERS: dict[str, list[str]] = {
