@@ -77,6 +77,86 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L1/L2 winnowing (rolling-hash) fingerprints ------------------------------------
+
+_WINNOW_K = 7  # char k-gram length
+_WINNOW_W = 4  # winnowing window (guarantee: matches >= k+w-1 chars share a fp)
+_WINNOW_BASE = np.uint64(257)
+
+
+def _winnow_fingerprints(text: str) -> np.ndarray:
+    """Winnowing (Schleimer et al., SIGMOD'03 — the MOSS algorithm):
+    polynomial rolling hashes over char k-grams, then the rightmost
+    minimum of each w-window is selected. Any substring match of length
+    ≥ k+w-1 is guaranteed to share a selected fingerprint. Vectorized:
+    the rolling hash is a sliding-window dot with the base-power vector
+    (exact in uint64 — max value ≈ 5e17 < 2^63, no modulus needed)."""
+    chars = "".join(c for c in (text or "").lower() if c.isalnum())
+    if len(chars) < _WINNOW_K:
+        return np.array([], dtype=np.uint64)
+    vals = np.frombuffer(chars.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    powers = _WINNOW_BASE ** np.arange(_WINNOW_K - 1, -1, -1, dtype=np.uint64)
+    grams = np.lib.stride_tricks.sliding_window_view(vals, _WINNOW_K)
+    hashes = grams @ powers
+    if len(hashes) <= _WINNOW_W:
+        return np.unique(np.array([hashes.min()], dtype=np.uint64))
+    wins = np.lib.stride_tricks.sliding_window_view(hashes, _WINNOW_W)
+    # rightmost min per window (robust winnowing)
+    right_argmin = _WINNOW_W - 1 - np.argmin(wins[:, ::-1], axis=1)
+    pos = np.unique(np.arange(len(wins)) + right_argmin)
+    return np.unique(hashes[pos])
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def winnow_fp_array(text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_winnow_fingerprints(t).astype(np.int64).tolist() for t in text]
+    )
+
+
+def winnow_pipeline(docs: DataFrame, min_overlap: float = 0.5) -> DataFrame:
+    """Near-dup pairs by winnowed-fingerprint overlap: one Python
+    crossing (the fingerprint kernel), then an inverted index on
+    fingerprint with a document-frequency cap (degenerate-collision
+    guard, same as the ngram/simhash blockers), pair-count aggregation,
+    and an overlap-ratio filter — all JVM-side, no cross join."""
+    fps = widen(docs).select(
+        "doc_id", winnow_fp_array("text").alias("fps")
+    ).filter(F.size("fps") > 0)
+    totals = fps.select("doc_id", F.size("fps").alias("n_fps"))
+    inv = fps.select("doc_id", F.explode("fps").alias("fp"))
+    keys = (
+        inv.groupBy("fp").count()
+        .filter((F.col("count") > 1) & (F.col("count") <= 256))
+        .select("fp")
+    )
+    cand = inv.join(keys, "fp")
+    pairs = (
+        cand.select("fp", F.col("doc_id").alias("doc_a"))
+        .join(cand.select("fp", F.col("doc_id").alias("doc_b")), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(totals.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("na")), "doc_a")
+        .join(totals.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("nb")), "doc_b")
+        .withColumn("overlap", F.col("n_shared") / F.least("na", "nb"))
+        .filter(F.col("overlap") >= min_overlap)
+        .select("doc_a", "doc_b", "n_shared", F.round("overlap", 6).alias("overlap"))
+    )
+
+
+@register("llm_winnow_fingerprint", oracle=None, section="L1,L2")
+def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L2 rolling-hash document fingerprinting (winnowing): near-dup
+    pairs whose selected-fingerprint overlap ≥ 0.5. Rows-only (the
+    kernel is not SQL-expressible); the winnowing substring-match
+    guarantee and a no-false-positive bound are pytest-asserted."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_pipeline(docs, min_overlap=0.5)
+
+
 # =============================================================================
 # L2 near-dup: MinHash + LSH banding
 # =============================================================================

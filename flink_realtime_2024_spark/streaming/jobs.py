@@ -133,6 +133,70 @@ def late_rows_metrics(spark: SparkSession, sf_dir: str, delay: str = "1 hour") -
     return {"dropped": dropped, "batches": batches}
 
 
+@register("stream_late_split", oracle=None, section="T7,F4")
+def stream_late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 allowed-lateness SIDE OUTPUT — the real thing, not just the
+    drop metric. Flink's ``.sideOutputLateData(tag)`` reroutes late
+    rows to a secondary stream; Structured Streaming's stateful ops
+    only DROP them (late_rows_metrics counts the drops). This job
+    restores the reroute semantics: foreachBatch tracks the event-time
+    watermark across micro-batches (max event time seen so far minus
+    the allowed lateness — Flink's exact definition, persisted across
+    batches in driver scope) and splits each batch into the main flow
+    and the late side output BEFORE any stateful operator would drop
+    it. Each branch appends to its own sink ('topic'), idempotent per
+    batchId.
+
+    Scale: the split is two filters on the executing batch (no extra
+    shuffle); the watermark update is a single per-batch max — O(1)
+    driver state. Rows-only: the result (per-branch counts) depends on
+    the replay's batch boundaries, which SQL over the static table
+    cannot see; the main+late=total invariant and late-set correctness
+    are pytest-asserted instead."""
+    ev = events_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="late_split_")
+    allowed_us = 3_600_000_000  # 1 hour allowed lateness
+    wm = {"us": None}  # watermark BEFORE the current batch, in epoch-µs
+
+    def split_sink(batch_df: DataFrame, batch_id: int) -> None:
+        with_us = batch_df.withColumn("us", F.unix_micros("ts"))
+        with_us.persist()
+        try:
+            threshold = wm["us"]
+            late = (
+                with_us.filter(F.col("us") < F.lit(threshold))
+                if threshold is not None
+                else with_us.limit(0)
+            )
+            main = (
+                with_us.filter(F.col("us") >= F.lit(threshold))
+                if threshold is not None
+                else with_us
+            )
+            for name, branch in (("main", main), ("late", late)):
+                branch.drop("us").write.mode("overwrite").parquet(
+                    os.path.join(root, name, f"batch={batch_id}")
+                )
+            batch_max = with_us.agg(F.max("us")).collect()[0][0]
+            if batch_max is not None:
+                cand = batch_max - allowed_us
+                wm["us"] = cand if threshold is None else max(threshold, cand)
+        finally:
+            with_us.unpersist()
+
+    run_stream(ev.writeStream.foreachBatch(split_sink), "late_split")
+    result = None
+    for name in ("main", "late"):
+        df = (
+            spark.read.parquet(os.path.join(root, name))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(name).alias("branch"), "n")
+        )
+        result = df if result is None else result.unionByName(df)
+    assert result is not None
+    return result
+
+
 _SMOKE_ORACLE = """
 SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
 """

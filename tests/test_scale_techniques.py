@@ -87,7 +87,7 @@ def test_no_explicit_broadcast_of_scaling_tables(spark):
     from flink_realtime_2024_spark.plans.registry import all_queries
 
     skip = {
-        "stream_source_smoke", "stream_split", "stream_dedup",
+        "stream_source_smoke", "stream_split", "stream_dedup", "stream_late_split",
         "config_routing", "dim_upsert", "scan_csv_roundtrip",
         "scan_json_roundtrip", "serving_partition_prune",
     }

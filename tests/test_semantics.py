@@ -84,6 +84,52 @@ def test_simhash_matches_brute_force(spark):
     )
 
 
+def test_winnow_guarantee_and_precision(spark):
+    """Winnowing property (Schleimer et al.): any substring match of
+    length ≥ k+w-1 shares a selected fingerprint — so a document paired
+    with a lightly-edited copy of itself must be reported with high
+    overlap. Precision: every reported fixture pair must have real
+    char-7-gram similarity (brute-force verified)."""
+    from flink_realtime_2024_spark.operators.llm import (
+        _WINNOW_K,
+        _winnow_fingerprints,
+        llm_winnow_fingerprint,
+        winnow_pipeline,
+    )
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    # kernel-level guarantee on a synthetic edit
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    edited = "PREFIX! " + base + " suffix"
+    fa = set(_winnow_fingerprints(base).tolist())
+    fb = set(_winnow_fingerprints(edited).tolist())
+    assert len(fa & fb) / min(len(fa), len(fb)) >= 0.8
+
+    # pipeline: inject edited copies; every injected pair must be found
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("edited prefix "), "text").alias("text"),
+        )
+    )
+    found = _collect_set(
+        winnow_pipeline(docs.unionByName(copies), 0.5), "doc_a", "doc_b"
+    )
+    expected = {(i, i + 1_000_000) for i in range(10)}
+    assert expected <= found, f"missing injected pairs: {expected - found}"
+
+    # precision on the raw fixtures: reported pairs have real overlap
+    pairs = llm_winnow_fingerprint(spark, SF_DIR).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in pairs[:20]:
+        ga = set(_winnow_fingerprints(texts[r["doc_a"]]).tolist())
+        gb = set(_winnow_fingerprints(texts[r["doc_b"]]).tolist())
+        true_overlap = len(ga & gb) / min(len(ga), len(gb))
+        assert true_overlap >= 0.5, (r["doc_a"], r["doc_b"], true_overlap)
+
+
 def test_neardup_cosine_recall(spark):
     """Hyperplane-LSH near-dup must recover high-cosine pairs. The driver
     fixtures contain none (max cosine ≈ 0.6), so synthetic near-dups are
@@ -197,7 +243,7 @@ def test_no_cartesian_products_anywhere(spark):
 
     streaming_ids = {
         # these run a stream to completion; plan inspection is meaningless
-        "stream_source_smoke", "stream_split", "stream_dedup",
+        "stream_source_smoke", "stream_split", "stream_dedup", "stream_late_split",
         "config_routing", "dim_upsert", "scan_csv_roundtrip",
         "scan_json_roundtrip", "serving_partition_prune",
     }
@@ -220,7 +266,7 @@ def test_lineitem_scans_are_pruned(spark):
     from flink_realtime_2024_spark.plans.registry import all_queries
 
     skip = {
-        "stream_source_smoke", "stream_split", "stream_dedup",
+        "stream_source_smoke", "stream_split", "stream_dedup", "stream_late_split",
         "config_routing", "dim_upsert", "scan_csv_roundtrip",
         "scan_json_roundtrip", "serving_partition_prune",
     }

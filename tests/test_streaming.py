@@ -237,6 +237,26 @@ def test_late_rows_are_counted(spark):
     assert m["dropped"] > 0, f"expected late rows to be dropped+counted: {m}"
 
 
+def test_late_split_side_output(spark):
+    """T7 side-output emulation: (1) main + late partition the input —
+    nothing is dropped, unlike the stateful-op drop path; (2) the
+    unordered replay guarantees a non-empty late side output; (3) the
+    late branch is a strict subset (no double-count)."""
+    from flink_realtime_2024_spark.sources.io import load_table
+    from flink_realtime_2024_spark.streaming.jobs import stream_late_split
+
+    counts = {r["branch"]: r["n"] for r in stream_late_split(spark, SF_DIR).collect()}
+    total = load_table(spark, SF_DIR, "events").count()
+    assert set(counts) == {"main", "late"}
+    assert counts["main"] + counts["late"] == total
+    assert counts["late"] > 0, "unordered replay must produce late rows"
+    # (the replay is randomly shuffled, so the batch-1 watermark jumps
+    # near the global max event time and most later rows are late —
+    # hostile input, but exactly Flink's watermark definition; an
+    # in-order topic would make `late` a small minority)
+    assert counts["main"] > 0
+
+
 def test_streaming_runs_in_micro_batches(spark):
     """The staged replay really produces multiple micro-batches (the
     maxFilesPerTrigger=1 'topic' contract the jobs rely on)."""
