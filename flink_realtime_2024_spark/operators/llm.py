@@ -289,8 +289,8 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_DF_CAP = 64  # blocking: shingles seen in > cap docs are non-discriminative
 
-_NGRAM_ORACLE = f"""
-WITH sh AS (
+# CTE chain shared by the pair oracle and the clustering oracle
+_NGRAM_CTES = f"""sh AS (
   SELECT doc_id,
          unnest(list_distinct(CASE WHEN len(t) >= 3
              THEN list_transform(range(1, len(t)-1),
@@ -307,13 +307,18 @@ WITH sh AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
   FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
-FROM shared
-JOIN cnt na ON na.doc_id = doc_a
-JOIN cnt nb ON nb.doc_id = doc_b
-WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+), pairs AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+  FROM shared
+  JOIN cnt na ON na.doc_id = doc_a
+  JOIN cnt nb ON nb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+)"""
+
+_NGRAM_ORACLE = f"""
+WITH {_NGRAM_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 
@@ -364,6 +369,85 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# =============================================================================
+# L2c dedup clustering: connected components over near-dup pairs
+# =============================================================================
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, root) AS (
+  SELECT DISTINCT doc_a, doc_a FROM edges
+  UNION
+  SELECT e.doc_a, r.root FROM edges e JOIN reach r ON r.doc_id = e.doc_b
+)
+SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
+def connected_components(edges: DataFrame, src: str, dst: str, max_iter: int = 50) -> DataFrame:
+    """Min-label propagation to a fixpoint: every vertex's label
+    converges to the smallest vertex id in its connected component.
+
+    Per iteration: one join + one groupBy (shuffles on vertex id, reused
+    across iterations), then `localCheckpoint` truncates the lineage so
+    the plan doesn't grow with the loop. Convergence detection is a
+    single scalar aggregate (labels only ever decrease, so the label sum
+    is a strictly monotone progress measure — no row-by-row diff join).
+    Iterations = graph diameter; near-dup clusters are shallow (a dup of
+    a dup of X is usually a dup of X), so this converges in a handful of
+    rounds. For adversarially long chains at 100 TB, the same loop
+    accepts the large-star/small-star variant (Kiveris et al.) — only
+    the per-iteration step changes, not the harness."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = und.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    labels = labels.localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@register("llm_dedup_clusters", oracle=_CLUSTER_ORACLE, section="L1,L2")
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 dedup CLUSTERING — the step after pair generation in a real
+    training-data pipeline: group near-dup pairs into connected
+    components and assign each doc its component's min doc_id as
+    cluster_id (keep one doc per cluster downstream). Spark side is the
+    iterative min-label-propagation above; the oracle computes the same
+    components with a recursive CTE over the identical (oracle-checked)
+    ngram pair set — an iterative distributed algorithm validated
+    against declarative transitive closure."""
+    pairs = llm_dedup_ngram(spark, sf_dir)
+    return connected_components(pairs, "doc_a", "doc_b")
 
 
 # =============================================================================

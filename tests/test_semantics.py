@@ -84,6 +84,18 @@ def test_simhash_matches_brute_force(spark):
     )
 
 
+def test_connected_components_on_chain(spark):
+    """Label propagation must close long chains (diameter >> 1), not
+    just star shapes: a 12-vertex path plus a separate 2-vertex
+    component and the propagation loop's fixpoint detection."""
+    from flink_realtime_2024_spark.operators.llm import connected_components
+
+    chain = [(i, i + 1) for i in range(11)] + [(100, 101)]
+    edges = spark.createDataFrame(chain, "doc_a bigint, doc_b bigint")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges, "doc_a", "doc_b").collect()}
+    assert got == {**{i: 0 for i in range(12)}, 100: 100, 101: 100}
+
+
 def test_winnow_guarantee_and_precision(spark):
     """Winnowing property (Schleimer et al.): any substring match of
     length ≥ k+w-1 shares a selected fingerprint — so a document paired
