@@ -180,6 +180,34 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
 
 
+_DISTRIBUTION_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CUME_DIST() OVER w AS cd,
+       NTH_VALUE(o_orderkey, 2)
+         OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("winfn_distribution", oracle=_DISTRIBUTION_ORACLE, section="W5")
+def winfn_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 distribution analytics: cume_dist (exact rational n/m — IEEE
+    division is engine-identical) and nth_value over the full frame
+    (default running frame would see fewer than n rows early on)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_cheapest"),
+    )
+
+
 @register("winfn_analytic", oracle=_ANALYTIC_ORACLE, section="W5")
 def winfn_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 ntile / percent_rank / first_value / last_value (full frame for

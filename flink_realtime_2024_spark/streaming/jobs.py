@@ -133,6 +133,62 @@ def late_rows_metrics(spark: SparkSession, sf_dir: str, delay: str = "1 hour") -
     return {"dropped": dropped, "batches": batches}
 
 
+_SSJ_ORACLE = """
+WITH e AS (SELECT event_id, user_id, event_type,
+                  epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events)
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM e p JOIN e c
+  ON c.user_id = p.user_id
+ AND c.ms BETWEEN p.ms - 1800000 AND p.ms
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@register("stream_stream_join", oracle=_SSJ_ORACLE, section="J4,J5,T1")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5 STREAM-STREAM interval join (Flink intervalJoin's streaming
+    form): purchases joined to same-user clicks within the preceding 30
+    minutes, both sides watermarked so the state store retains only the
+    interval width (+ out-of-orderness bound) per key on a live feed.
+    Runs through real micro-batches, appends pairs per batch, and the
+    accumulated output carries the full batch oracle — the streaming
+    execution must produce exactly the batch interval join's pairs."""
+    ev = events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "31 days")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("pts"),
+        )
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "31 days")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("cts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("cts") <= F.col("pts")),
+    ).select("purchase_id", "click_id")
+    out = tempfile.mkdtemp(prefix="ssj_out_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # append-once per pair: stream-stream inner joins emit each match
+        # exactly once (state-backed); batch dirs keep retries idempotent
+        batch_df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
+
+    run_stream(joined.writeStream.outputMode("append").foreachBatch(sink), "ssj")
+    return spark.read.parquet(out).select("purchase_id", "click_id")
+
+
 @register("stream_late_split", oracle=None, section="T7,F4")
 def stream_late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 allowed-lateness SIDE OUTPUT — the real thing, not just the

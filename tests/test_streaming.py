@@ -181,44 +181,10 @@ def test_stream_stream_interval_join_equals_batch(spark):
     time range condition and watermarks on both sides must produce the
     batch interval join's pairs. (Watermarks bound both sides' state to
     the interval width on a live feed; here they cover the replay span.)"""
-    from flink_realtime_2024_spark.streaming.jobs import events_stream, run_stream
+    from flink_realtime_2024_spark.streaming.jobs import stream_stream_join
     from flink_realtime_2024_spark.operators.joins import join_interval
 
-    ev = events_stream(spark, SF_DIR)
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "31 days")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("pu"),
-            F.col("ts").alias("pts"),
-        )
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .withWatermark("ts", "31 days")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("cu"),
-            F.col("ts").alias("cts"),
-        )
-    )
-    joined = p.join(
-        c,
-        (F.col("cu") == F.col("pu"))
-        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
-        & (F.col("cts") <= F.col("pts")),
-    ).select("purchase_id", "click_id")
-
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="ssj_out_")
-
-    def sink(batch_df, batch_id):
-        batch_df.write.mode("append").parquet(out)
-
-    run_stream(joined.writeStream.outputMode("append").foreachBatch(sink), "ssj")
-    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    got = {tuple(r) for r in stream_stream_join(spark, SF_DIR).collect()}
     want = {
         (r["purchase_id"], r["click_id"])
         for r in join_interval(spark, SF_DIR).select("purchase_id", "click_id").collect()
