@@ -916,6 +916,136 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L5 Gopher-style quality rules + repetition stats -------------------------------
+
+_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(text), '\\s+') AS w,
+         length(text) - length(replace(text, '#', '')) AS n_hash
+  FROM documents
+), s AS (
+  SELECT doc_id, w, n_hash,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha
+  FROM t
+)
+SELECT doc_id, n_words,
+       round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / n_words, 6)
+         AS mean_word_len,
+       round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_frac,
+       round(CAST(n_hash AS DOUBLE) / n_words, 6) AS symbol_ratio,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / n_words
+                BETWEEN 3 AND 10
+            AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+            AND CAST(n_hash AS DOUBLE) / n_words <= 0.1 AS INTEGER) AS passes
+FROM s
+"""
+
+
+@register("llm_quality_gopher", oracle=_GOPHER_ORACLE, section="L5")
+def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 Gopher-rule quality gate (Rae et al. 2021 §A1.1, public): word
+    count bounds, mean word length in [3,10], ≥80% words containing an
+    alphabetic char, symbol-to-word ratio ≤ 0.1. All JVM higher-order
+    functions on the tokens array — per-row, no shuffle, the canonical
+    pre-training corpus filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    n_words = F.size(w).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("bigint")), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    n_hash = (F.length("text") - F.length(F.regexp_replace("text", "#", ""))).cast("bigint")
+    mean_wl = sum_len.cast("double") / n_words
+    alpha_frac = n_alpha.cast("double") / n_words
+    symbol_ratio = n_hash.cast("double") / n_words
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        (
+            n_words.between(50, 100000)
+            & mean_wl.between(3, 10)
+            & (alpha_frac >= 0.8)
+            & (symbol_ratio <= 0.1)
+        )
+        .cast("int")
+        .alias("passes"),
+    )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+              ELSE [] END AS g2
+  FROM t
+), tok AS (
+  SELECT doc_id, unnest(w) AS tk FROM t
+), topf AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY doc_id, tk
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       round(CAST(top_c AS DOUBLE) / len(w), 6) AS top_token_frac,
+       round(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / NULLIF(len(g2), 0), 6)
+         AS dup_2gram_frac
+FROM g JOIN topf ON topf.doc_id = g.doc_id
+"""
+
+
+@register("llm_repetition_stats", oracle=_REPETITION_ORACLE, section="L5")
+def llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 repetition filters (Gopher §A1.1): most-frequent-token
+    fraction (explode + per-doc groupBy — the one shuffle, keyed by
+    doc so it scales flat) and duplicate-2-gram fraction (within-row
+    array_distinct, no shuffle). High values flag boilerplate/spam
+    before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    base = docs.select("doc_id", w.alias("w"))
+    g2 = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+        ),
+    ).otherwise(F.array())
+    topf = (
+        base.select("doc_id", F.explode("w").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return (
+        base.withColumn("g2", g2)
+        .join(topf, "doc_id")
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            F.round(F.col("top_c").cast("double") / F.size("w"), 6).alias("top_token_frac"),
+            F.round(
+                F.lit(1)
+                - F.size(F.array_distinct("g2")).cast("double")
+                / F.nullif(F.size("g2"), F.lit(0)),
+                6,
+            ).alias("dup_2gram_frac"),
+        )
+    )
+
+
 # --- L3/X4 embedding vector ops as JVM higher-order functions ----------------------
 
 _EMB_NORM_ORACLE = """
