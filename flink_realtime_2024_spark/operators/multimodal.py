@@ -118,6 +118,30 @@ def decode_audio(payload: bytes) -> dict:
     }
 
 
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) uint8 array — the
+    downsample-for-features step (thumbnailing, patch grids) with zero
+    dependencies. Index math only; exactly reproducible."""
+    h, w, _ = px.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]
+
+
+def frame_sample(samples: np.ndarray, n_frames: int, frame_len: int) -> np.ndarray:
+    """Evenly-spaced fixed-length frames from a 1-D sample array (the
+    audio/video 'sample K frames' step). Returns (n_frames, frame_len);
+    frames past the end are zero-padded."""
+    out = np.zeros((n_frames, frame_len), dtype=samples.dtype)
+    if len(samples) == 0:
+        return out
+    starts = (np.arange(n_frames) * max(len(samples) - frame_len, 0)) // max(n_frames - 1, 1)
+    for i, s in enumerate(starts):
+        chunk = samples[s : s + frame_len]
+        out[i, : len(chunk)] = chunk
+    return out
+
+
 def decode_video(payload: bytes) -> "object":
     """Compressed-codec integration point (ffmpeg/PyAV-equivalent).
     Frame-sampling of real video needs a codec library this container
@@ -221,6 +245,68 @@ def build_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → binary asset table (BinaryType payload + mime)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return widen(docs).mapInPandas(synthesize_assets, ASSET_SCHEMA)
+
+
+RESIZE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("thumb_mean", T.DoubleType()),  # 8x8 nearest thumb / frame RMS
+        T.StructField("n_units", T.IntegerType()),  # pixels or frames sampled
+    ]
+)
+
+_THUMB = 8
+_N_FRAMES = 4
+_FRAME_LEN = 256
+
+
+def resize_stats(batches):
+    """Feature-extract kernel: images → 8×8 nearest-neighbor thumbnail
+    mean; audio → mean RMS over 4 evenly-spaced 256-sample frames. The
+    decode+downsample happens per Arrow batch on executors."""
+    for pdf in batches:
+        rows = []
+        for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"], pdf["payload"]):
+            payload = bytes(payload)
+            if mime.startswith("image/"):
+                if payload[:2] == b"BM":
+                    data_off = struct.unpack_from("<I", payload, 10)[0]
+                    w, h = struct.unpack_from("<ii", payload, 18)
+                    ah = abs(h)
+                    row_size = (w * 3 + 3) & ~3
+                    arr = np.frombuffer(
+                        payload, dtype=np.uint8, offset=data_off, count=row_size * ah
+                    )
+                    px = arr.reshape(ah, row_size)[:, : w * 3].reshape(ah, w, 3)[::-1, :, ::-1]
+                else:
+                    parts = payload.split(b"\n", 3)
+                    w, ah = (int(x) for x in parts[1].split())
+                    px = np.frombuffer(parts[3], dtype=np.uint8, count=w * ah * 3).reshape(ah, w, 3)
+                thumb = resize_nearest(px, _THUMB, _THUMB)
+                rows.append((int(asset_id), mime, float(thumb.mean()), _THUMB * _THUMB))
+            else:
+                samples = np.frombuffer(
+                    payload[payload.index(b"data") + 8 :], dtype="<i2"
+                )
+                frames = frame_sample(samples, _N_FRAMES, _FRAME_LEN)
+                rms = np.sqrt(np.mean(frames.astype(np.float64) ** 2, axis=1))
+                rows.append((int(asset_id), mime, float(rms.mean()), _N_FRAMES))
+        yield pd.DataFrame(rows, columns=["asset_id", "mime", "thumb_mean", "n_units"])
+
+
+@register("mm_resize_stats", oracle=None, section="L6")
+def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 feature-extract pipeline: decode → nearest-neighbor resize
+    (images) / evenly-spaced frame sampling (audio) → per-mime feature
+    rollup, all inside one mapInPandas pass. Rows-only; kernel exactness
+    is pytest-asserted on hand-built fixtures."""
+    feats = build_assets(spark, sf_dir).mapInPandas(resize_stats, RESIZE_STATS_SCHEMA)
+    return feats.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.round(F.avg("thumb_mean"), 6).alias("avg_feature"),
+        F.sum("n_units").alias("total_units"),
+    )
 
 
 @register("mm_decode_stats", oracle=None, section="L6")

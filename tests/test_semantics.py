@@ -329,6 +329,35 @@ def test_multimodal_codecs_roundtrip():
         decode_video(b"\x00\x00\x00\x18ftypmp42")
 
 
+def test_multimodal_resize_and_frame_sample(spark):
+    """resize/frame-sample kernels are exact: nearest-neighbor on a 2x2
+    block pattern reproduces the blocks; frame sampling recovers known
+    RMS; the pipeline emits one feature row per mime."""
+    from flink_realtime_2024_spark.operators.multimodal import (
+        frame_sample,
+        mm_resize_stats,
+        resize_nearest,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, 0] = 10
+    px[1, 1] = 250
+    up = resize_nearest(px, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert (up[:2, :2] == 10).all() and (up[2:, 2:] == 250).all()
+    assert (up[:2, 2:] == 0).all() and (up[2:, :2] == 0).all()
+
+    samples = np.full(1024, 100, dtype=np.int16)
+    frames = frame_sample(samples, 4, 256)
+    assert frames.shape == (4, 256)
+    assert float(np.sqrt(np.mean(frames.astype(np.float64) ** 2))) == 100.0
+
+    agg = {r["mime"]: r for r in mm_resize_stats(spark, SF_DIR).collect()}
+    assert set(agg) == {"image/bmp", "image/x-portable-pixmap", "audio/wav"}
+    for r in agg.values():
+        assert r["n_assets"] > 0 and r["avg_feature"] > 0
+
+
 def test_multimodal_pipeline_decodes_real_bytes(spark):
     """End-to-end: synthesized BMP/PPM/WAV payloads flow through the
     mapInPandas decode kernel; spot-check a few assets against a local
