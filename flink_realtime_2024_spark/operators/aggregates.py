@@ -108,6 +108,22 @@ GROUP BY o_orderstatus
 """
 
 
+@register("agg_approx_percentile", oracle=None, section="A4")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 sketch percentiles: approx_percentile (Greenwald-Khanna) with
+    accuracy 10000 — the 100 TB path where the exact interpolated
+    percentile's full sort-per-group is too expensive. Mergeable sketch
+    ⇒ two-phase aggregation like any other agg. Rows-only (DuckDB has
+    no GK sketch with matching error bounds); closeness to the exact
+    percentiles is pytest-asserted."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("ap95"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 @register("agg_percentile", oracle=_PERCENTILE_ORACLE, section="A4a")
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4a exact interpolated percentiles per group (p25/p50/p75 of order

@@ -84,6 +84,21 @@ def test_simhash_matches_brute_force(spark):
     )
 
 
+def test_approx_percentile_near_exact(spark):
+    """The GK sketch at accuracy 10000 must sit within 1% relative error
+    of the exact interpolated percentile on every group."""
+    from flink_realtime_2024_spark.operators.aggregates import (
+        agg_approx_percentile,
+        agg_percentile,
+    )
+
+    exact = {r["o_orderstatus"]: r["p50"] for r in agg_percentile(spark, SF_DIR).collect()}
+    approx = {r["o_orderstatus"]: r["ap50"] for r in agg_approx_percentile(spark, SF_DIR).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.01, (k, approx[k], exact[k])
+
+
 def test_connected_components_on_chain(spark):
     """Label propagation must close long chains (diameter >> 1), not
     just star shapes: a 12-vertex path plus a separate 2-vertex
