@@ -643,31 +643,13 @@ _IVF_NCENT = 16
 _IVF_NPROBE = 6
 
 
-@register("llm_knn_ivf", oracle=None, section="L3", bench=True)
-def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 scale path: IVF-style approximate top-k. A coarse quantizer
-    (deterministic Lloyd k-means on a fixed sample) defines inverted
-    lists; each query probes only its nprobe nearest lists.
-
-    Fused single-pass plan: one mapInPandas scan assigns each corpus
-    vector to its list AND scores it against exactly the queries probing
-    that list — no inverted-list materialization, no join, and the
-    embedding arrays never leave the scan stage. Only per-batch partial
-    top-k rows (≤ k × n_queries per batch) hit the final row_number
-    shuffle. At 100 TB the lists would additionally be written
-    partitioned by centroid_id so probing prunes at the SCAN (partition
-    pruning), not just at compute — the kernel is unchanged.
-
-    Rows-only (approximate by design); recall@k vs the exact kNN is
-    asserted in tests/test_semantics.py.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    # coarse quantizer: deterministic sample → numpy Lloyd iterations.
-    # The training sample is bounded by SIZE (_IVF_TRAIN_BUDGET rows), not
-    # by a sampling rate: ordering by xxhash64(vec_id) is a deterministic
-    # uniform-ish shuffle, and orderBy+limit compiles to
-    # TakeOrderedAndProject — driver memory is O(budget) at any corpus size.
+def _ivf_train(emb: DataFrame) -> np.ndarray:
+    """Coarse quantizer: deterministic sample → numpy Lloyd iterations.
+    The training sample is bounded by SIZE (_IVF_TRAIN_BUDGET rows), not
+    by a sampling rate: ordering by xxhash64(vec_id) is a deterministic
+    uniform-ish shuffle, and orderBy+limit compiles to
+    TakeOrderedAndProject — driver memory is O(budget) at any corpus
+    size."""
     sample = np.array(
         [
             r["embedding"]
@@ -689,6 +671,29 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = np.linalg.norm(m)
                 if n > 0:
                     cent[c] = m / n
+    return cent
+
+
+@register("llm_knn_ivf", oracle=None, section="L3", bench=True)
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: IVF-style approximate top-k. A coarse quantizer
+    (deterministic Lloyd k-means on a fixed sample) defines inverted
+    lists; each query probes only its nprobe nearest lists.
+
+    Fused single-pass plan: one mapInPandas scan assigns each corpus
+    vector to its list AND scores it against exactly the queries probing
+    that list — no inverted-list materialization, no join, and the
+    embedding arrays never leave the scan stage. Only per-batch partial
+    top-k rows (≤ k × n_queries per batch) hit the final row_number
+    shuffle. At 100 TB the lists would additionally be written
+    partitioned by centroid_id so probing prunes at the SCAN (partition
+    pruning), not just at compute — the kernel is unchanged.
+
+    Rows-only (approximate by design); recall@k vs the exact kNN is
+    asserted in tests/test_semantics.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _ivf_train(emb)
 
     # queries + their probe sets (fixed-size cap, same budget as the
     # exact kNN so both entry points answer the same query set)
@@ -737,6 +742,118 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
 
     partial = widen(emb.select("vec_id", "embedding")).mapInPandas(scan_lists, out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+@register("llm_knn_ivf_partitioned", oracle=None, section="L3,S7")
+def llm_knn_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 the IVF claim made physical: the inverted lists are WRITTEN as
+    a parquet index partitioned by centroid_id (one-time build, like a
+    real ANN index), and each query batch reads back ONLY its probed
+    lists — `centroid_id IN (...)` lands in the scan's
+    PartitionFilters, so pruning happens at directory listing, before a
+    single byte of unprobed lists is read (asserted in
+    tests/test_semantics.py). At 100 TB this is the difference between
+    scanning nprobe/ncent of the corpus and scanning all of it.
+
+    Same centroids, same scoring math, same output as llm_knn_ivf
+    (equality pytest-asserted); rows-only like its twin."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _ivf_train(emb)
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_index_{os.path.basename(os.path.normpath(sf_dir))}_{_IVF_NCENT}",
+    )
+    marker = os.path.join(index_dir, "_INDEX_OK")
+    if not os.path.exists(marker):
+        assign_schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("centroid_id", T.IntegerType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+
+        def assign(batches):
+            C = bc_cent.value
+            for pdf in batches:
+                E = np.array(list(pdf["embedding"]), dtype=np.float64)
+                cids = (E @ C.T).argmax(axis=1).astype(np.int32)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "centroid_id": cids,
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        (
+            widen(emb.select("vec_id", "embedding"))
+            .mapInPandas(assign, assign_schema)
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(index_dir)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    q_rows = (
+        emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_KNN_MAX_QUERIES)
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    probe_mask = np.zeros((len(qids), _IVF_NCENT), dtype=bool)
+    for j in range(len(qids)):
+        top = np.argsort(-(cent @ Q[j]))[:_IVF_NPROBE]
+        probe_mask[j, top] = True
+    probed = sorted(int(c) for c in np.nonzero(probe_mask.any(axis=0))[0])
+    bc = spark.sparkContext.broadcast((qids, Q, probe_mask))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score_lists(batches):
+        bqids, bQ, M = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cids = pdf["centroid_id"].to_numpy(dtype=np.int64)
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            rows = []
+            for j in range(len(bqids)):
+                allowed = M[j, cids] & (ids != bqids[j])
+                if not allowed.any():
+                    continue
+                mids = ids[allowed]
+                ms = np.round(E[allowed] @ bQ[j], 6)
+                order = np.lexsort((mids, -ms))[:_KNN_K]
+                for i in order:
+                    rows.append((int(bqids[j]), int(mids[i]), float(ms[i])))
+            if rows:
+                yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    lists = spark.read.parquet(index_dir).filter(F.col("centroid_id").isin(probed))
+    partial = lists.mapInPandas(score_lists, out_schema)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))

@@ -223,6 +223,26 @@ def test_knn_ivf_recall(spark):
     assert recall >= 0.6, f"IVF recall@k too low: {recall}"
 
 
+def test_knn_ivf_partitioned_matches_and_prunes(spark):
+    """The partitioned-index IVF must (1) return exactly its in-scan
+    twin's results — same centroids, same scoring — and (2) carry the
+    probed-list filter as a PARTITION filter on the index scan, so
+    unprobed lists are pruned at directory listing."""
+    from flink_realtime_2024_spark.operators.llm import (
+        llm_knn_ivf,
+        llm_knn_ivf_partitioned,
+    )
+
+    twin = {tuple(r) for r in llm_knn_ivf(spark, SF_DIR).collect()}
+    part_df = llm_knn_ivf_partitioned(spark, SF_DIR)
+    got = {tuple(r) for r in part_df.collect()}
+    assert got == twin and len(got) > 0
+
+    plan = _explain(part_df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1), plan
+
+
 def _explain(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
