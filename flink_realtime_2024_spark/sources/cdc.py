@@ -155,6 +155,45 @@ def cdc_latest_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_per_key(build_changelog(spark, sf_dir))
 
 
+_SCD2_ORACLE = f"""
+WITH {CHANGELOG_SQL}
+SELECT key, totalprice, orderstatus,
+       ts_ms AS valid_from_ms,
+       LEAD(ts_ms) OVER w AS valid_to_ms,
+       CAST(LEAD(ts_ms) OVER w IS NULL AS INTEGER) AS is_current
+FROM changelog
+WINDOW w AS (PARTITION BY key ORDER BY ts_ms,
+             CASE op WHEN 'd' THEN 2 WHEN 'u' THEN 1 ELSE 0 END)
+QUALIFY op <> 'd'
+"""
+
+
+@register("cdc_scd2_history", oracle=_SCD2_ORACLE, section="S3,S4,W3")
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 slowly-changing-dimension type 2: the changelog becomes a
+    full validity-interval history — each image valid from its own ts
+    to the NEXT envelope's ts for that key (a delete closes the last
+    interval; lead() computed over ALL envelopes, then delete rows
+    dropped from the output). The canonical dim-table history the
+    serving layer joins as-of (join_asof_latest is the consumer shape).
+    One shuffle on key; W3 lead over per-key envelopes."""
+    log = build_changelog(spark, sf_dir)
+    prec = F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
+    w = Window.partitionBy("key").orderBy("ts_ms", prec)
+    return (
+        log.withColumn("valid_to_ms", F.lead("ts_ms").over(w))
+        .filter(F.col("op") != "d")
+        .select(
+            "key",
+            "totalprice",
+            "orderstatus",
+            F.col("ts_ms").alias("valid_from_ms"),
+            "valid_to_ms",
+            F.col("valid_to_ms").isNull().cast("int").alias("is_current"),
+        )
+    )
+
+
 @register("dim_upsert", oracle=None, section="S4")
 def dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 HBase-style dim sink: apply the changelog in ts-ordered
