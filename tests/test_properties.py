@@ -158,3 +158,48 @@ def test_session_window_matches_gaps_and_islands(spark, ts_list):
         .collect()
     }
     assert got == _reference_sessions(ts_list, gap_us)
+
+
+@st.composite
+def random_graphs(draw):
+    n_edges = draw(st.integers(min_value=1, max_value=15))
+    edges = []
+    for _ in range(n_edges):
+        a = draw(st.integers(min_value=0, max_value=11))
+        b = draw(st.integers(min_value=0, max_value=11))
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    return edges or [(0, 1)]
+
+
+def _reference_components(edges):
+    """Union-find model: vertex → min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@given(random_graphs())
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a union-find
+    model on arbitrary graphs: cycles, multi-edges, stars, chains."""
+    from flink_realtime_2024_spark.operators.llm import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, "doc_a", "doc_b").collect()
+    }
+    assert got == _reference_components(edges)
