@@ -130,3 +130,4 @@ def test_salted_join_matches_plain_join(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+

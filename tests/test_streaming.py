@@ -240,3 +240,44 @@ def test_streaming_runs_in_micro_batches(spark):
     assert sum(n for _, n in seen) == spark.read.parquet(
         f"{SF_DIR}/events.parquet"
     ).count()
+
+
+def test_checkpoint_recovery_is_exactly_once(spark):
+    """S11 checkpoint semantics: re-starting a query on the SAME
+    checkpoint dir must not reprocess already-committed micro-batches —
+    the second run finds the source exhausted and the sink state is
+    unchanged (exactly-once across restarts, the property HDFS
+    checkpointing gives the reference)."""
+    import os
+    import tempfile
+
+    from flink_realtime_2024_spark.streaming.jobs import events_stream
+
+    ev = events_stream(spark, SF_DIR)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = tempfile.mkdtemp(prefix="ckpt_recovery_out_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_recovery_")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
+
+    def run_once():
+        q = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    run_once()
+    batches_first = set(os.listdir(out))
+    state_first = {tuple(r) for r in spark.read.parquet(out + "/batch=*").collect()}
+
+    q2 = run_once()  # same checkpoint: nothing new to process
+    assert set(os.listdir(out)) == batches_first, "restart reprocessed batches"
+    state_second = {tuple(r) for r in spark.read.parquet(out + "/batch=*").collect()}
+    assert state_second == state_first
+    assert all(p["numInputRows"] == 0 for p in q2.recentProgress)
