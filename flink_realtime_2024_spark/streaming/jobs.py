@@ -133,6 +133,89 @@ def late_rows_metrics(spark: SparkSession, sf_dir: str, delay: str = "1 hour") -
     return {"dropped": dropped, "batches": batches}
 
 
+_WINDOW_TOPN_ORACLE = """
+WITH b AS (
+  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+         event_type
+  FROM events
+), c AS (
+  SELECT bucket_us, event_type, COUNT(*) AS n FROM b GROUP BY 1, 2
+)
+SELECT bucket_us, event_type, n, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY bucket_us ORDER BY n DESC, event_type
+  ) AS rn FROM c
+) WHERE rn <= 2
+"""
+
+
+@register("stream_window_topn", oracle=_WINDOW_TOPN_ORACLE, section="T2,W1,DWS")
+def stream_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DWS streaming top-N (the reference's per-window ranking jobs,
+    e.g. top traffic sources per hour): a watermarked tumbling-window
+    count, ranked WITHIN the sink's foreachBatch — Structured Streaming
+    doesn't allow window functions over a streaming aggregate, so the
+    rank runs on each complete-mode batch snapshot (tiny: one row per
+    (hour, type)) exactly like Flink's per-window emit → rank pattern.
+    Full oracle: final state must equal the batch rank."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "31 days")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = tempfile.mkdtemp(prefix="stream_topn_out_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("window").orderBy(F.desc("n"), "event_type")
+        (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select(
+                F.unix_micros(F.col("window.start")).alias("bucket_us"),
+                "event_type",
+                "n",
+                F.col("rn").cast("bigint").alias("rn"),
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    run_stream(agg.writeStream.outputMode("complete").foreachBatch(sink), "wtopn")
+    return spark.read.parquet(out)
+
+
+_STREAM_DIM_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("stream_dim_join", oracle=_STREAM_DIM_ORACLE, section="S5,J2,T1")
+def stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/J2 stream-static enrichment (the reference's HBase dim lookup
+    on a live stream): each micro-batch joins the event stream against
+    the static customer dim — Spark re-plans the join per batch, so dim
+    updates between batches are picked up, exactly the Flink lookup-join
+    contract. Aggregated per segment; full oracle on the final state."""
+    ev = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(cust, "user_id")
+    agg = joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_events"))
+    out = tempfile.mkdtemp(prefix="stream_dim_out_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    run_stream(agg.writeStream.outputMode("complete").foreachBatch(sink), "dimjoin")
+    return spark.read.parquet(out)
+
+
 _SSJ_ORACLE = """
 WITH e AS (SELECT event_id, user_id, event_type,
                   epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events)
