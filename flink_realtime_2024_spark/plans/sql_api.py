@@ -94,6 +94,39 @@ def sql_in_subquery_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_RECURSIVE = """
+WITH RECURSIVE full_seq AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+seq AS (
+  SELECT * FROM full_seq WHERE rn <= 5
+),
+chain(o_custkey, o_orderkey, rn, depth) AS (
+  SELECT o_custkey, o_orderkey, rn, 1 AS depth FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.o_custkey, s.o_orderkey, s.rn, c.depth + 1
+  FROM seq s JOIN chain c ON s.o_custkey = c.o_custkey AND s.rn = c.rn + 1
+)
+SELECT o_custkey, o_orderkey, CAST(depth AS BIGINT) AS depth FROM chain
+"""
+
+
+@register("sql_recursive_cte", oracle=_SQL_RECURSIVE, section="§3.2 SQL API")
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk each customer's
+    first-5 order sequence as a linked list — the recursion step is a
+    self-join per iteration, executed by Spark's iterative recursion
+    operator (which re-evaluates the anchor CTE each round: bound the
+    walk depth, or materialize the anchor, in production). The
+    IDENTICAL SQL string runs on DuckDB as the oracle, and depth == rn
+    by construction, so the closure is fully value-checked."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_SQL_RECURSIVE)
+
+
 _SQL_CORRELATED_SCALAR = """
 SELECT l.l_orderkey, l.l_linenumber, CAST(l.l_quantity AS DOUBLE) AS qty
 FROM lineitem l
