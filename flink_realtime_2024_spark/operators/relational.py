@@ -126,6 +126,43 @@ FROM events
 """
 
 
+_DIRTY_SPLIT_ORACLE = """
+WITH x AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0
+              THEN substr(props, 1, length(props) - 1)  -- break the JSON
+              ELSE props END AS p
+  FROM events
+)
+SELECT CASE WHEN json_valid(p) THEN 'clean' ELSE 'dirty' END AS branch,
+       COUNT(*) AS n
+FROM x GROUP BY 1
+"""
+
+
+@register("json_dirty_split", oracle=_DIRTY_SPLIT_ORACLE, section="F7,F4")
+def json_dirty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7+F4 dirty-record routing (the reference's ODS parse step:
+    fastjson try/catch → dirty side output): every 10th record's JSON
+    is deliberately truncated; parse failure yields NULL, and the
+    NULL-ness routes the record to the dirty branch. Parsing stays
+    JVM-side (get_json_object) — the dirty path costs nothing extra.
+    (Oracle uses json_valid — DuckDB's json_extract throws on malformed
+    input rather than returning NULL; equivalent here because every
+    valid fixture props object carries the k key.)"""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.when(
+        F.col("event_id") % 10 == 0,
+        F.expr("substr(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(p, "$.k").cast("bigint")
+    return (
+        ev.select(F.when(k.isNotNull(), "clean").otherwise("dirty").alias("branch"))
+        .groupBy("branch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register("json_extract", oracle=_JSON_ORACLE, section="F7,X5,S10")
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7/X5 JSON parse+validate (reference: fastjson per record,
