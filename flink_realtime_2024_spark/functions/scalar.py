@@ -171,3 +171,45 @@ def scalar_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(meta, F.lit("brand")).alias("brand_lookup"),
         F.array_join(F.sort_array(words), " ").alias("words_sorted"),
     )
+
+
+_CJK_ORACLE = """
+WITH x AS (
+  SELECT doc_id,
+         '数据仓库实时计算 ' || lower(substr(text, 1, 40)) AS mixed
+  FROM documents
+), t AS (
+  SELECT doc_id, regexp_extract_all(mixed, '[a-z0-9]+|\\p{Han}') AS toks FROM x
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^\\p{Han}$'))) AS BIGINT)
+         AS n_cjk,
+       CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '^\\p{Han}$'))) AS BIGINT)
+         AS n_latin,
+       array_to_string(list_sort(list_distinct(
+         list_filter(toks, x -> regexp_matches(x, '^\\p{Han}$')))), '') AS cjk_sorted
+FROM t
+"""
+
+
+@register("udtf_tokenize_cjk", oracle=_CJK_ORACLE, section="U2,X1")
+def udtf_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 CJK-aware tokenization — the reference's IK analyzer row
+    (pom.xml:203-207) made concrete: Latin runs tokenize as words, Han
+    ideographs as single-character tokens (IK's smallest-grain mode).
+    The corpus is English, so a fixed CJK phrase is injected per doc
+    and the mixed text tokenized. All JVM regex — the engines' regex
+    dialects differ only in script-class spelling (Java \\p{IsHan} vs
+    RE2 \\p{Han}); outputs are reduced to counts + a sorted joined
+    string per the cross-engine array rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = F.concat(F.lit("数据仓库实时计算 "), F.lower(F.substring("text", 1, 40)))
+    toks = F.regexp_extract_all(mixed, F.lit(r"[a-z0-9]+|\p{IsHan}"), 0)
+    is_han = lambda x: x.rlike(r"^\p{IsHan}$")  # noqa: E731
+    cjk = F.filter(toks, is_han)
+    return docs.select(
+        "doc_id",
+        F.size(cjk).cast("bigint").alias("n_cjk"),
+        (F.size(toks) - F.size(cjk)).cast("bigint").alias("n_latin"),
+        F.array_join(F.sort_array(F.array_distinct(cjk)), "").alias("cjk_sorted"),
+    )
