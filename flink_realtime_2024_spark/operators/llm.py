@@ -450,6 +450,65 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b")
 
 
+_PIPELINE_ORACLE = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, root) AS (
+  SELECT DISTINCT doc_a, doc_a FROM edges
+  UNION
+  SELECT e.doc_a, r.root FROM edges e JOIN reach r ON r.doc_id = e.doc_b
+),
+clusters AS (
+  SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(w) BETWEEN 50 AND 100000
+              AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+                  BETWEEN 3 AND 10
+              AND CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                  / len(w) >= 0.8
+              AND CAST(n_hash AS DOUBLE) / len(w) <= 0.1 AS INTEGER) AS passes
+  FROM (
+    SELECT doc_id,
+           string_split_regex(lower(text), '\\s+') AS w,
+           length(text) - length(replace(text, '#', '')) AS n_hash
+    FROM documents
+  )
+)
+SELECT q.doc_id, q.n_words
+FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id
+WHERE q.passes = 1 AND (c.cluster_id IS NULL OR c.cluster_id = q.doc_id)
+"""
+
+
+@register("llm_corpus_pipeline", oracle=_PIPELINE_ORACLE, section="L1,L2,L5")
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus curation flow a training pipeline runs,
+    as ONE value-checked query: near-dup pair generation (ngram
+    inverted index) → connected-component clustering (iterative label
+    propagation) → keep each cluster's canonical doc → Gopher quality
+    gate on the survivors. The oracle re-derives the identical output
+    declaratively (recursive-CTE closure + the same quality predicate),
+    so every stage of the composition — including the iterative
+    clustering loop — is hash-checked end to end.
+
+    Scale shape: pair generation and clustering are the dominant cost
+    and both are shuffle-on-key plans (no cross join, no driver data);
+    the quality gate is a per-row filter fused into the scan."""
+    quality = llm_quality_gopher(spark, sf_dir).filter(F.col("passes") == 1).select(
+        "doc_id", "n_words"
+    )
+    clusters = connected_components(llm_dedup_ngram(spark, sf_dir), "doc_a", "doc_b")
+    non_reps = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return quality.join(non_reps, "doc_id", "left_anti")
+
+
 # =============================================================================
 # L2b near-dup: SimHash
 # =============================================================================
