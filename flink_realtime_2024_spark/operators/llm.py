@@ -335,7 +335,10 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     defined over the capped universe). Everything is JVM built-ins —
     no Python in the plan.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # widen BEFORE the shingle computation: the fixture is a single
+    # parquet file (one scan task), and the per-row shingle transform is
+    # the expensive part — it must run on all cores, not one
+    docs = widen(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split(F.lower(F.col("text")), "\\s+")
     n = F.size(toks)
     tri = F.transform(
@@ -408,6 +411,11 @@ def connected_components(edges: DataFrame, src: str, dst: str, max_iter: int = 5
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    # materialize the edge set ONCE — every iteration joins against it,
+    # and without this the whole upstream pair-generation pipeline would
+    # re-execute per round (the loop's cost must be per-iteration joins,
+    # not per-iteration recomputation of the input)
+    und = und.localCheckpoint()
     labels = und.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
