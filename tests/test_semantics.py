@@ -433,3 +433,23 @@ def test_multimodal_pipeline_decodes_real_bytes(spark):
         assert got["mean_value"] == pytest.approx(local["mean_value"], abs=1e-9)
         if r["mime"].startswith("image/"):
             assert (got["width"], got["height"]) == (local["width"], local["height"])
+
+
+def test_kernel_queries_are_rerun_deterministic(spark):
+    """Exactly-once under task retries requires every Python kernel to
+    be a pure function of its input rows: running each kernel-backed
+    query twice must give identical results (no per-run randomness, no
+    partition-order sensitivity in the output set)."""
+    from flink_realtime_2024_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in (
+        "llm_dedup_minhash",
+        "llm_dedup_simhash",
+        "llm_winnow_fingerprint",
+        "llm_knn_ivf",
+        "mm_decode_stats",
+    ):
+        a = {tuple(r) for r in qs[name].builder(spark, SF_DIR).collect()}
+        b = {tuple(r) for r in qs[name].builder(spark, SF_DIR).collect()}
+        assert a == b, f"{name} differs across reruns"

@@ -281,3 +281,30 @@ def test_checkpoint_recovery_is_exactly_once(spark):
     state_second = {tuple(r) for r in spark.read.parquet(out + "/batch=*").collect()}
     assert state_second == state_first
     assert all(p["numInputRows"] == 0 for p in q2.recentProgress)
+
+
+def test_streaming_sliding_window_equals_batch(spark):
+    """T3 streaming form: sliding windows (2h length / 1h hop, matching
+    the batch twin) over the watermarked stream equal the batch answer."""
+    from flink_realtime_2024_spark.streaming.jobs import events_stream
+    from flink_realtime_2024_spark.streaming.event_time import window_sliding
+
+    ev = events_stream(spark, SF_DIR)
+    agg = (
+        ev.withWatermark("ts", "31 days")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("bucket_us"),
+            "n_events",
+        )
+    )
+    got = {
+        (r["bucket_us"], r["n_events"])
+        for r in _run_stream_agg(spark, agg).collect()
+    }
+    want = {
+        (r["bucket_us"], r["n_events"])
+        for r in window_sliding(spark, SF_DIR).select("bucket_us", "n_events").collect()
+    }
+    assert got == want and len(got) > 0
