@@ -453,3 +453,26 @@ def test_kernel_queries_are_rerun_deterministic(spark):
         a = {tuple(r) for r in qs[name].builder(spark, SF_DIR).collect()}
         b = {tuple(r) for r in qs[name].builder(spark, SF_DIR).collect()}
         assert a == b, f"{name} differs across reruns"
+
+
+def test_observation_metrics_single_pass(spark):
+    """Operator counters via the Observation API: metric values arrive
+    with the action itself (no second scan), and match an independent
+    recomputation — the Flink metric-counter contract."""
+    from flink_realtime_2024_spark.observability import observe_counts
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    parsed = ev.select(
+        "event_id", F.get_json_object("props", "$.missing").alias("m")
+    )
+    obs_df, obs = observe_counts(
+        parsed,
+        "parse",
+        n_rows=F.count(F.lit(1)),
+        n_null=F.count(F.when(F.col("m").isNull(), 1)),
+    )
+    n_out = obs_df.count()  # the action; metrics ride along
+    got = obs.get
+    assert got["n_rows"] == n_out == ev.count()
+    assert got["n_null"] == n_out  # $.missing never present
