@@ -131,3 +131,47 @@ def test_salted_join_matches_plain_join(spark):
     )
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
 
+
+
+def test_schema_evolution_merge(spark):
+    """S8 schema evolution: a reader over mixed-generation parquet (an
+    evolving DWD table) with mergeSchema sees the superset schema; old
+    files surface NULL for the new column."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    spark.createDataFrame([(1, "a")], "id bigint, v string").write.parquet(
+        os.path.join(root, "gen=1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    ).write.parquet(os.path.join(root, "gen=2"))
+    df = spark.read.option("mergeSchema", "true").parquet(root + "/gen=*")
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_dynamic_partition_overwrite(spark):
+    """S7 serving-table maintenance: with dynamic partitionOverwriteMode
+    an INSERT OVERWRITE replaces ONLY the partitions present in the new
+    batch — the month-partitioned serving table's incremental refresh.
+    (Static mode would wipe every other month.)"""
+    import os
+    import tempfile
+
+    base = spark.createDataFrame(
+        [(10, "2024-01"), (20, "2024-02")], "n int, month string"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        base.write.mode("overwrite").partitionBy("month").saveAsTable("serving_dyn")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        refresh = spark.createDataFrame([(99, "2024-02")], "n int, month string")
+        refresh.write.mode("overwrite").insertInto("serving_dyn")
+        got = {(r["month"], r["n"]) for r in spark.table("serving_dyn").collect()}
+        assert got == {("2024-01", 10), ("2024-02", 99)}, got
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.sql("DROP TABLE IF EXISTS serving_dyn")
