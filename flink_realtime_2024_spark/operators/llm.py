@@ -931,6 +931,132 @@ def llm_knn_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8  # subspaces
+_PQ_K = 16  # codewords per subspace → 4 bits; 64-dim float32 → 8 bytes (32×)
+
+
+def _pq_train(emb: DataFrame) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., TPAMI'11): per
+    subspace, Lloyd k-means over a FIXED-size sample (same budget
+    discipline as the IVF trainer). Returns (m, k, d/m)."""
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in emb.select("vec_id", "embedding")
+            .orderBy(F.xxhash64("vec_id"))
+            .limit(_IVF_TRAIN_BUDGET)
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    d = sample.shape[1]
+    dsub = d // _PQ_M
+    books = np.zeros((_PQ_M, _PQ_K, dsub))
+    for mi in range(_PQ_M):
+        sub = sample[:, mi * dsub : (mi + 1) * dsub]
+        cent = sub[:_PQ_K].copy()
+        for _ in range(10):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(axis=1)
+            for c in range(_PQ_K):
+                mem = sub[assign == c]
+                if len(mem):
+                    cent[c] = mem.mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def pq_encode(E: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float → (n, m) uint8 codes: per subspace, nearest codeword."""
+    n, d = E.shape
+    dsub = d // _PQ_M
+    codes = np.zeros((n, _PQ_M), dtype=np.uint8)
+    for mi in range(_PQ_M):
+        sub = E[:, mi * dsub : (mi + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+        codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    return np.concatenate([books[mi][codes[:, mi]] for mi in range(_PQ_M)], axis=1)
+
+
+@register("llm_knn_pq", oracle=None, section="L3")
+def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 product-quantization ANN: the corpus is encoded to 8 one-byte
+    codes per vector (32× smaller than float32 — the memory side of the
+    ANN stack, where IVF is the IO side), and queries score codes via
+    asymmetric distance computation: one (m × k) lookup table of
+    query-subvector·codeword dot products per query, then each vector's
+    approximate dot is m table lookups — no float vector ever touched
+    at query time.
+
+    Fused in-scan form like llm_knn_ivf: one mapInPandas encodes AND
+    scores each Arrow batch; only partial top-k rows reach the final
+    shuffle. At 100 TB the codes (+ codebooks) would be the stored
+    index — 8 bytes/vector — with this same kernel reading codes
+    instead of raw embeddings. Rows-only; reconstruction quality and
+    recall vs exact kNN are pytest-asserted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_train(emb)
+    q_rows = (
+        emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_KNN_MAX_QUERIES)
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    dsub = Q.shape[1] // _PQ_M
+    # per-query ADC lookup tables: LUT[j, mi, c] = q_j_sub(mi) · book[mi][c]
+    lut = np.zeros((len(qids), _PQ_M, _PQ_K))
+    for mi in range(_PQ_M):
+        lut[:, mi, :] = Q[:, mi * dsub : (mi + 1) * dsub] @ books[mi].T
+    bc = spark.sparkContext.broadcast((books, qids, lut))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def scan_codes(batches):
+        B, bqids, L = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            codes = pq_encode(E, B)
+            # ADC: scores[n, q] = sum over subspaces of LUT[q, mi, code]
+            S = np.zeros((len(ids), len(bqids)))
+            for mi in range(_PQ_M):
+                S += L[:, mi, codes[:, mi]].T  # (n, q)
+            S = np.round(S, 6)
+            rows = []
+            for j in range(len(bqids)):
+                mask = ids != bqids[j]
+                mids, ms = ids[mask], S[mask, j]
+                order = np.lexsort((mids, -ms))[:_KNN_K]
+                for i in order:
+                    rows.append((int(bqids[j]), int(mids[i]), float(ms[i])))
+            if rows:
+                yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    partial = widen(emb.select("vec_id", "embedding")).mapInPandas(scan_codes, out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
 @register("llm_neardup_cosine", oracle=None, section="L2,L3")
 def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2/L3 embedding near-dup via random-hyperplane LSH: 16-bit sign

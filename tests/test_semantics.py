@@ -476,3 +476,38 @@ def test_observation_metrics_single_pass(spark):
     got = obs.get
     assert got["n_rows"] == n_out == ev.count()
     assert got["n_null"] == n_out  # $.missing never present
+
+
+def test_pq_reconstruction_and_recall(spark):
+    """PQ quality gates: (1) reconstruction preserves direction — mean
+    cosine between each vector and its decoded codes well above the
+    ~0 of random pairs (fixtures' max off-diag cosine is ~0.6);
+    (2) ADC top-k recall vs exact kNN beats random-guessing by a wide
+    margin on uniform-sphere fixtures (PQ's hardest case)."""
+    from flink_realtime_2024_spark.operators.llm import (
+        _pq_train,
+        llm_knn_cosine,
+        llm_knn_pq,
+        pq_encode,
+        pq_reconstruct,
+    )
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = _pq_train(emb)
+    E = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    R = pq_reconstruct(pq_encode(E, books), books)
+    cos = (E * R).sum(1) / (np.linalg.norm(E, axis=1) * np.linalg.norm(R, axis=1))
+    assert cos.mean() > 0.55, f"mean reconstruction cosine too low: {cos.mean():.3f}"
+
+    exact, approx = {}, {}
+    for r in llm_knn_cosine(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in llm_knn_pq(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(approx) == set(exact)
+    hits = sum(len(approx[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    # k=5 of 500: random ≈ 0.01; uniform sphere is PQ's worst case
+    assert recall >= 0.2, f"PQ recall@k too low: {recall}"
