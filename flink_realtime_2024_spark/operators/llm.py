@@ -1254,7 +1254,7 @@ FROM s
 """
 
 
-@register("llm_quality_gopher", oracle=_GOPHER_ORACLE, section="L5")
+@register("llm_quality_gopher", oracle=_GOPHER_ORACLE, section="L5", bench=True)
 def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 Gopher-rule quality gate (Rae et al. 2021 §A1.1, public): word
     count bounds, mean word length in [3,10], ≥80% words containing an
@@ -1445,7 +1445,7 @@ FROM s
 """
 
 
-@register("llm_lang_id", oracle=_LANG_ID_ORACLE, section="L5")
+@register("llm_lang_id", oracle=_LANG_ID_ORACLE, section="L5", bench=True)
 def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 language identification via function-word (stopword-marker)
     scoring: per language, count DISTINCT marker words present (an
