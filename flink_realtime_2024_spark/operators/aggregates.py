@@ -108,6 +108,38 @@ GROUP BY o_orderstatus
 """
 
 
+_HISTOGRAM_ORACLE = """
+SELECT CAST(CASE WHEN CAST(o_totalprice AS DOUBLE) < 0 THEN 0
+            WHEN CAST(o_totalprice AS DOUBLE) >= 600000 THEN 13
+            ELSE 1 + floor(CAST(o_totalprice AS DOUBLE) / 50000) END AS BIGINT)
+         AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS lo,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS hi
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("agg_histogram", oracle=_HISTOGRAM_ORACLE, section="A1,X3")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/X3 equi-width histogram via width_bucket (Spark side; the
+    oracle spells out the identical SQL-standard bucket arithmetic —
+    DuckDB 1.0 lacks the function): the serving-layer distribution
+    chart in one aggregation — a two-phase count per bucket, no sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(F.col("o_totalprice").cast("double"), F.lit(0), F.lit(600000), F.lit(12)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(dec("o_totalprice")).cast("double").alias("lo"),
+            F.max(dec("o_totalprice")).cast("double").alias("hi"),
+        )
+    )
+
+
 @register("agg_approx_percentile", oracle=None, section="A4")
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 sketch percentiles: approx_percentile (Greenwald-Khanna) with

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
 from ..sources.io import load_table
@@ -1223,6 +1223,64 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (len_chars.cast("double") / n_tokens).alias("avg_token_len"),
         F.when(stop_ratio >= 0.05, "en").otherwise("other").alias("lang_guess"),
         ((n_tokens >= 10) & (len_chars / n_tokens <= 12)).cast("int").alias("quality_ok"),
+    )
+
+
+# --- L4 TF-IDF keyword extraction ---------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tk FROM documents
+), tf AS (
+  SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
+), scored AS (
+  SELECT tf.doc_id, tf.tk,
+         round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (tk) CROSS JOIN nd
+  WHERE df.df > 1
+)
+SELECT doc_id, tk AS keyword, tfidf, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, tk
+  ) AS rn FROM scored
+) WHERE rn <= 3
+"""
+
+
+@register("llm_tfidf", oracle=_TFIDF_ORACLE, section="L4,A1,W1")
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 TF-IDF keyword extraction (the reference's keyword-frequency
+    DWS job shape): token TF per doc, corpus DF, idf = ln(N/df), top-3
+    keywords per doc. Scores are quantized to 1e-6 BEFORE ranking with
+    the token as tiebreaker, so ulp-level libm differences can't flip
+    the ranking between engines (parity rule 7). All shuffles are
+    keyed (doc, token) — two-phase aggregation throughout; the DF table
+    is the only corpus-global state and it's O(vocabulary)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk")
+    )
+    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("tk").agg(F.countDistinct("doc_id").alias("df")).filter(
+        F.col("df") > 1
+    )
+    n_docs = tok.select("doc_id").distinct().count()
+    scored = tf.join(df, "tk").select(
+        "doc_id",
+        "tk",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tk"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("tk").alias("keyword"), "tfidf", F.col("rn").cast("bigint").alias("rn"))
     )
 
 
