@@ -162,6 +162,107 @@ def analytics_returned_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MARKET_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT year(o.o_orderdate) AS order_year,
+         n.n_name AS nation,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+  GROUP BY 1, 2
+)
+SELECT CAST(order_year AS BIGINT) AS order_year, nation, revenue,
+       round(revenue / SUM(revenue) OVER (PARTITION BY order_year), 6) AS share
+FROM rev
+"""
+
+
+@register("analytics_market_share", oracle=_MARKET_SHARE_ORACLE, section="J1,J2,A1,W4")
+def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: each nation's share of its region's yearly
+    revenue. Numerator and denominator are the SAME exact-decimal sums
+    (cast to double last), so the ratio is a division of bit-identical
+    operands on both engines — deterministic without tolerance. The
+    share is a window sum over the tiny (year, nation) aggregate, not
+    the fact table."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_expr = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(rev_expr).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("order_year")
+    return rev.select(
+        "order_year",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
+_TOP_SUPPLIER_ORACLE = """
+WITH srev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, srev.total_rev
+FROM supplier s JOIN srev ON s.s_suppkey = srev.l_suppkey
+WHERE srev.total_rev = (SELECT MAX(total_rev) FROM srev)
+"""
+
+
+@register("analytics_top_supplier", oracle=_TOP_SUPPLIER_ORACLE, section="J1,A1,O2")
+def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the quarter's max revenue — an
+    uncorrelated scalar subquery against the same aggregate (Catalyst
+    plans the MAX as a one-row subquery join; the aggregate is computed
+    once per side but shares the scan+shuffle shape). Exact-decimal
+    revenue makes the MAX equality safe across engines."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_expr = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    srev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_expr).cast("double").alias("total_rev"))
+    )
+    max_rev = srev.agg(F.max("total_rev").alias("m"))
+    return (
+        supplier.join(srev, F.col("s_suppkey") == F.col("l_suppkey"))
+        # max_rev is ONE row — no explicit hint needed; AQE broadcasts it
+        # (and the registry-wide sweep allows hints only on fixed dims)
+        .join(max_rev, F.col("total_rev") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
 _MOM_ORACLE = """
 WITH monthly AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month,
