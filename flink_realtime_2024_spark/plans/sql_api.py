@@ -147,3 +147,53 @@ def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB."""
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(_SQL_CORRELATED_SCALAR)
+
+
+_SQL_NOT_IN = """
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE p_partkey NOT IN (
+  SELECT l_partkey FROM lineitem WHERE l_quantity >= 48
+)
+GROUP BY p_brand
+"""
+
+
+@register("sql_not_in_subquery", oracle=_SQL_NOT_IN, section="§3.2 SQL API,J6")
+def sql_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a subquery — the null-semantics trap operator: both
+    engines implement three-valued NOT IN (one NULL in the subquery
+    empties the result), and Catalyst plans it as a null-aware anti
+    join. The subquery column here is non-null, so the anti join is the
+    plain fast path; the identical string runs on DuckDB."""
+    register_views(spark, sf_dir, ["part", "lineitem"])
+    return spark.sql(_SQL_NOT_IN)
+
+
+_SQL_Q22 = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE CAST(c_acctbal AS DOUBLE) > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0
+      )
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+@register("sql_antijoin_avg_subquery", oracle=_SQL_Q22, section="§3.2 SQL API,J6,A1")
+def sql_antijoin_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (none since 1998; every fixture customer has some order) —
+    an uncorrelated scalar average subquery plus a correlated NOT
+    EXISTS (→ left-anti join). The average divides an exact decimal sum
+    (cast to double) by an exact count, so the comparison boundary is
+    identical on both engines (parity rule: never decimal division).
+    The identical SQL string runs on DuckDB."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_SQL_Q22)
