@@ -180,6 +180,50 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
 
 
+_RANGE_FRAME_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day_num,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS price
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day_num,
+       CAST(SUM(price) OVER (
+         PARTITION BY o_custkey ORDER BY day_num
+         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS spend_90d
+FROM o
+"""
+
+
+@register("winfn_range_frame", oracle=_RANGE_FRAME_ORACLE, section="W4,X2")
+def winfn_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 VALUE-range frame (vs the ROWS frames elsewhere): rolling
+    90-day spend per customer — the frame is bounded by the ORDER-BY
+    VALUE (day number), not a row count, so same-day orders aggregate
+    together and sparse history windows shrink correctly. Time is
+    reduced to an integer day number so both engines' RANGE semantics
+    are identical; the sum is exact decimal, cast double last."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_num = (F.unix_millis(F.col("o_orderdate").cast("timestamp")) / 86400000).cast(
+        "bigint"
+    )
+    o = orders.select(
+        "o_custkey", "o_orderkey", day_num.alias("day_num"), dec("o_totalprice").alias("price")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        F.sum("price").over(w).cast("double").alias("spend_90d"),
+    )
+
+
 _DISTRIBUTION_ORACLE = """
 SELECT o_orderkey, o_orderstatus,
        CUME_DIST() OVER w AS cd,

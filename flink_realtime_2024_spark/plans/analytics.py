@@ -263,6 +263,51 @@ def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROMO_ORACLE = """
+WITH m AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT ship_month, promo_rev, total_rev,
+       round(100 * promo_rev / total_rev, 6) AS promo_pct
+FROM m
+"""
+
+
+@register("analytics_promo_effect", oracle=_PROMO_ORACLE, section="J1,A6,X2")
+def analytics_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship month — a
+    conditional exact-decimal sum over the part join, ratio of two
+    double-cast exact sums (engine-identical division)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    m = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+    )
+    return m.select(
+        "ship_month",
+        "promo_rev",
+        "total_rev",
+        F.round(F.lit(100) * F.col("promo_rev") / F.col("total_rev"), 6).alias("promo_pct"),
+    )
+
+
 _MOM_ORACLE = """
 WITH monthly AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month,
