@@ -229,6 +229,67 @@ def dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         changelog.unpersist()
 
 
+@register("stream_cdc_upsert", oracle=_LATEST_ORACLE, section="S3,S4,T1")
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 the CDC pipeline in its TRUE streaming form: the changelog
+    is staged as a time-ordered multi-file 'binlog topic', consumed via
+    readStream (maxFilesPerTrigger=1 → real micro-batches), and each
+    batch is merge-upserted into the keyed dim store inside
+    foreachBatch — the Flink CDC-source → HBase-sink job end to end.
+    The final materialized state carries the full latest-row oracle:
+    replaying the binlog through the streaming path must converge to
+    the same table as the one-shot batch materialization.
+
+    (dim_upsert is the batch-loop twin; this one exercises the real
+    streaming machinery: source offsets, checkpointing, batch
+    boundaries chosen by the engine.)"""
+    import os
+    import tempfile
+
+    from ..session import prepare
+    from ..streaming.jobs import run_stream
+
+    prepare(spark)
+    # stage the changelog as a 3-file event-time-ordered topic
+    staged = os.path.join(
+        tempfile.gettempdir(), f"cdc_topic_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    marker = os.path.join(staged, "_STAGED_OK")
+    if not os.path.exists(marker):
+        log = build_changelog(spark, sf_dir)
+        log.repartitionByRange(3, "ts_ms").sortWithinPartitions("ts_ms").write.mode(
+            "overwrite"
+        ).parquet(staged)
+        import pyarrow.parquet as pq
+
+        files = [
+            os.path.join(staged, f) for f in os.listdir(staged) if f.endswith(".parquet")
+        ]
+        files.sort(key=lambda p: pq.read_table(p, columns=["ts_ms"])["ts_ms"][0].as_py())
+        base = int(os.path.getmtime(files[0]))
+        for i, p in enumerate(files):
+            os.utime(p, (base + i, base + i))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    schema = "key bigint, op string, totalprice double, orderstatus string, ts_ms bigint"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+    )
+    store = tempfile.mkdtemp(prefix="cdc_stream_dim_")
+    state = {"dim": None}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merged = merge_upsert(state["dim"], batch_df)
+        path = os.path.join(store, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(path)
+        state["dim"] = batch_df.sparkSession.read.parquet(path)
+
+    run_stream(stream.writeStream.outputMode("append").foreachBatch(sink), "cdc_upsert")
+    assert state["dim"] is not None
+    return state["dim"].select("key", "op", "totalprice", "orderstatus", "ts_ms")
+
+
 def merge_upsert(dim: DataFrame | None, batch: DataFrame) -> DataFrame:
     """MERGE INTO-equivalent for a keyed dim: union(current-as-oldest,
     batch) → latest per key → drop deletes."""

@@ -88,7 +88,7 @@ def test_no_explicit_broadcast_of_scaling_tables(spark):
 
     skip = {
         "stream_source_smoke", "stream_split", "stream_dedup", "stream_late_split",
-        "stream_stream_join", "stream_window_topn", "stream_dim_join",
+        "stream_stream_join", "stream_window_topn", "stream_dim_join", "stream_cdc_upsert",
         "config_routing", "dim_upsert", "scan_csv_roundtrip",
         "scan_json_roundtrip", "serving_partition_prune",
     }

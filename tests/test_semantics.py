@@ -291,7 +291,7 @@ def test_no_cartesian_products_anywhere(spark):
     streaming_ids = {
         # these run a stream to completion; plan inspection is meaningless
         "stream_source_smoke", "stream_split", "stream_dedup", "stream_late_split",
-        "stream_stream_join", "stream_window_topn", "stream_dim_join",
+        "stream_stream_join", "stream_window_topn", "stream_dim_join", "stream_cdc_upsert",
         "config_routing", "dim_upsert", "scan_csv_roundtrip",
         "scan_json_roundtrip", "serving_partition_prune",
     }
@@ -315,7 +315,7 @@ def test_lineitem_scans_are_pruned(spark):
 
     skip = {
         "stream_source_smoke", "stream_split", "stream_dedup", "stream_late_split",
-        "stream_stream_join", "stream_window_topn", "stream_dim_join",
+        "stream_stream_join", "stream_window_topn", "stream_dim_join", "stream_cdc_upsert",
         "config_routing", "dim_upsert", "scan_csv_roundtrip",
         "scan_json_roundtrip", "serving_partition_prune",
     }
