@@ -1226,6 +1226,35 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L4/L5 corpus-level summary ----------------------------------------------------
+
+_CORPUS_STATS_ORACLE = """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(MAX(length(text)) AS BIGINT) AS max_chars
+FROM documents
+"""
+
+
+@register("llm_corpus_stats", oracle=_CORPUS_STATS_ORACLE, section="L4,L5,A1")
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L5 corpus-level rollup (the dataset card numbers): doc count,
+    token and char totals, language count — one global aggregate with
+    map-side partial combining; the only cross-partition traffic is one
+    partial-aggregate row per task."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.max(F.length("text")).cast("bigint").alias("max_chars"),
+    )
+
+
 # --- L4 TF-IDF keyword extraction ---------------------------------------------------
 
 _TFIDF_ORACLE = """

@@ -110,3 +110,38 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     return f.subtract(o)
+
+
+_INTERSECT_ALL_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("set_intersect_all", oracle=_INTERSECT_ALL_ORACLE, section="O4")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 INTERSECT ALL — bag semantics: each custkey appears
+    min(count_left, count_right) times. Catalyst rewrites to a
+    per-key count comparison + generate, one shuffle per side."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersectAll(o)
+
+
+_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("set_except_all", oracle=_EXCEPT_ALL_ORACLE, section="O4")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 EXCEPT ALL — bag semantics: each custkey survives
+    max(count_left - count_right, 0) times."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.exceptAll(o)
