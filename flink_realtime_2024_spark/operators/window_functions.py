@@ -267,3 +267,43 @@ def winfn_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("cheapest_key"),
         F.last("o_orderkey").over(wfull).alias("priciest_key"),
     )
+
+
+_GAP_FILL_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN o_orderstatus = 'F'
+              THEN CAST(o_totalprice AS DOUBLE) END AS f_price
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, f_price,
+       last_value(f_price IGNORE NULLS) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled
+FROM o
+"""
+
+
+@register("winfn_gap_fill", oracle=_GAP_FILL_ORACLE, section="W3,W4")
+def winfn_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4 forward-fill (gap fill): last non-NULL value per key up to
+    the current row — last_value with IGNORE NULLS over a running
+    frame, the standard sensor/SCD padding idiom. NULLs before the
+    first observation stay NULL on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_price = F.when(
+        F.col("o_orderstatus") == "F", F.col("o_totalprice").cast("double")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = orders.select("o_custkey", "o_orderkey", f_price.alias("f_price"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "f_price",
+        F.last("f_price", ignorenulls=True).over(w).alias("filled"),
+    )

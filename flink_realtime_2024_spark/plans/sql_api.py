@@ -197,3 +197,23 @@ def sql_antijoin_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     The identical SQL string runs on DuckDB."""
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_SQL_Q22)
+
+
+_SQL_LATERAL = """
+SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
+@register("sql_lateral_topn", oracle=_SQL_LATERAL, section="§3.2 SQL API,J6,W1")
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    top-N-per-group shape written as a lateral join instead of a window
+    function; Catalyst decorrelates it into a partitioned group-limit.
+    The identical SQL string runs on DuckDB."""
+    register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(_SQL_LATERAL)
