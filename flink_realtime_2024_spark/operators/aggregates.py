@@ -226,6 +226,31 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRING_AGG_ORACLE = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+         AS priorities,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_string_agg", oracle=_STRING_AGG_ORACLE, section="A7,X1")
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/X1 ordered string aggregation (LISTAGG / string_agg): distinct
+    values concatenated in a DEFINED order — Spark expresses it as
+    sort_array(collect_set) + array_join, which is order-stable by
+    construction (collect order never leaks into the result)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderpriority")), "|"
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 _GROUPING_SETS_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
