@@ -226,6 +226,32 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BITWISE_ORACLE = """
+SELECT o_orderstatus,
+       bit_and(o_orderkey % 256) AS and_bits,
+       bit_or(o_orderkey % 256) AS or_bits,
+       bit_xor(o_orderkey % 256) AS xor_bits,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_bitwise", oracle=_BITWISE_ORACLE, section="A1,X3")
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/X3 bitwise aggregates (flag-mask rollups): AND/OR/XOR over a
+    byte-range key per group — associative+commutative, so they combine
+    map-side like any sum and are order-independent by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    low = F.col("o_orderkey") % 256
+    return orders.groupBy("o_orderstatus").agg(
+        F.bit_and(low).alias("and_bits"),
+        F.bit_or(low).alias("or_bits"),
+        F.bit_xor(low).alias("xor_bits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 _STRING_AGG_ORACLE = """
 SELECT o_orderstatus,
        string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
