@@ -1563,3 +1563,223 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("es")
         .alias("lang_id"),
     )
+
+
+# =============================================================================
+# L1/L4/L5 corpus-curation extensions: decontamination, chunking,
+# stratified sampling, PII redaction
+# =============================================================================
+
+_DECONTAM_N = 5  # token n-gram size for benchmark-overlap detection
+
+_DECONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i : i + {_DECONTAM_N - 1}], ' ') AS gram
+  FROM toks,
+       UNNEST(generate_series(1, greatest(len(t) - {_DECONTAM_N - 1}, 0))) AS s(i)
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+),
+hits AS (
+  SELECT g.doc_id, COUNT(b.gram) AS n_overlap
+  FROM grams g LEFT JOIN bench b USING (gram)
+  WHERE g.doc_id % 97 <> 0
+  GROUP BY g.doc_id
+)
+SELECT doc_id,
+       n_overlap,
+       CAST(n_overlap > 0 AS INTEGER) AS contaminated
+FROM hits
+"""
+
+
+@register("llm_decontaminate", oracle=_DECONTAM_ORACLE, section="L1,L2,L4", bench=True)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token 5-gram with a held-out benchmark set (here: ``doc_id % 97``,
+    the stand-in for an eval suite). The canonical pre-training hygiene
+    pass (GPT-3 §C / PaLM-style 'contamination' checks).
+
+    Scale shape: n-grams are generated per row with JVM higher-order
+    functions (sequence/transform/slice — zero Python), de-duplicated
+    per document BEFORE the join so the shuffle carries distinct
+    (doc_id, gram) pairs, and the benchmark side is a distinct-gram set
+    that is tiny relative to the corpus — AQE picks a broadcast join at
+    real benchmark sizes; no explicit broadcast so an SF-scaling
+    stand-in cannot OOM executors (VERDICT r1 rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= _DECONTAM_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (_DECONTAM_N - 1)),
+            lambda i: F.array_join(F.slice(toks, i, _DECONTAM_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = (
+        docs.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    )
+    bench = (
+        exploded.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = exploded.where(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count("hit").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            (F.col("n_overlap") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+_CHUNK_SIZE = 32  # tokens per training chunk
+_CHUNK_STRIDE = 24  # overlap = size - stride = 8 tokens
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       k AS chunk_idx,
+       CAST(len(t[k * {_CHUNK_STRIDE} + 1 : least(k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, len(t))]) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(array_to_string(t[k * {_CHUNK_STRIDE} + 1 : least(k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, len(t))], ' '))
+         AS chunk_fp
+FROM toks,
+     UNNEST(generate_series(0, (len(t) - 1) // {_CHUNK_STRIDE})) AS s(k)
+"""
+
+
+@register("llm_chunk_documents", oracle=_CHUNK_ORACLE, section="L4")
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-chunk generation: split each document into overlapping
+    32-token windows on a 24-token stride (chunk k covers tokens
+    [k*stride+1, k*stride+size]) — the tokenize-and-pack step of a
+    pre-training data loader. Chunk text leaves the query as an md5
+    fingerprint so the result stays narrow.
+
+    Per-row generate-and-explode with JVM built-ins only; no shuffle at
+    all — a 100 TB corpus chunks embarrassingly parallel at scan
+    speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ks = F.sequence(F.lit(0), ((n - 1) / F.lit(_CHUNK_STRIDE)).cast("int"))
+    out = docs.select("doc_id", F.explode(ks).alias("chunk_idx"), toks.alias("t"))
+    start = F.col("chunk_idx") * _CHUNK_STRIDE + 1
+    length = F.least(
+        F.lit(_CHUNK_SIZE),
+        F.size("t") - F.col("chunk_idx") * _CHUNK_STRIDE,
+    )
+    chunk = F.slice("t", start, length)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+# per-stratum keep thresholds on the first 4 hex chars of md5(doc_id):
+# lexicographic compare == uniform 16-bit threshold, identical in both engines
+_STRATA_THRESH = {"en": "8000", "zh": "4000"}  # 50% / 25%; default 10%
+_DEFAULT_THRESH = "199a"
+
+_STRATIFIED_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, source,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+  FROM documents
+)
+SELECT doc_id, lang, source, sample_key
+FROM keyed
+WHERE sample_key < CASE lang
+                     WHEN 'en' THEN '{_STRATA_THRESH["en"]}'
+                     WHEN 'zh' THEN '{_STRATA_THRESH["zh"]}'
+                     ELSE '{_DEFAULT_THRESH}'
+                   END
+"""
+
+
+@register("llm_sample_stratified", oracle=_STRATIFIED_ORACLE, section="L5,F2")
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: keep a
+    per-language rate (en 50%, zh 25%, default 10%) by thresholding the
+    first 16 bits of md5(doc_id) — the hash-mod sampling trick that is
+    reproducible across engines, runs, and partitionings (unlike
+    TABLESAMPLE), so a 100 TB mixture recipe is auditable row by row.
+
+    Pure per-row filter: no shuffle, no state; the md5 costs one JVM
+    call per row and the filter fuses into the scan's codegen stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.when(F.col("lang") == "en", _STRATA_THRESH["en"]).when(
+        F.col("lang") == "zh", _STRATA_THRESH["zh"]
+    ).otherwise(_DEFAULT_THRESH)
+    return (
+        docs.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .where(F.col("sample_key") < thresh)
+    )
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_LONGNUM_RE = r"[0-9]{7,}"
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or call '
+              || CAST(doc_id * 7919 + 1000000 AS VARCHAR) || ' now' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g')) AS redacted_fp
+FROM aug
+"""
+
+
+@register("llm_pii_redact", oracle=_PII_ORACLE, section="L5,X1")
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: find-and-replace emails and long digit runs
+    (phone/account numbers) with placeholder tokens, counting each —
+    the redaction pass every public-corpus pipeline runs before
+    training. The fixtures carry no PII, so a deterministic synthetic
+    tail (an email + a number derived from doc_id) is appended
+    identically in both engines to prove the scrubber actually fires;
+    the redacted text leaves as an md5 fingerprint.
+
+    Per-row regexp in the JVM (both engines' regex subsets agree on
+    these patterns; DuckDB needs the 'g' flag to match Spark's
+    replace-all default); no shuffle — scan-speed at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call "),
+        (F.col("doc_id") * 7919 + 1000000).cast("string"),
+        F.lit(" now"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _LONGNUM_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_LONGNUM_RE), 0)).cast("bigint").alias("n_longnums"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
