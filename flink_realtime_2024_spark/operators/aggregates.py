@@ -427,3 +427,62 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.sum(dec("o_totalprice")).cast("double"))
     )
+
+
+_BITMAP_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_distinct_cust
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_bitmap_distinct", oracle=_BITMAP_ORACLE, section="A3,A4")
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via mergeable bitmaps — the Doris BITMAP
+    column pattern the reference's serving layer relies on for exact
+    UV counts (SURVEY §2.7): values map to (bucket, bit) positions,
+    per-bucket bitmaps OR together in partial aggregation, and the
+    final count is a sum of popcounts.
+
+    Scale shape: the two-level groupBy means every map task emits at
+    most one fixed-size (≤4 KB) bitmap per (group, bucket) — the
+    shuffle carries bitmaps, never raw values, unlike count-distinct's
+    value-expand. This is how exact UV survives 100 TB; results are
+    bit-equal to COUNT(DISTINCT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_bucket = orders.groupBy(
+        "o_orderstatus", F.bitmap_bucket_number("o_custkey").alias("bkt")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm"))
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_distinct_cust")
+    )
+
+
+@register("agg_hll_union", oracle=None, section="A4,S7")
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches — the Doris HLL column type: per-nation
+    customer sketches built once, then UNIONED (not recomputed) up to
+    region grain and estimated. Rows-only: DataSketches estimates are
+    engine-specific by design; closeness to the exact count is asserted
+    in tests/test_semantics.py.
+
+    Scale shape: re-aggregation to coarser grains touches only sketch
+    bytes (~KB per group), never the fact table — the pre-aggregated
+    serving-table pattern (S7) for approximate UV at 100 TB."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = customer.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk")
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            per_nation.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_customers")
+        )
+        .orderBy("n_regionkey")
+    )

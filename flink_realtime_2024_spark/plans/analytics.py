@@ -338,3 +338,119 @@ def analytics_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("revenue") - F.lag("revenue").over(w)).cast("double").alias("mom_delta"),
     )
+
+
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events
+),
+v AS (
+  SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(t) AS t2
+  FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND t > t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(t) AS t3
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND t > t2
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'view' AS stage_name, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT 2 AS stage, 'view>click' AS stage_name, COUNT(*) AS n_users FROM c
+UNION ALL
+SELECT 3 AS stage, 'view>click>purchase' AS stage_name, COUNT(*) AS n_users FROM p
+"""
+
+
+@register("analytics_funnel", oracle=_FUNNEL_ORACLE, section="A1,A6,J1,X2", bench=True)
+def analytics_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user the
+    first view, the first click strictly after it, the first purchase
+    strictly after that — the signature DWS traffic metric the
+    reference's Doris layer serves.
+
+    Scale shape: three conditional min-aggregates over the SAME
+    user_id shuffle key — each stage reduces events per user to one
+    timestamp before the next (equi, co-partitioned) join, so the
+    funnel deepens without re-shuffling wide data. Event-time compares
+    happen at µs exactly like the oracle's CAST(ns AS TIMESTAMP)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _stage(df: DataFrame, k: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(k).alias("stage"), F.lit(name).alias("stage_name"), "n_users"
+        )
+
+    return (
+        _stage(v, 1, "view")
+        .unionAll(_stage(c, 2, "view>click"))
+        .unionAll(_stage(p, 3, "view>click>purchase"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(d) AS cohort_d FROM e GROUP BY user_id
+)
+SELECT CAST(cohort_d AS VARCHAR) AS cohort_day,
+       CAST(date_diff('day', cohort_d, d) AS BIGINT) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM e JOIN cohort USING (user_id)
+GROUP BY cohort_d, date_diff('day', cohort_d, d)
+"""
+
+
+@register("analytics_retention", oracle=_RETENTION_ORACLE, section="A1,A3,J1,X2")
+def analytics_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-active day,
+    counted on each subsequent active day-offset — the other canonical
+    DWS user-behavior rollup next to the funnel.
+
+    Scale shape: events collapse to DISTINCT (user, day) FIRST (the big
+    reduction), cohort day is a second agg over the same user_id key,
+    and the join back is equi on user_id — co-partitioned with both
+    aggs. The final rollup groups a frame already shrunk to
+    users × active-days."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    cohort = e.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        e.join(cohort, "user_id")
+        .groupBy("cohort_d", F.datediff("d", "cohort_d").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_active",
+        )
+    )

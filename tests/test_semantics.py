@@ -511,3 +511,27 @@ def test_pq_reconstruction_and_recall(spark):
     recall = hits / total
     # k=5 of 500: random ≈ 0.01; uniform sphere is PQ's worst case
     assert recall >= 0.2, f"PQ recall@k too low: {recall}"
+
+
+def test_hll_union_estimates_close_to_exact(spark):
+    """agg_hll_union is rows-only (DataSketches estimates are
+    engine-specific); pin the semantics here: the merged region-level
+    estimate must be within 5% of the exact distinct customer count."""
+    from flink_realtime_2024_spark.operators.aggregates import agg_hll_union
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    est = {r["n_regionkey"]: r["est_customers"] for r in agg_hll_union(spark, SF_DIR).collect()}
+    customer = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    exact = {
+        r["n_regionkey"]: r["exact"]
+        for r in customer.join(
+            nation, customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("exact"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
