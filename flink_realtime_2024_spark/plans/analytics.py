@@ -374,42 +374,45 @@ def analytics_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly after that — the signature DWS traffic metric the
     reference's Doris layer serves.
 
-    Scale shape: three conditional min-aggregates over the SAME
-    user_id shuffle key — each stage reduces events per user to one
-    timestamp before the next (equi, co-partitioned) join, so the
-    funnel deepens without re-shuffling wide data. Event-time compares
-    happen at µs exactly like the oracle's CAST(ns AS TIMESTAMP)."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    Scale shape: ONE shuffle — events pre-filtered to the three funnel
+    types, exchanged once on user_id, then three chained unordered
+    window-mins (same partitioning ⇒ no re-exchange) compute each
+    stage's first-qualifying timestamp; the final rollup is a tiny
+    global aggregate. The staged groupBy+join alternative costs 5
+    exchanges for the same answer. Skew note: per-user window frames
+    buffer one user's funnel events — bounded by per-user activity, the
+    same key cardinality any funnel shuffle carries. Event-time
+    compares happen at µs exactly like the oracle's
+    CAST(ns AS TIMESTAMP)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
     )
-    c = (
-        e.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-
-    def _stage(df: DataFrame, k: int, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(k).alias("stage"), F.lit(name).alias("stage_name"), "n_users"
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    scored = (
+        e.withColumn("t1", F.min(F.when(et == "view", ts)).over(w))
+        .withColumn(
+            "t2",
+            F.min(F.when((et == "click") & (ts > F.col("t1")), ts)).over(w),
         )
-
-    return (
-        _stage(v, 1, "view")
-        .unionAll(_stage(c, 2, "view>click"))
-        .unionAll(_stage(p, 3, "view>click>purchase"))
+        .withColumn(
+            "t3",
+            F.min(F.when((et == "purchase") & (ts > F.col("t2")), ts)).over(w),
+        )
     )
+    summary = scored.agg(
+        F.countDistinct(F.when(F.col("t1").isNotNull(), F.col("user_id"))).alias("n1"),
+        F.countDistinct(F.when(F.col("t2").isNotNull(), F.col("user_id"))).alias("n2"),
+        F.countDistinct(F.when(F.col("t3").isNotNull(), F.col("user_id"))).alias("n3"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).alias("stage"), F.lit("view").alias("stage_name"), F.col("n1").alias("n_users")),
+        F.struct(F.lit(2).alias("stage"), F.lit("view>click").alias("stage_name"), F.col("n2").alias("n_users")),
+        F.struct(F.lit(3).alias("stage"), F.lit("view>click>purchase").alias("stage_name"), F.col("n3").alias("n_users")),
+    )
+    return summary.select(F.explode(stages).alias("s")).select("s.*")
 
 
 _RETENTION_ORACLE = """
