@@ -491,3 +491,88 @@ def config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("route")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("uv"))
     )
+
+
+@register("stream_neardup_admit", oracle=None, section="L2,T6,S1")
+def stream_neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ADMISSION: incoming documents (a micro-batched
+    stream — the ingest topic of a training-data pipeline) are checked
+    against a static MinHash-LSH index of the existing corpus; a doc is
+    admitted iff no indexed doc reaches Jaccard ≥ 0.5. This is the
+    incremental form of `llm_dedup_minhash` — at 100 TB you don't
+    re-dedup the corpus per delivery, you probe its signature store.
+
+    Scale shape: the corpus index (shingle arrays + band hashes) is
+    built ONCE and persisted; each micro-batch computes signatures for
+    its own (small) slice, equi-joins the index on (band, band_hash) —
+    bucket co-location, no cross join — and verifies exact Jaccard
+    JVM-side. Per-doc results are independent of batch boundaries, so
+    the streamed output equals the batch twin exactly
+    (tests/test_streaming.py).
+
+    Rows-only: MinHash is not SQL-expressible; determinism and
+    batch-equivalence are pytest-asserted."""
+    from ..operators.llm import minhash_bands_from_hashes, shingle_hash_array
+    from ..operators._util import widen
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    incoming = docs.where(F.col("doc_id") % 10 == 0)
+
+    store = (
+        widen(corpus).select("doc_id", shingle_hash_array("text").alias("sh")).persist()
+    )
+    index = store.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sh").alias("sh_c"),
+        F.posexplode(minhash_bands_from_hashes("sh")).alias("band", "band_hash"),
+    ).persist()
+
+    staged = tempfile.mkdtemp(prefix="neardup_ingest_")
+    incoming.repartition(4).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+
+    out = tempfile.mkdtemp(prefix="neardup_admit_out_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        probe = batch_df.select(
+            "doc_id", shingle_hash_array("text").alias("sh")
+        ).persist()
+        cand = (
+            probe.select(
+                "doc_id",
+                "sh",
+                F.posexplode(minhash_bands_from_hashes("sh")).alias("band", "band_hash"),
+            )
+            .join(index, ["band", "band_hash"])
+            .select("doc_id", "sh", "corpus_id", "sh_c")
+            .distinct()
+        )
+        inter = F.size(F.array_intersect("sh", "sh_c")).cast("double")
+        union = F.size(F.array_union("sh", "sh_c")).cast("double")
+        scored = cand.select(
+            "doc_id", F.round(inter / union, 4).alias("jaccard")
+        ).groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        result = (
+            probe.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+                (F.coalesce("best_jaccard", F.lit(0.0)) < 0.5).cast("int").alias("admitted"),
+            )
+        )
+        result.write.mode("append").parquet(out)
+        probe.unpersist()
+
+    run_stream(stream.writeStream.foreachBatch(sink), "neardup_admit")
+    store.unpersist()
+    return spark.read.parquet(out)

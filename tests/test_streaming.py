@@ -308,3 +308,69 @@ def test_streaming_sliding_window_equals_batch(spark):
         for r in window_sliding(spark, SF_DIR).select("bucket_us", "n_events").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_neardup_admit_equals_batch_twin(spark):
+    """stream_neardup_admit's per-doc verdicts depend only on the static
+    index, never on micro-batch boundaries — the streamed output must
+    equal a batch computation of the same probe-vs-index check."""
+    from flink_realtime_2024_spark.operators._util import widen
+    from flink_realtime_2024_spark.operators.llm import (
+        minhash_bands_from_hashes,
+        shingle_hash_array,
+    )
+    from flink_realtime_2024_spark.sources.io import load_table
+    from flink_realtime_2024_spark.streaming.jobs import stream_neardup_admit
+
+    streamed = {
+        (r["doc_id"], r["n_candidates"], r["best_jaccard"], r["admitted"])
+        for r in stream_neardup_admit(spark, SF_DIR).collect()
+    }
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    store = (
+        widen(docs.where(F.col("doc_id") % 10 != 0))
+        .select("doc_id", shingle_hash_array("text").alias("sh"))
+        .persist()
+    )
+    index = store.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sh").alias("sh_c"),
+        F.posexplode(minhash_bands_from_hashes("sh")).alias("band", "band_hash"),
+    )
+    probe = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", shingle_hash_array("text").alias("sh")
+    )
+    cand = (
+        probe.select(
+            "doc_id",
+            "sh",
+            F.posexplode(minhash_bands_from_hashes("sh")).alias("band", "band_hash"),
+        )
+        .join(index, ["band", "band_hash"])
+        .select("doc_id", "sh", "corpus_id", "sh_c")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh", "sh_c")).cast("double")
+    union = F.size(F.array_union("sh", "sh_c")).cast("double")
+    scored = (
+        cand.select("doc_id", F.round(inter / union, 4).alias("jaccard"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    batch = {
+        (
+            r["doc_id"],
+            r["n_candidates"] or 0,
+            r["best_jaccard"] if r["best_jaccard"] is not None else 0.0,
+            int((r["best_jaccard"] or 0.0) < 0.5),
+        )
+        for r in probe.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .collect()
+    }
+    store.unpersist()
+    assert streamed == batch and len(streamed) > 0
