@@ -1783,3 +1783,65 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(aug, F.lit(_LONGNUM_RE), 0)).cast("bigint").alias("n_longnums"),
         F.md5(redacted).alias("redacted_fp"),
     )
+
+
+_HH_THRESHOLD = 200  # absolute corpus frequency bound for "heavy"
+
+_HH_ORACLE = f"""
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+GROUP BY token
+HAVING COUNT(*) >= {_HH_THRESHOLD}
+"""
+
+
+@register("llm_heavy_hitters", oracle=_HH_ORACLE, section="L4,A1")
+def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-token mining (vocabulary heavy hitters ≥ 200
+    occurrences) WITHOUT shuffling the token stream — the
+    candidate-then-verify pattern:
+
+    pass 1: each partition counts its own tokens in a dict and emits
+    only tokens with local count ≥ T/P (P = partition count). By
+    pigeonhole, any token with global freq ≥ T clears that bar in at
+    least one partition, so the candidate set is a guaranteed superset
+    — and tiny (skewed-head tokens only).
+    pass 2: exact recount of candidates only — a left-semi join prunes
+    the exploded token stream BEFORE the groupBy, so the shuffle
+    carries just candidate tokens; the final HAVING restores the exact
+    answer. Deterministic for every partitioning: the candidate bar
+    only over-admits, and verification is exact.
+
+    At 100 TB this is the difference between shuffling ~10^12 token
+    rows and shuffling the few thousand that might matter; the second
+    scan is the price, and scans are the cheap currency. Oracle: plain
+    GROUP BY ... HAVING — bit-equal."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    wide = widen(docs)
+    n_parts = wide.rdd.getNumPartitions()
+    local_bar = max(1, _HH_THRESHOLD // n_parts)
+
+    def _local_counts(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            for t in pdf["text"]:
+                counts.update((t or "").lower().split())
+        out = [(tok, c) for tok, c in counts.items() if c >= local_bar]
+        yield pd.DataFrame(out, columns=["token", "local_freq"]).astype(
+            {"token": "string", "local_freq": "int64"}
+        )
+
+    candidates = (
+        wide.mapInPandas(_local_counts, "token string, local_freq bigint")
+        .select("token")
+        .distinct()
+    )
+    tokens = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    return (
+        tokens.join(candidates, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= _HH_THRESHOLD)
+    )
