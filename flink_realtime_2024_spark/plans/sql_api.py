@@ -217,3 +217,127 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     The identical SQL string runs on DuckDB."""
     register_views(spark, sf_dir, ["nation", "customer"])
     return spark.sql(_SQL_LATERAL)
+
+
+_SQL_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("sql_bilateral_volume", oracle=_SQL_Q7, section="§3.2 SQL API,J1,J2,A1")
+def sql_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    the SAME dimension table joined in two roles (supplier's nation and
+    customer's nation) with a disjunctive cross-filter. Catalyst plans
+    both nation joins as broadcasts and pushes the OR-pair filter into
+    the joined result; the identical SQL string runs on DuckDB."""
+    register_views(
+        spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"]
+    )
+    return spark.sql(_SQL_Q7)
+
+
+_SQL_Q9 = """
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("sql_product_profit", oracle=_SQL_Q9, section="§3.2 SQL API,J1,J2,A1")
+def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (partsupp-free form): product-line profit by
+    supplier nation and order year — a 5-table join tree whose LIKE
+    filter on the part name prunes the fact rows through the first
+    join. Join-order freedom here is exactly what a cost-based
+    optimizer exists for; Catalyst + AQE reorder and broadcast the dims."""
+    register_views(
+        spark, sf_dir, ["part", "lineitem", "supplier", "orders", "nation"]
+    )
+    return spark.sql(_SQL_Q9)
+
+
+_SQL_Q19 = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("sql_disjunctive_filter", oracle=_SQL_Q19, section="§3.2 SQL API,J1,F2")
+def sql_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicates spanning both join sides.
+    The optimizer test: common conjuncts factor out, the part-only
+    disjuncts (brand/size) push below the join to prune the build side,
+    and the residual mixed predicate evaluates post-join — Catalyst's
+    predicate normalization does all three from this one declarative
+    string."""
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_SQL_Q19)
+
+
+_SQL_Q21 = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+"""
+
+
+@register("sql_waiting_supplier", oracle=_SQL_Q21, section="§3.2 SQL API,J6,A1")
+def sql_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (shipdate-lateness form): suppliers who were the
+    ONLY late shipper on a finished multi-supplier order — a correlated
+    EXISTS plus a doubly-correlated NOT EXISTS (it references both l1
+    and o). Catalyst decorrelates to a left-semi and a null-safe
+    left-anti join on l_orderkey; the identical string runs on DuckDB."""
+    register_views(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    return spark.sql(_SQL_Q21)
