@@ -175,3 +175,40 @@ def test_dynamic_partition_overwrite(spark):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         spark.sql("DROP TABLE IF EXISTS serving_dyn")
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
+    """compact_parquet: 32 micro-batch-sized files → byte-sized file
+    count, identical data, atomic swap (no mixed state left behind)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from flink_realtime_2024_spark.sources.io import load_table
+    from flink_realtime_2024_spark.sources.maintenance import (
+        compact_parquet,
+        parquet_dir_stats,
+    )
+
+    target = str(tmp_path / "accreted")
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    li.repartition(32).write.mode("overwrite").parquet(target)
+    before_files, _ = parquet_dir_stats(target)
+    assert before_files >= 32
+
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+
+    stats = compact_parquet(spark, target, target_file_bytes=1 << 30)
+    assert stats["files_before"] == before_files
+    assert stats["files_after"] == 1
+
+    back = spark.read.parquet(target)
+    got = back.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+    assert (got["n"], got["q"]) == (want["n"], want["q"])
+    assert not os.path.exists(target + ".compact_bak")
