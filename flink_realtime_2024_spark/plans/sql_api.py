@@ -272,7 +272,7 @@ GROUP BY nation, o_year
 """
 
 
-@register("sql_product_profit", oracle=_SQL_Q9, section="§3.2 SQL API,J1,J2,A1")
+@register("sql_product_profit", oracle=_SQL_Q9, section="§3.2 SQL API,J1,J2,A1", bench=True)
 def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (partsupp-free form): product-line profit by
     supplier nation and order year — a 5-table join tree whose LIKE
