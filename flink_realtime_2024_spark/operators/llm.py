@@ -1845,3 +1845,99 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .where(F.col("freq") >= _HH_THRESHOLD)
     )
+
+
+_PPLX_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+lm AS (
+  SELECT token,
+         COUNT(*) AS freq,
+         (SELECT COUNT(*) FROM tok) AS total
+  FROM tok GROUP BY token
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-AVG(ln(CAST(lm.freq AS DOUBLE) / lm.total)), 4) AS avg_neg_logprob
+FROM tok t JOIN lm USING (token)
+GROUP BY t.doc_id
+"""
+
+
+@register("llm_perplexity_proxy", oracle=_PPLX_ORACLE, section="L5,A1,J1")
+def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy (the CCNet-style quality signal
+    without a trained model): build the corpus unigram distribution,
+    score every document by its mean negative log-probability —
+    high = surprising/rare vocabulary, low = boilerplate. The full
+    LM-filter shape: train a model ON the corpus, score the corpus
+    WITH it, in one declarative plan.
+
+    Scale shape: the LM is a token-grain aggregate (map-side combined);
+    scoring re-joins tokens to the LM on the token key — a skewed join
+    AQE handles (head tokens are hot but carry one tiny LM row; at
+    100 TB the LM table is vocabulary-sized, candidate for broadcast by
+    stats). AVG of logs is order-independent to 1e-15; round(4) absorbs
+    engine summation-order noise (parity rule 12)."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    )
+    tok = tok.persist()
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = tok.count()
+    return (
+        tok.join(lm, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.avg(F.log(F.col("freq").cast("double") / F.lit(float(total)))), 4
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+_BASKET_ORACLE = """
+WITH lines AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders
+FROM pairs
+WHERE n_orders >= 2
+"""
+
+
+@register("analytics_basket_affinity", oracle=_BASKET_ORACLE, section="A1,J1,W1")
+def analytics_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in ≥2
+    orders — the recommender-feed rollup a serving layer materializes.
+
+    Scale shape: the pair enumeration is an equi self-join on
+    l_orderkey — pairs are generated per order (baskets are small:
+    ~4 lines), never across orders, so the blow-up is Σ b_i², not N².
+    The DISTINCT first collapses multi-line duplicates of the same part
+    before pairing; the support filter keeps the output at
+    head-pair size."""
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lines.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = lines.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
