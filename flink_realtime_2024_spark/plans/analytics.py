@@ -402,10 +402,13 @@ def analytics_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when((et == "purchase") & (ts > F.col("t2")), ts)).over(w),
         )
     )
-    summary = scored.agg(
-        F.countDistinct(F.when(F.col("t1").isNotNull(), F.col("user_id"))).alias("n1"),
-        F.countDistinct(F.when(F.col("t2").isNotNull(), F.col("user_id"))).alias("n2"),
-        F.countDistinct(F.when(F.col("t3").isNotNull(), F.col("user_id"))).alias("n3"),
+    per_user = scored.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    summary = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
     )
     stages = F.array(
         F.struct(F.lit(1).alias("stage"), F.lit("view").alias("stage_name"), F.col("n1").alias("n_users")),

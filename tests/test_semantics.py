@@ -535,3 +535,16 @@ def test_hll_union_estimates_close_to_exact(spark):
     assert set(est) == set(exact)
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
+
+
+def test_funnel_is_single_wide_shuffle(spark):
+    """analytics_funnel's contract: ONE exchange on user_id feeds all
+    three chained window-mins (same partitioning ⇒ reused), plus only
+    the tiny single-partition exchange for the global rollup — never
+    the 5-exchange staged groupBy+join shape, and no join at all."""
+    from flink_realtime_2024_spark.plans.registry import all_queries
+
+    plan = _explain(all_queries()["analytics_funnel"].builder(spark, SF_DIR))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan
+    assert "Join" not in plan, plan
