@@ -57,9 +57,21 @@ def main() -> None:
         "lineitem orders customer supplier part nation region events documents embeddings"
     ).split()
     # stage concurrently: each table's 1-task scan+cache would otherwise
-    # serialize; Spark schedules the independent jobs across the pool
+    # serialize; Spark schedules the independent jobs across the pool.
+    # Per-table isolation: one unstageable table must not zero the whole
+    # bench (round-2 post-mortem — an events scan error aborted the run
+    # and the round recorded no number at all). A failed stage falls
+    # back to cold scans for the queries that touch it.
+    stage_errors: dict[str, str] = {}
+
+    def _stage(t: str) -> None:
+        try:
+            load_table(spark, SF_DIR, t)
+        except Exception as e:
+            stage_errors[t] = f"{type(e).__name__}: {e}"[:200]
+
     with ThreadPoolExecutor(max_workers=len(tables)) as pool:
-        list(pool.map(lambda t: load_table(spark, SF_DIR, t), tables))
+        list(pool.map(_stage, tables))
     staging_s = round(time.perf_counter() - t_stage, 3)
 
     # warm-up: run every headline plan once at the smallest SF so JVM
@@ -75,29 +87,38 @@ def main() -> None:
 
     # two timed runs per query, keep the min: single-shot numbers at
     # these sizes are dominated by JIT/GC noise, not engine work; the
-    # min is the steady-state cost a repeated production query pays
+    # min is the steady-state cost a repeated production query pays.
+    # Per-query isolation: one red query records an error entry, the
+    # rest of the round's numbers survive.
     timings: dict[str, float] = {}
+    query_errors: dict[str, str] = {}
     for name in sorted(queries):
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(queries[name].builder(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(queries[name].builder(spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:
+            query_errors[name] = f"{type(e).__name__}: {e}"[:200]
     total = round(sum(timings.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "table_staging_seconds": staging_s,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "table_staging_seconds": staging_s,
+        "n_ok": len(timings),
+        "n_err": len(query_errors),
+    }
+    if stage_errors:
+        out["stage_errors"] = stage_errors
+    if query_errors:
+        out["query_errors"] = query_errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

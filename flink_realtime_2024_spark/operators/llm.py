@@ -395,53 +395,95 @@ SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
 
 
 def connected_components(edges: DataFrame, src: str, dst: str, max_iter: int = 50) -> DataFrame:
-    """Min-label propagation to a fixpoint: every vertex's label
-    converges to the smallest vertex id in its connected component.
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log² n) rounds on ANY graph shape — unlike
+    min-label propagation, whose round count is the graph *diameter*
+    and stalls on adversarially long dup-chains at 100 TB.
 
-    Per iteration: one join + one groupBy (shuffles on vertex id, reused
-    across iterations), then `localCheckpoint` truncates the lineage so
-    the plan doesn't grow with the loop. Convergence detection is a
-    single scalar aggregate (labels only ever decrease, so the label sum
-    is a strictly monotone progress measure — no row-by-row diff join).
-    Iterations = graph diameter; near-dup clusters are shallow (a dup of
-    a dup of X is usually a dup of X), so this converges in a handful of
-    rounds. For adversarially long chains at 100 TB, the same loop
-    accepts the large-star/small-star variant (Kiveris et al.) — only
-    the per-iteration step changes, not the harness."""
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    Per round, two shuffle stages over the current edge set (each a
+    groupBy-min + join, no joins against a growing frontier):
+
+    - **large-star**: every node links its larger neighbors to the
+      smallest node in its neighborhood (incl. itself) — emitted edges
+      always point high→low, halving long chains;
+    - **small-star**: every node links its smaller neighbors (and
+      itself) to its minimum neighbor — collapsing local stars onto
+      component minima.
+
+    ``localCheckpoint`` per round truncates lineage so the plan doesn't
+    grow with the loop. Convergence = the (count, id-sum) signature of
+    the edge set is unchanged — edges only ever relink to smaller
+    targets, so the sum is monotone non-increasing and equality (with
+    equal count) is a fixpoint in practice; a final groupBy-min makes
+    the output correct even if max_iter cuts convergence short.
+
+    At the fixpoint the edge set is a star per component, centered at
+    the component's minimum id; output is (doc_id, cluster_id=min-id)
+    for every vertex that appears in the input edge set."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        # materialize ONCE — without this the whole upstream pair-
+        # generation pipeline would re-execute every round
+        .localCheckpoint()
     )
-    # materialize the edge set ONCE — every iteration joins against it,
-    # and without this the whole upstream pair-generation pipeline would
-    # re-execute per round (the loop's cost must be per-iteration joins,
-    # not per-iteration recomputation of the input)
-    und = und.localCheckpoint()
-    labels = und.select(F.col("a").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
-    )
-    labels = labels.localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sig = None
     for _ in range(max_iter):
-        nbr_min = (
-            und.join(labels, und["b"] == labels["doc_id"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
+        # large-star: N(u) over both orientations; m = min(N(u) ∪ {u});
+        # emit (v, m) for v ∈ N(u) with v > u
+        both = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
+        lmin = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        e = (
+            both.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient high→low; m = min neighbor of u (< u);
+        # emit (v, m) for v ∈ N(u) \ {m} plus (u, m)
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            oriented.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = (
+            relink.unionByName(smin.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)), F.sum(F.col("u") + F.col("v"))
+            ).collect()[0]
+        )
+        if sig == prev_sig:
             break
-        prev_sum = cur_sum
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+        prev_sig = sig
+    # at fixpoint e is (member, root) stars; roots label themselves.
+    # groupBy-min also collapses any residual multi-label nodes if
+    # max_iter stopped the loop early.
+    return (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("label"))
+        .unionByName(
+            e.select(F.col("v").alias("doc_id"), F.col("v").alias("label"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("cluster_id"))
+    )
 
 
 @register("llm_dedup_clusters", oracle=_CLUSTER_ORACLE, section="L1,L2")

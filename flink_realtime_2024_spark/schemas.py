@@ -89,26 +89,14 @@ lineitem = T.StructType(
     ]
 )
 
-# events.parquet carries TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong the raw scan yields LongType —
-# sources/io.py converts to TimestampType (µs). This is the *post-load*
-# engine schema.
+# events.parquet's timestamp column scans differently by environment
+# (LongType epoch-nanos under legacy nanosAsLong; TIMESTAMP_NTZ on
+# Spark 4.1+). sources/io.py:events_ts_to_timestamp normalizes either
+# to TimestampType (µs, UTC). This is the *post-load* engine schema.
 events = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.TimestampType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-# Raw on-disk schema for streaming sources (readStream requires a schema).
-events_raw = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch nanos
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),

@@ -24,10 +24,13 @@ from pyspark.sql import SparkSession
 # Runtime-settable confs applied even to a session we did not create
 # (the verification driver passes us its own SparkSession).
 _RUNTIME_CONFS: dict[str, str] = {
-    # events.parquet is TIMESTAMP(NANOS) which Spark's parquet reader
-    # rejects by default; read as epoch-nanos LongType and convert
-    # explicitly (sources/io.py). Distributed native scan — no
-    # driver-side rewriting of the input.
+    # Older environments: events.parquet stored TIMESTAMP(NANOS) which
+    # the reader rejects without this legacy conf. Spark 4.1+ removed
+    # the conf (it sets without error but is ignored) — the engine no
+    # longer *depends* on it; sources/io.py:events_ts_to_timestamp
+    # branches on whatever type the scan actually yields, and
+    # assert_environment() below fails loudly if it's a type we don't
+    # handle.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     # Harness-scale shuffle width (driver sessions default to 200 → 200
@@ -56,6 +59,40 @@ def prepare(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # non-settable on this session → keep its value
     return spark
+
+
+_ENV_CHECKED: set[int] = set()
+
+
+def assert_environment(spark: SparkSession, sf_dir: str) -> None:
+    """Fail loudly — once per session — if the environment drifted.
+
+    Round-2 post-mortem: a PySpark upgrade silently ignored a legacy
+    conf and every ``events`` query died at runtime with a type error.
+    ``prepare()``'s best-effort conf loop cannot detect that (Spark
+    accepts removed confs without error), so this probes the one thing
+    that actually matters: the events scan must yield a ``ts`` type the
+    engine knows how to normalize. One footer read, cached per session.
+    """
+    if id(spark) in _ENV_CHECKED:
+        return
+    import os as _os
+
+    path = f"{sf_dir}/events.parquet"
+    if not _os.path.exists(path):
+        return  # nothing to probe against (unit tests with synth frames)
+    from pyspark.sql import types as T
+
+    dt = spark.read.parquet(path).schema["ts"].dataType
+    ok = isinstance(dt, (T.LongType, T.TimestampNTZType, T.TimestampType))
+    if not ok:
+        raise RuntimeError(
+            f"environment drift: events.ts scans as {dt} on this Spark "
+            f"({spark.version}); sources/io.py:events_ts_to_timestamp "
+            "handles LongType/TimestampNTZType/TimestampType only — add "
+            "a branch before running queries"
+        )
+    _ENV_CHECKED.add(id(spark))
 
 
 def get_spark(

@@ -19,10 +19,12 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from .. import schemas
-from ..session import prepare
+from ..session import assert_environment, prepare
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -46,23 +48,55 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def events_ts_to_timestamp(df: DataFrame) -> DataFrame:
+    """Normalize the ``events.ts`` column to TimestampType (µs, UTC).
+
+    The fixture file's physical type has varied across environments, and
+    PySpark's scan of it varies by version (Spark 4.1 dropped
+    ``spark.sql.legacy.parquet.nanosAsLong`` — it sets without error but
+    is ignored). Branch on what the scan actually produced:
+
+    - ``LongType``     — epoch *nanos* (legacy nanosAsLong path): integer
+      division truncates ns→µs exactly like DuckDB, so oracles agree.
+    - ``TimestampNTZType`` — Spark 4.x scan of a no-timezone µs column:
+      cast to TimestampType; with the UTC session timezone the instants
+      (and the hash the oracles matched in r1) are identical.
+    - ``TimestampType`` — already what the engine schema declares.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(dt, T.TimestampType):
+        return df
+    raise TypeError(
+        f"events.ts scanned as unsupported type {dt}; expected LongType "
+        "(epoch-nanos), TimestampNTZType, or TimestampType"
+    )
+
+
+def events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """The *on-scan* schema of events.parquet (readStream requires an
+    explicit schema; it must match what the batch reader would produce
+    in this environment, not a hard-coded guess). One footer read."""
+    return spark.read.parquet(table_path(sf_dir, "events")).schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table with its declared schema.
 
-    ``events`` needs care: the file stores TIMESTAMP(NANOS), which Spark's
-    reader rejects. With ``spark.sql.legacy.parquet.nanosAsLong`` the
-    column scans as epoch-nanos LongType; we convert to TimestampType by
-    integer division (truncation towards zero matches DuckDB's ns→µs
-    truncation, so oracles agree sub-second).
+    ``events`` needs care — its timestamp column scans differently by
+    Spark version; see :func:`events_ts_to_timestamp`.
     """
     prepare(spark)
+    assert_environment(spark, sf_dir)
     path = table_path(sf_dir, name)
     key = (id(spark), sf_dir, name)
     if _HOT_ENABLED and key in _HOT:
         return _HOT[key]
     if name == "events":
-        raw = spark.read.parquet(path)
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = events_ts_to_timestamp(spark.read.parquet(path))
     else:
         df = spark.read.schema(schemas.TABLES[name]).parquet(path)
     if _HOT_ENABLED:

@@ -28,7 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import schemas
-from ..sources.io import load_table
+from ..sources.io import events_ts_to_timestamp, load_table
 from ..session import prepare
 from ..plans.registry import register
 
@@ -41,7 +41,7 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> st
     )
     marker = os.path.join(staged, "_SUCCESS")
     if not os.path.exists(marker):
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # keep ns-long ts
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # keep on-disk ts type
         raw.repartition(n_files).write.mode("overwrite").parquet(staged)
     return staged
 
@@ -57,7 +57,7 @@ def staged_events_dir_ordered(spark: SparkSession, sf_dir: str, n_files: int = 4
     )
     marker = os.path.join(staged, "_STAGED_OK")
     if not os.path.exists(marker):
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ns-long ts
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # on-disk ts type
         raw.repartitionByRange(n_files, "ts").sortWithinPartitions("ts").write.mode(
             "overwrite"
         ).parquet(staged)
@@ -80,16 +80,17 @@ def staged_events_dir_ordered(spark: SparkSession, sf_dir: str, n_files: int = 4
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 stream source: the engine's Kafka-source equivalent. Schema is
-    declared (streams require one); ts converted ns→µs like the batch
-    loader so batch twins share expressions."""
+    probed from the file footer (streams require one, and it must match
+    what this Spark version scans); ts normalized to TimestampType like
+    the batch loader so batch twins share expressions."""
     prepare(spark)
     staged = _staged_events_dir(spark, sf_dir)
-    return (
-        spark.readStream.schema(schemas.events_raw)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(staged).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    return events_ts_to_timestamp(raw)
 
 
 def run_stream(df_writer, checkpoint_tag: str):

@@ -265,19 +265,16 @@ def run_first_visits(
 def run_order_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute the timer job over an in-order replay (timers need the
     watermark to advance monotonically across micro-batches)."""
-    import pyspark.sql.functions as SF
-
-    from .. import schemas
     from ..session import prepare
+    from ..sources.io import events_ts_to_timestamp
     from .jobs import run_stream, staged_events_dir_ordered
 
     prepare(spark)
     staged = staged_events_dir_ordered(spark, sf_dir)
-    ev = (
-        spark.readStream.schema(schemas.events_raw)
+    ev = events_ts_to_timestamp(
+        spark.readStream.schema(spark.read.parquet(staged).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
-        .withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
     )
     out = tempfile.mkdtemp(prefix="order_timeouts_out_")
 
