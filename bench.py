@@ -104,6 +104,20 @@ def main() -> None:
             query_errors[name] = f"{type(e).__name__}: {e}"[:200]
     total = round(sum(timings.values()), 3)
 
+    # the bench set grew across rounds (r1: 20 ids, r2+: 30) — totals
+    # aren't comparable across rounds, so also report the sum over the
+    # original r1 headline set for a like-for-like trend line
+    r1_set = {
+        "agg_hash_groupby", "agg_rollup", "analytics_region_volume",
+        "cdc_latest_row", "flagship_revenue_by_nation", "join_asof_latest",
+        "join_inner_hash", "join_interval", "llm_dedup_exact",
+        "llm_dedup_minhash", "llm_knn_cosine", "llm_knn_ivf",
+        "llm_text_stats", "llm_wordcount", "sql_pricing_summary",
+        "udtf_tokenize_explode", "warehouse_order_wide", "window_session",
+        "window_tumbling", "winfn_topn",
+    }
+    r1_subset = round(sum(t for n, t in timings.items() if n in r1_set), 3)
+
     out = {
         "metric": "headline_queries_total_wall_seconds",
         "value": total,
@@ -113,6 +127,7 @@ def main() -> None:
         "table_staging_seconds": staging_s,
         "n_ok": len(timings),
         "n_err": len(query_errors),
+        "r1_comparable_subset_sec": r1_subset,
     }
     if stage_errors:
         out["stage_errors"] = stage_errors

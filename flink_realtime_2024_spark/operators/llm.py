@@ -1614,6 +1614,20 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECONTAM_N = 5  # token n-gram size for benchmark-overlap detection
 
+
+def _token_ngrams(col: str = "text", n: int = _DECONTAM_N):
+    """Whitespace-token n-grams as an array column — JVM higher-order
+    functions only (sequence/transform/slice), zero Python."""
+    toks = F.split(col, " ")
+    size = F.size(toks)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
 _DECONTAM_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1655,17 +1669,8 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     real benchmark sizes; no explicit broadcast so an SF-scaling
     stand-in cannot OOM executors (VERDICT r1 rule)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    grams = F.when(
-        n >= _DECONTAM_N,
-        F.transform(
-            F.sequence(F.lit(1), n - (_DECONTAM_N - 1)),
-            lambda i: F.array_join(F.slice(toks, i, _DECONTAM_N), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     exploded = (
-        docs.select("doc_id", F.explode(grams).alias("gram")).distinct()
+        docs.select("doc_id", F.explode(_token_ngrams()).alias("gram")).distinct()
     )
     bench = (
         exploded.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
@@ -1680,6 +1685,95 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_overlap",
             (F.col("n_overlap") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+_BLOOM_K = 7  # hash functions per gram
+
+
+@register("llm_decontaminate_bloom", oracle=_DECONTAM_ORACLE, section="L1,L2,L4")
+def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, Bloom-filter scale path — identical
+    semantics (and oracle) to ``llm_decontaminate``, different physical
+    plan: the corpus-gram shuffle is pruned by a broadcast Bloom filter
+    BEFORE the exact join, so at 100 TB only the tiny bloom-positive
+    slice of corpus grams enters the shuffle (the Dolma/CCNet-style
+    production pattern; Spark's own runtime-filter bloom is JVM-internal
+    in this build, so the filter is built explicitly).
+
+    Plan: (1) benchmark grams (small by definition — it's an eval
+    suite) hash k ways JVM-side; their distinct bit positions collect to
+    the driver (O(|bench| × k), bounded by the benchmark, never the
+    corpus) into a packed uint64 bitmap sized 16 bits/gram (~0.04% FP
+    at k=7). (2) The bitmap broadcasts; corpus grams probe it in a
+    vectorized Arrow kernel over the k JVM-computed hashes — no Python
+    string handling, just integer bit tests. (3) Bloom positives
+    (matches + rare FPs) verify against the exact benchmark set; a
+    final left join restores n_overlap=0 docs. Result is EXACT — the
+    bloom only prunes."""
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = (
+        docs.select("doc_id", F.explode(_token_ngrams()).alias("gram")).distinct()
+    )
+    bench = exploded.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    corpus = exploded.where(F.col("doc_id") % 97 != 0)
+
+    n_bench = bench.count()  # scalar: sizes the filter
+    m_bits = 1 << max(10, int(np.ceil(np.log2(max(n_bench, 1) * 16))))
+
+    def _hashes(df: DataFrame) -> DataFrame:
+        # k independent hashes via salted xxhash64 (seed param isn't
+        # exposed in SQL; salting the input is equivalent)
+        return df.select(
+            df["*"],
+            *[
+                F.pmod(F.xxhash64(F.concat(F.col("gram"), F.lit(f"#{i}"))), F.lit(m_bits))
+                .alias(f"h{i}")
+                for i in range(_BLOOM_K)
+            ],
+        )
+
+    pos_rows = (
+        _hashes(bench)
+        .select(
+            F.explode(F.array(*[F.col(f"h{i}") for i in range(_BLOOM_K)])).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(m_bits >> 6, dtype=np.uint64)
+    pos = np.array([r["pos"] for r in pos_rows], dtype=np.int64)
+    if len(pos):
+        np.bitwise_or.at(bitmap, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+    b = spark.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf(T.BooleanType())
+    def bloom_maybe(*hs: pd.Series) -> pd.Series:
+        bm = b.value
+        ok = np.ones(len(hs[0]), dtype=bool)
+        for h in hs:
+            hv = h.to_numpy(dtype=np.int64)
+            ok &= (bm[hv >> 6] >> (hv & 63).astype(np.uint64)).astype(np.int64) & 1 > 0
+        return pd.Series(ok)
+
+    candidates = (
+        _hashes(corpus)
+        .where(bloom_maybe(*[F.col(f"h{i}") for i in range(_BLOOM_K)]))
+        .select("doc_id", "gram")
+    )
+    verified = (
+        candidates.join(bench.withColumn("hit", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count("hit").alias("n_overlap"))
+    )
+    return (
+        corpus.select("doc_id").distinct()
+        .join(verified, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
     )
 
@@ -1982,4 +2076,273 @@ def analytics_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 2)
+    )
+
+
+# =============================================================================
+# L3 extensions (round 3): distributed k-means, SemDeDup semantic dedup,
+# int8 scalar-quantized kNN
+# =============================================================================
+
+_KMEANS_K = 16
+_KMEANS_ROUNDS = 8
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = _KMEANS_K, rounds: int = _KMEANS_ROUNDS
+) -> DataFrame:
+    """Distributed Lloyd k-means on unit vectors (cosine metric ⇒
+    assignment = argmax dot product). Centroids are the ONLY
+    driver-resident state (k×d floats); per round:
+
+    1. one mapInPandas pass assigns every vector to its nearest
+       centroid AND emits per-Arrow-batch partial sums — (cluster,
+       count, sum-vector) — so the corpus embeddings never shuffle;
+    2. the partials posexplode to (cluster, dim, value) and a groupBy
+       reduces them; the driver collects exactly k×d scalars (scale-
+       independent) to form the next centroids.
+
+    Deterministic: init = first k vectors by vec_id (TakeOrdered, no
+    RNG); fixed round count (Lloyd monotonically decreases in-cluster
+    variance; on the fixture assignments stabilize well before 8).
+    Output: (vec_id, cluster_id).
+    """
+    vecs = emb.select("vec_id", "embedding")
+    init = vecs.orderBy("vec_id").limit(k).collect()
+    cent = np.array([r["embedding"] for r in init], dtype=np.float64)
+    d = cent.shape[1]
+    sc = emb.sparkSession.sparkContext
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sums", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    for _ in range(rounds):
+        b = sc.broadcast(cent)
+
+        def partials(batches):
+            C = b.value
+            for pdf in batches:
+                E = np.array(list(pdf["embedding"]), dtype=np.float64)
+                a = (E @ C.T).argmax(axis=1)
+                rows = []
+                for c in np.unique(a):
+                    sel = E[a == c]
+                    rows.append((int(c), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cluster", "n", "sums"])
+
+        agg = (
+            widen(vecs)
+            .mapInPandas(partials, partial_schema)
+            .select("cluster", "n", F.posexplode("sums").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("n").alias("n"), F.sum("v").alias("s"))
+            .collect()
+        )
+        counts = np.zeros(k)
+        sums = np.zeros((k, d))
+        for r in agg:
+            sums[r["cluster"], r["dim"]] = r["s"]
+            if r["dim"] == 0:
+                # n is replicated across a cluster's dims; read it once
+                counts[r["cluster"]] = r["n"]
+        for c in range(k):
+            if counts[c] > 0:
+                m = sums[c] / counts[c]
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cent[c] = m / nrm
+
+    bfin = sc.broadcast(cent)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(embedding: pd.Series) -> pd.Series:
+        C = bfin.value
+        E = np.array(list(embedding), dtype=np.float64)
+        return pd.Series((E @ C.T).argmax(axis=1).astype(np.int32))
+
+    return vecs.select(
+        "vec_id", assign("embedding").alias("cluster_id"), "embedding"
+    )
+
+
+@register("llm_kmeans_clusters", oracle=None, section="L3")
+def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: corpus clustering by distributed k-means (the grouping step
+    behind SemDeDup-style curation and IVF index builds). Rows-only:
+    iterative — not SQL-expressible; determinism + quality are
+    pytest-asserted (fixed init, in-cluster cosine beats random)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb).select("vec_id", "cluster_id")
+
+
+_SEMDEDUP_TAU = 0.8  # cosine threshold for "semantic duplicate"
+
+_SEMDEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cluster_id", T.IntegerType()),
+        T.StructField("is_dup", T.IntegerType()),
+        T.StructField("keeper_vec_id", T.LongType()),
+    ]
+)
+
+
+def semdedup_pipeline(assigned: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFrame:
+    """Per-cluster semantic dedup over a (vec_id, cluster_id, embedding)
+    frame: members sort by vec_id; a doc is a duplicate iff some
+    LOWER-id member of the same cluster has cosine ≥ τ (keeper =
+    transitively the group's lowest id — deterministic)."""
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        E = np.array(list(pdf["embedding"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        S = np.round(E @ E.T, 6)
+        keeper = ids.copy()
+        is_dup = np.zeros(len(ids), dtype=np.int32)
+        for i in range(len(ids)):
+            close = np.nonzero(S[i, :i] >= tau)[0]
+            if len(close):
+                j = close[0]
+                is_dup[i] = 1
+                keeper[i] = keeper[j]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": pdf["cluster_id"],
+                "is_dup": is_dup,
+                "keeper_vec_id": keeper,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(dedup_cluster, _SEMDEDUP_SCHEMA)
+
+
+@register("llm_semantic_dedup", oracle=None, section="L2,L3")
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop documents whose embedding is
+    near-identical to another in the SAME k-means cluster — pairwise
+    comparison happens only within clusters, turning O(N²) into
+    Σ c_i² with c_i ≈ N/k (and the clusters shard across executors).
+
+    Plan: k-means assignment (driver state = centroids only), then one
+    applyInPandas per cluster (``semdedup_pipeline``). At 100 TB,
+    oversized clusters would be sub-sharded by a second-level
+    clustering; cluster sizes here are ≤ a few hundred. Rows-only: the
+    cluster-scoped definition is iterative; pytest injects near-copies
+    and checks the flagged set exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_pipeline(kmeans_assign(emb))
+
+
+@register("llm_knn_int8", oracle=None, section="L3")
+def llm_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: brute-force top-k over INT8 scalar-quantized embeddings — 4×
+    memory/bandwidth reduction (the standard serving trick before PQ).
+    Each vector stores int8 codes + one float scale (max|x|/127);
+    scores are rescaled int dot products. Same fused plan as
+    llm_knn_cosine: broadcast query codes, one mapInPandas scan with
+    per-batch partial top-k, one final row_number shuffle. Rows-only:
+    quantization noise is engine-specific; recall vs the exact kNN is
+    pytest-asserted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_KNN_MAX_QUERIES)
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qscale = np.abs(Q).max(axis=1) / 127.0
+    qscale[qscale == 0] = 1.0
+    Q8 = np.round(Q / qscale[:, None]).astype(np.int8)
+    sc = spark.sparkContext
+    b = sc.broadcast((qids, Q8, qscale))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def partial_topk(batches):
+        bqids, bQ8, bqs = b.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            escale = np.abs(E).max(axis=1) / 127.0
+            escale[escale == 0] = 1.0
+            E8 = np.round(E / escale[:, None]).astype(np.int8)
+            # int32 accumulation of int8 dots, then rescale to float
+            S = (E8.astype(np.int32) @ bQ8.astype(np.int32).T).astype(np.float64)
+            S = np.round(S * escale[:, None] * bqs[None, :], 6)
+            rows = []
+            for j in range(len(bqids)):
+                s = S[:, j]
+                mask = ids != bqids[j]
+                mids, ms = ids[mask], s[mask]
+                order = np.lexsort((mids, -ms))[: _KNN_K]
+                for i in order:
+                    rows.append((int(bqids[j]), int(mids[i]), float(ms[i])))
+            if rows:
+                yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    partial = widen(emb.select("vec_id", "embedding")).mapInPandas(
+        partial_topk, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+_DOMAIN_ORACLE = """
+WITH fp AS (
+  SELECT source, md5(text) AS h, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       COUNT(DISTINCT h) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups
+FROM fp
+GROUP BY source
+"""
+
+
+@register("llm_domain_stats", oracle=_DOMAIN_ORACLE, section="L4,L5,A3")
+def llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-level curation rollup (the per-domain quality
+    table a crawl pipeline keeps: volume, token mass, exact-dup rate
+    per source). One hash-groupBy on the source key; the distinct-hash
+    count shuffles 16-byte digests, not text. At 100 TB the source key
+    is skewed (head domains) — countDistinct under AQE skew handling,
+    or swap to the bitmap/HLL sketch rows for the approximate form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.md5("text").alias("h"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        )
     )

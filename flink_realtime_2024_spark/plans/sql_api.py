@@ -341,3 +341,78 @@ def sql_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti join on l_orderkey; the identical string runs on DuckDB."""
     register_views(spark, sf_dir, ["supplier", "lineitem", "orders"])
     return spark.sql(_SQL_Q21)
+
+
+_SQL_Q12 = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+       CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag <> 'R'
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("sql_shipping_priority", oracle=_SQL_Q12, section="§3.2 SQL API,J1,A6")
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (lateness-bucket form — this dataset has no
+    l_shipmode/l_receiptdate, so the late/on-time split keys on
+    shipdate lag vs order date): per-priority conditional counts over
+    one fact join. Catalyst folds both CASE branches into a single
+    aggregate pass — one shuffle on the 5-row priority key; the
+    identical string runs on DuckDB."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_SQL_Q12)
+
+
+_SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+@register("sql_customer_distribution", oracle=_SQL_Q13, section="§3.2 SQL API,J3,A1")
+def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution through a
+    LEFT OUTER join with a join-side filter (the filter lives in the ON
+    clause, so no-order customers survive with count 0) and a double
+    aggregation. Scale note: the first groupBy shuffles on c_custkey
+    (high cardinality, well distributed); the second on the tiny
+    c_count domain — AQE coalesces it to a handful of tasks."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_SQL_Q13)
+
+
+_SQL_Q17 = """
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
+@register("sql_small_qty_revenue", oracle=_SQL_Q17, section="§3.2 SQL API,J1,A1")
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand,
+    gated by a correlated scalar AVG per part. Catalyst decorrelates the
+    subquery into an aggregate-then-join on l_partkey — the per-part
+    average is computed once in a partial-aggregated shuffle, never per
+    probe row. The identical string runs on DuckDB."""
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_SQL_Q17)

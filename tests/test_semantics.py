@@ -548,3 +548,100 @@ def test_funnel_is_single_wide_shuffle(spark):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, plan
     assert "Join" not in plan, plan
+
+
+# =============================================================================
+# Round-3 additions: bloom decontamination, k-means, SemDeDup, int8 kNN
+# =============================================================================
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """The bloom-pruned plan must produce EXACTLY the exact-join result
+    (the bloom only prunes; false positives are re-verified)."""
+    from flink_realtime_2024_spark.operators.llm import (
+        llm_decontaminate,
+        llm_decontaminate_bloom,
+    )
+
+    exact = _collect_set(
+        llm_decontaminate(spark, SF_DIR), "doc_id", "n_overlap", "contaminated"
+    )
+    bloom = _collect_set(
+        llm_decontaminate_bloom(spark, SF_DIR), "doc_id", "n_overlap", "contaminated"
+    )
+    assert exact == bloom
+
+
+def test_kmeans_deterministic_and_better_than_random(spark):
+    """Fixed init + fixed rounds ⇒ bit-stable assignment across runs;
+    quality: mean cosine-to-own-centroid must beat assigning everything
+    to the global mean direction (the 1-cluster baseline)."""
+    from flink_realtime_2024_spark.operators.llm import kmeans_assign
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a1 = kmeans_assign(emb).select("vec_id", "cluster_id", "embedding").collect()
+    a2 = kmeans_assign(emb).select("vec_id", "cluster_id").collect()
+    m1 = {r["vec_id"]: r["cluster_id"] for r in a1}
+    m2 = {r["vec_id"]: r["cluster_id"] for r in a2}
+    assert m1 == m2, "k-means assignment is not deterministic"
+
+    E = np.array([r["embedding"] for r in a1], dtype=np.float64)
+    labels = np.array([r["cluster_id"] for r in a1])
+    # in-cluster centroid cosine
+    score = 0.0
+    for c in np.unique(labels):
+        sel = E[labels == c]
+        cent = sel.mean(axis=0)
+        n = np.linalg.norm(cent)
+        if n > 0:
+            score += float((sel @ (cent / n)).sum())
+    score /= len(E)
+    g = E.mean(axis=0)
+    g /= np.linalg.norm(g)
+    baseline = float((E @ g).mean())
+    assert score > baseline + 0.05, f"kmeans no better than 1 cluster: {score} vs {baseline}"
+
+
+def test_semantic_dedup_finds_injected_dups(spark):
+    """SemDeDup on fixtures alone: zero dups (near-uniform sphere).
+    With injected near-copies: every copy must be flagged with its
+    original as keeper (same cluster ⇒ cosine ≈ 1 ≥ τ)."""
+    from flink_realtime_2024_spark.operators.llm import kmeans_assign, semdedup_pipeline
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    base_df = load_table(spark, SF_DIR, "embeddings")
+    base = base_df.limit(10).collect()
+    rng = np.random.RandomState(1)
+    rows = []
+    for r in base:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v2 = v + rng.normal(scale=0.01, size=v.shape)
+        v2 /= np.linalg.norm(v2)
+        rows.append((int(r["vec_id"]) + 1_000_000, [float(x) for x in v2]))
+    dups = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    combined = base_df.select("vec_id", "embedding").unionByName(dups)
+
+    res = semdedup_pipeline(kmeans_assign(combined)).collect()
+    flagged = {r["vec_id"]: r["keeper_vec_id"] for r in res if r["is_dup"] == 1}
+    for r in base:
+        copy_id = int(r["vec_id"]) + 1_000_000
+        assert copy_id in flagged, f"injected dup {copy_id} not flagged"
+        assert flagged[copy_id] == int(r["vec_id"])
+
+
+def test_knn_int8_recall(spark):
+    """Int8 quantization at 64 dims loses <1% score precision — top-5
+    must match the exact kNN almost everywhere."""
+    from flink_realtime_2024_spark.operators.llm import llm_knn_cosine, llm_knn_int8
+
+    exact = {}
+    for r in llm_knn_cosine(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in llm_knn_int8(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(approx) == set(exact)
+    hits = sum(len(approx[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.9, f"int8 recall too low: {hits / total}"
