@@ -2346,3 +2346,44 @@ def llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
         )
     )
+
+
+# train/val/test split bounds on the first 4 hex chars of
+# md5('split:' || doc_id): val = [0000, 0ccd) ≈ 5%, test = [0ccd, 199a)
+# ≈ 5%, train = rest — disjoint, exhaustive, reproducible
+_SPLIT_VAL_HI = "0ccd"
+_SPLIT_TEST_HI = "199a"
+
+_SPLIT_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS k
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN k < '{_SPLIT_VAL_HI}' THEN 'val'
+            WHEN k < '{_SPLIT_TEST_HI}' THEN 'test'
+            ELSE 'train' END AS split
+FROM keyed
+"""
+
+
+@register("llm_train_val_split", oracle=_SPLIT_ORACLE, section="L5,F2")
+def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucketing — the
+    split must be a pure function of the document id (not of partition
+    layout, row order, or run), or a re-run of the 100 TB pipeline
+    leaks val docs into train. Salted md5 prefix gives disjoint,
+    exhaustive ~5/5/90 buckets identically in both engines; downstream
+    readers filter on the split column (or it becomes a partition key
+    at write time for pruning). Zero shuffle — fuses into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(k < _SPLIT_VAL_HI, "val")
+        .when(k < _SPLIT_TEST_HI, "test")
+        .otherwise("train")
+        .alias("split"),
+    )

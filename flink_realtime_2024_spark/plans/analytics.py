@@ -315,28 +315,44 @@ WITH monthly AS (
          COUNT(*) AS n_orders
   FROM orders GROUP BY 1
 )
-SELECT month, revenue, n_orders,
-       CAST(revenue - LAG(revenue) OVER (ORDER BY month) AS DOUBLE) AS mom_delta
-FROM monthly
+SELECT m.month, m.revenue, m.n_orders,
+       CAST(m.revenue - p.revenue AS DOUBLE) AS mom_delta
+FROM monthly m
+LEFT JOIN monthly p
+  ON p.month = strftime(CAST(m.month || '-01' AS DATE) - INTERVAL 1 MONTH, '%Y-%m')
 """
 
 
 @register("analytics_monthly_trend", oracle=_MOM_ORACLE, section="X2,A1,W3", bench=True)
 def analytics_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue trend: A1 aggregate to month grain, then
-    a W3 lag over the tiny month dimension (global window is fine — the
-    partition count is the month count, not the fact count)."""
+    the calendar-previous month joined back by key — a plain equi
+    self-join on the tiny month dimension. This replaces the original
+    ``Window.orderBy(month)`` form (a single-task global sort, the one
+    unpartitioned window the r2 audit flagged): the join keeps every
+    stage key-partitioned and also pins the semantics to *calendar*
+    MoM rather than previous-month-present-in-data, which is what a
+    trend dashboard means when months can be missing."""
     orders = load_table(spark, sf_dir, "orders")
     monthly = orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
         F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = Window.orderBy("month")
-    return monthly.select(
-        "month",
-        "revenue",
-        "n_orders",
-        (F.col("revenue") - F.lag("revenue").over(w)).cast("double").alias("mom_delta"),
+    prev = monthly.select(
+        F.date_format(
+            F.add_months(F.to_date(F.concat_ws("-", F.col("month"), F.lit("01"))), 1),
+            "yyyy-MM",
+        ).alias("month"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    return (
+        monthly.join(prev, "month", "left")
+        .select(
+            "month",
+            "revenue",
+            "n_orders",
+            (F.col("revenue") - F.col("prev_revenue")).cast("double").alias("mom_delta"),
+        )
     )
 
 
@@ -458,5 +474,107 @@ def analytics_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
             F.col("day_offset").cast("bigint").alias("day_offset"),
             "n_active",
+        )
+    )
+
+
+_CEP_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+w1 AS (
+  SELECT user_id, event_type, us,
+         MAX(CASE WHEN event_type = 'view' THEN us END) OVER (
+           PARTITION BY user_id ORDER BY us, event_type
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_view_us
+  FROM e
+),
+w2 AS (
+  SELECT user_id, event_type, us,
+         CASE WHEN event_type = 'click'
+                   AND prev_view_us IS NOT NULL
+                   AND us - prev_view_us <= 604800000000
+              THEN us END AS qualified_click_us
+  FROM w1
+),
+w3 AS (
+  SELECT user_id, event_type, us,
+         MAX(qualified_click_us) OVER (
+           PARTITION BY user_id ORDER BY us, event_type
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_qclick_us
+  FROM w2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(MIN(us) AS BIGINT) AS first_conversion_us
+FROM w3
+WHERE event_type = 'purchase'
+  AND prev_qclick_us IS NOT NULL
+  AND us - prev_qclick_us <= 604800000000
+GROUP BY user_id
+"""
+
+
+@register("analytics_cep_funnel", oracle=_CEP_ORACLE, section="A1,A6,W3,X2")
+def analytics_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style strict sequence detection (Flink CEP's
+    ``begin('view').next...`` shape, the one DataStream feature family
+    with no direct Spark operator): count, per user, purchases
+    completing a view→click→purchase chain where each step follows the
+    previous within 7 days.
+
+    Spark-first form — NO per-row Python, no self-joins: one shuffle on
+    user_id, then two cascaded conditional window maxes over the same
+    (user, time) sort:
+
+    1. per row, the latest PRECEDING 'view' time (conditional MAX over
+       an unbounded-preceding frame);
+    2. clicks within 7 days of that view become 'qualified clicks'; a
+       second identical window carries the latest preceding qualified
+       click forward;
+    3. purchases within 7 days of a qualified click are conversions.
+
+    Both windows share the one exchange+sort (same partition key and
+    ordering — Catalyst reuses the sort), so the whole pattern match is
+    a single pass per user partition; state is O(1) per row exactly
+    like a CEP NFA with a 'last-seen' register. The identical logic
+    runs as the DuckDB oracle."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    )
+    step_us = 604_800_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_view = F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    step1 = ev.withColumn("prev_view_us", prev_view)
+    step2 = step1.withColumn(
+        "qualified_click_us",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("prev_view_us").isNotNull()
+            & (F.col("us") - F.col("prev_view_us") <= step_us),
+            F.col("us"),
+        ),
+    )
+    step3 = step2.withColumn("prev_qclick_us", F.max("qualified_click_us").over(w))
+    return (
+        step3.where(
+            (F.col("event_type") == "purchase")
+            & F.col("prev_qclick_us").isNotNull()
+            & (F.col("us") - F.col("prev_qclick_us") <= step_us)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.min("us").alias("first_conversion_us"),
         )
     )
