@@ -2387,3 +2387,90 @@ def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+_PACK_BUDGET = 2048  # tokens per training sequence bin
+_PACK_BUCKETS = 32  # deterministic shard count (layout-independent)
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         doc_id % {_PACK_BUCKETS} AS bucket,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % {_PACK_BUCKETS} ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed(bucket, rn, doc_id, n_tok, fill, bin_id) AS (
+  SELECT bucket, rn, doc_id, n_tok, n_tok, CAST(0 AS BIGINT) FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n_tok,
+         CASE WHEN p.fill + d.n_tok <= {_PACK_BUDGET} THEN p.fill + d.n_tok
+              ELSE d.n_tok END,
+         CASE WHEN p.fill + d.n_tok <= {_PACK_BUDGET} THEN p.bin_id
+              ELSE p.bin_id + 1 END
+  FROM d JOIN packed p ON d.bucket = p.bucket AND d.rn = p.rn + 1
+)
+SELECT doc_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       bin_id,
+       n_tok
+FROM packed
+"""
+
+
+@register("llm_pack_sequences", oracle=_PACK_ORACLE, section="L4")
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the batch-assembly step of a pre-training
+    loader: assign documents to fixed-token-budget bins (2048 here) so
+    concatenated sequences waste minimal padding. Deterministic
+    NEXT-FIT per shard: docs shard by ``doc_id % {buckets}`` (a pure
+    function of the data, NOT of Spark's partition layout — rerunning
+    with different parallelism yields byte-identical bins), then pack
+    in doc_id order, opening a new bin when the budget would overflow
+    (an oversized doc gets a bin to itself).
+
+    Spark side: one shuffle on the shard key, then an applyInPandas
+    cumulative pass per shard — O(n) per shard, shards scale out.
+    Oracle: the same next-fit expressed as a recursive CTE (row-by-row
+    recursion per shard), value-checked — an imperative distributed
+    kernel validated against declarative SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("n_tok", T.LongType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = np.zeros(len(pdf), dtype=np.int64)
+        fill = 0
+        bin_id = 0
+        for i, tok in enumerate(pdf["n_tok"]):
+            if i == 0:
+                fill = int(tok)
+            elif fill + int(tok) <= _PACK_BUDGET:
+                fill += int(tok)
+            else:
+                bin_id += 1
+                fill = int(tok)
+            bins[i] = bin_id
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "bucket": pdf["bucket"],
+                "bin_id": bins,
+                "n_tok": pdf["n_tok"],
+            }
+        )
+
+    return base.groupBy("bucket").applyInPandas(pack, out_schema)

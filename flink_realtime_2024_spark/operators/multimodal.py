@@ -8,12 +8,13 @@ frame-sample run as mapInPandas kernels (one Arrow batch of payloads at
 a time — bounded executor memory, no driver involvement).
 
 The decode step is REAL for the uncompressed container formats that
-need no external codec: 24-bit BMP and binary PPM (P6) images, and
-16-bit PCM WAV audio — header parse + numpy pixel/sample statistics,
-asserted against hand-built fixtures in tests/test_streaming.py.
-Compressed codecs (JPEG/H.264/...) still need a library this container
-lacks; ``decode_video`` marks that integration point with
-NotImplementedError.
+need no external codec: 24-bit BMP and binary PPM (P6) images, 16-bit
+PCM WAV audio, and YUV4MPEG2 (Y4M) 4:2:0 video — header/chunk/frame
+parsing + numpy pixel/sample/luma statistics, asserted against
+hand-built fixtures in tests/test_semantics.py. Compressed codecs
+(JPEG/H.264/...) still need a library this container lacks; swap
+``decode_video``'s body for ffmpeg/PyAV on a real cluster — the
+mapInPandas plumbing is identical.
 """
 
 from __future__ import annotations
@@ -142,16 +143,61 @@ def frame_sample(samples: np.ndarray, n_frames: int, frame_len: int) -> np.ndarr
     return out
 
 
-def decode_video(payload: bytes) -> "object":
-    """Compressed-codec integration point (ffmpeg/PyAV-equivalent).
-    Frame-sampling of real video needs a codec library this container
-    does not ship; on a real cluster swap the implementation here —
-    the mapInPandas plumbing around it is already exercised by the
-    BMP/PPM/WAV paths."""
-    raise NotImplementedError(
-        "video codecs are not available in this environment; "
-        "swap in ffmpeg/PyAV here on a real cluster"
-    )
+def encode_y4m(
+    y: np.ndarray, u: np.ndarray, v: np.ndarray, fps: tuple[int, int] = (5, 1)
+) -> bytes:
+    """Encode planar YUV420 frames as YUV4MPEG2 (the standard
+    uncompressed video interchange format ffmpeg reads/writes — real
+    container, no codec required). ``y``: (n, h, w) uint8 luma;
+    ``u``/``v``: (n, h//2, w//2) uint8 chroma."""
+    n, h, w = y.shape
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n".encode("ascii")
+    frames = [
+        b"FRAME\n" + y[i].tobytes() + u[i].tobytes() + v[i].tobytes() for i in range(n)
+    ]
+    return hdr + b"".join(frames)
+
+
+def decode_video(payload: bytes) -> dict:
+    """Decode a YUV4MPEG2 (Y4M) payload: parse the stream header
+    (W/H/F tags), walk the FRAME markers, and compute per-stream stats
+    from the luma planes — width, height, frame count, duration from
+    the fps fraction, mean luma. Uncompressed 4:2:0 only, like the
+    BMP/PPM/WAV siblings; swap in ffmpeg/PyAV here for compressed
+    codecs on a real cluster."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    num, den = 25, 1
+    for tok in payload[9:nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = (int(x) for x in tok[1:].split(b":"))
+        elif tok[:1] == b"C" and tok != b"C420jpeg":
+            raise ValueError(f"unsupported chroma mode {tok!r}")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    off, luma_sum, n_frames = nl + 1, 0.0, 0
+    while off < len(payload):
+        fnl = payload.index(b"\n", off)
+        if payload[off : off + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame marker")
+        yplane = np.frombuffer(payload, dtype=np.uint8, offset=fnl + 1, count=w * h)
+        luma_sum += float(yplane.mean())
+        n_frames += 1
+        off = fnl + 1 + frame_bytes
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": n_frames,
+        "duration_ms": 1000.0 * n_frames * den / num,
+        "mean_value": luma_sum / max(n_frames, 1),
+    }
 
 
 # =============================================================================
@@ -190,7 +236,7 @@ def synthesize_assets(batches):
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             seed = hashlib.md5((text or "").encode("utf-8")).digest()
             rng = np.random.RandomState(np.frombuffer(seed[:4], dtype=np.uint32)[0])
-            kind = int(doc_id) % 3
+            kind = int(doc_id) % 4
             if kind == 0:
                 w, h = 8 + int(seed[4]) % 24, 8 + int(seed[5]) % 24
                 payload = encode_bmp(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
@@ -201,10 +247,21 @@ def synthesize_assets(batches):
                     rng.randint(-2048, 2048, size=n).astype(np.int16), rate=8000
                 )
                 mime = "audio/wav"
-            else:
+            elif kind == 2:
                 w, h = 8 + int(seed[7]) % 24, 8 + int(seed[8]) % 24
                 payload = encode_ppm(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
                 mime = "image/x-portable-pixmap"
+            else:
+                # even dims (4:2:0 chroma), 4-11 frames
+                w, h = 8 + 2 * (int(seed[9]) % 8), 8 + 2 * (int(seed[10]) % 8)
+                nf = 4 + int(seed[11]) % 8
+                payload = encode_y4m(
+                    rng.randint(0, 256, size=(nf, h, w), dtype=np.uint8),
+                    rng.randint(0, 256, size=(nf, h // 2, w // 2), dtype=np.uint8),
+                    rng.randint(0, 256, size=(nf, h // 2, w // 2), dtype=np.uint8),
+                    fps=(5, 1),
+                )
+                mime = "video/x-yuv4mpeg"
             out.append((int(doc_id), mime, payload))
         yield pd.DataFrame(out, columns=["asset_id", "mime", "payload"])
 
@@ -228,6 +285,12 @@ def decode_stats(batches):
                 s = decode_audio(payload)
                 rows.append(
                     (int(asset_id), mime, len(payload), None, None,
+                     s["duration_ms"], s["mean_value"], checksum)
+                )
+            elif mime.startswith("video/"):
+                s = decode_video(payload)
+                rows.append(
+                    (int(asset_id), mime, len(payload), s["width"], s["height"],
                      s["duration_ms"], s["mean_value"], checksum)
                 )
             else:
@@ -285,6 +348,34 @@ def resize_stats(batches):
                     px = np.frombuffer(parts[3], dtype=np.uint8, count=w * ah * 3).reshape(ah, w, 3)
                 thumb = resize_nearest(px, _THUMB, _THUMB)
                 rows.append((int(asset_id), mime, float(thumb.mean()), _THUMB * _THUMB))
+            elif mime.startswith("video/"):
+                # frame-sample: decode header once, thumbnail the luma
+                # plane of up to _N_FRAMES evenly-spaced frames
+                nl = payload.index(b"\n")
+                w = h = None
+                for tok in payload[9:nl].split():
+                    if tok[:1] == b"W":
+                        w = int(tok[1:])
+                    elif tok[:1] == b"H":
+                        h = int(tok[1:])
+                frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+                starts = []
+                off = nl + 1
+                while off < len(payload):
+                    fnl = payload.index(b"\n", off)
+                    starts.append(fnl + 1)
+                    off = fnl + 1 + frame_bytes
+                n = len(starts)
+                take = min(n, _N_FRAMES)
+                idx = (np.arange(take) * max(n - 1, 0)) // max(take - 1, 1)
+                means = []
+                for i in idx:
+                    yplane = np.frombuffer(
+                        payload, dtype=np.uint8, offset=starts[i], count=w * h
+                    ).reshape(h, w)
+                    lum3 = np.repeat(yplane[:, :, None], 3, axis=2)
+                    means.append(float(resize_nearest(lum3, _THUMB, _THUMB).mean()))
+                rows.append((int(asset_id), mime, float(np.mean(means)), take))
             else:
                 samples = np.frombuffer(
                     payload[payload.index(b"data") + 8 :], dtype="<i2"

@@ -67,6 +67,15 @@ def register(
 # that failed r2 on the events-timestamp bug (prove the fix) + the
 # families the driver has never sampled (scalar/UDF/CDC/streaming/
 # warehouse/analytics/sql + the r2-unsampled LLM oracle ids).
+#
+# ROUND-4 ROTATION PLAN: after r3, exactly 41 ids have never been
+# driver-checked in any round (union of CORRECTNESS_r01/r02 keys and
+# this list vs the registry): the remaining sql_* (12), the r2-unsampled
+# llm_* oracle+rows-only ids (~22), analytics_basket_affinity,
+# analytics_cep_funnel, mm_resize_stats, stream_neardup_admit,
+# stream_source_smoke, stream_split. All 41 fit the next 50-slot
+# prefix — replace this list with them (+ flagship + a few spot
+# re-confirmations) at the start of round 4.
 DRIVER_PRIORITY: list[str] = [
     "flagship_revenue_by_nation",
     # r2 failures (events-ts) — must show green this round

@@ -360,7 +360,18 @@ def test_multimodal_codecs_roundtrip():
 
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG----")
-    with pytest.raises(NotImplementedError):
+
+    # Y4M video round-trip: known luma planes → exact stats back
+    from flink_realtime_2024_spark.operators.multimodal import encode_y4m
+
+    y = np.stack([np.full((4, 6), 50, np.uint8), np.full((4, 6), 150, np.uint8)])
+    u = np.zeros((2, 2, 3), np.uint8)
+    v = np.zeros((2, 2, 3), np.uint8)
+    vid = decode_video(encode_y4m(y, u, v, fps=(5, 1)))
+    assert (vid["width"], vid["height"], vid["n_frames"]) == (6, 4, 2)
+    assert vid["duration_ms"] == 400.0  # 2 frames at 5 fps
+    assert vid["mean_value"] == 100.0  # (50+150)/2
+    with pytest.raises(ValueError):
         decode_video(b"\x00\x00\x00\x18ftypmp42")
 
 
@@ -388,7 +399,9 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert float(np.sqrt(np.mean(frames.astype(np.float64) ** 2))) == 100.0
 
     agg = {r["mime"]: r for r in mm_resize_stats(spark, SF_DIR).collect()}
-    assert set(agg) == {"image/bmp", "image/x-portable-pixmap", "audio/wav"}
+    assert set(agg) == {
+        "image/bmp", "image/x-portable-pixmap", "audio/wav", "video/x-yuv4mpeg"
+    }
     for r in agg.values():
         assert r["n_assets"] > 0 and r["avg_feature"] > 0
 
@@ -407,7 +420,9 @@ def test_multimodal_pipeline_decodes_real_bytes(spark):
     )
 
     agg = {r["mime"]: r for r in mm_decode_stats(spark, SF_DIR).collect()}
-    assert set(agg) == {"image/bmp", "image/x-portable-pixmap", "audio/wav"}
+    assert set(agg) == {
+        "image/bmp", "image/x-portable-pixmap", "audio/wav", "video/x-yuv4mpeg"
+    }
     for mime, r in agg.items():
         assert r["n_assets"] > 0 and r["total_bytes"] > 0
         assert r["avg_mean_value"] is not None
@@ -423,12 +438,15 @@ def test_multimodal_pipeline_decodes_real_bytes(spark):
         .filter(F.col("asset_id") < 9)
         .collect()
     }
+    from flink_realtime_2024_spark.operators.multimodal import decode_video
+
     for r in assets.filter(F.col("asset_id") < 9).collect():
-        local = (
-            decode_image(bytes(r["payload"]))
+        dec = (
+            decode_image
             if r["mime"].startswith("image/")
-            else decode_audio(bytes(r["payload"]))
+            else decode_video if r["mime"].startswith("video/") else decode_audio
         )
+        local = dec(bytes(r["payload"]))
         got = decoded[r["asset_id"]]
         assert got["mean_value"] == pytest.approx(local["mean_value"], abs=1e-9)
         if r["mime"].startswith("image/"):
