@@ -582,3 +582,17 @@ def analytics_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("us").alias("first_conversion_us"),
         )
     )
+
+
+@register("stream_cep_funnel", oracle=_CEP_ORACLE, section="T5,A1,W3")
+def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``analytics_cep_funnel`` — the form Flink CEP
+    actually takes: per-user NFA registers (last view, last qualified
+    click) in keyed state across real micro-batches
+    (applyInPandasWithState over the in-order replay). Each batch emits
+    only newly completed conversions; the accumulated stream aggregates
+    to EXACTLY the batch window plan's answer, checked by the same
+    oracle. State is two int64s per user — RocksDB-scale at 100 TB."""
+    from ..streaming.stateful import run_cep_funnel
+
+    return run_cep_funnel(spark, sf_dir)

@@ -240,6 +240,102 @@ def order_timeouts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_CEP_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_us", LongType()),
+    ]
+)
+
+_CEP_STATE = StructType(
+    [
+        StructField("last_view_us", LongType()),
+        StructField("last_qclick_us", LongType()),
+    ]
+)
+
+_CEP_STEP_US = 604_800_000_000  # 7 days per step (matches the batch twin)
+
+
+def _cep_fn(key, pdfs, state: GroupState):
+    """Flink-CEP NFA as keyed state: per user, two 'last-seen' registers
+    — latest view, latest *qualified* click (one ≤7 days after a view).
+    A purchase ≤7 days after a qualified click emits a conversion row.
+    Rows are processed in (us, event_type) order, the exact ordering of
+    the batch twin's window sort, so accumulated stream output ==
+    batch output (oracle-checked)."""
+    lv, lq = state.get if state.exists else (-1, -1)
+    chunks = [pdf for pdf in pdfs]
+    rows = []
+    if chunks:
+        batch = pd.concat(chunks).sort_values(["us", "event_type"])
+        for r in batch.itertuples(index=False):
+            if (
+                r.event_type == "purchase"
+                and lq >= 0
+                and r.us - lq <= _CEP_STEP_US
+            ):
+                rows.append((key[0], r.us))
+            if r.event_type == "view":
+                lv = max(lv, r.us)
+            elif r.event_type == "click" and lv >= 0 and r.us - lv <= _CEP_STEP_US:
+                lq = max(lq, r.us)
+    state.update((lv, lq))
+    if rows:
+        yield pd.DataFrame(rows, columns=["user_id", "purchase_us"])
+
+
+def cep_funnel_stream(events: DataFrame) -> DataFrame:
+    """T5 streaming CEP: strict view→click→purchase sequence detection
+    with per-step time bounds, as per-key register state across
+    micro-batches (the applyInPandasWithState form of the batch
+    analytics_cep_funnel window plan)."""
+    prepared = events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _cep_fn,
+        outputStructType=_CEP_OUT,
+        stateStructType=_CEP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the CEP job over the in-order replay (register semantics
+    need cross-batch event-time order) and aggregate the accumulated
+    conversion stream to the batch twin's schema."""
+    from .jobs import run_stream, staged_events_dir_ordered
+    from ..session import prepare
+    from ..sources.io import events_ts_to_timestamp
+
+    prepare(spark)
+    staged = staged_events_dir_ordered(spark, sf_dir)
+    ev = events_ts_to_timestamp(
+        spark.readStream.schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    out = tempfile.mkdtemp(prefix="cep_funnel_out_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    run_stream(
+        cep_funnel_stream(ev).writeStream.outputMode("append").foreachBatch(sink),
+        "cep_funnel",
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.min("purchase_us").alias("first_conversion_us"),
+        )
+    )
+
+
 def run_first_visits(
     spark: SparkSession, sf_dir: str, use_tws: bool | None = None
 ) -> DataFrame:
