@@ -2435,20 +2435,27 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion per shard), value-checked — an imperative distributed
     kernel validated against declarative SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    return pack_pipeline(
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+        )
     )
 
-    out_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("bucket", T.LongType()),
-            T.StructField("bin_id", T.LongType()),
-            T.StructField("n_tok", T.LongType()),
-        ]
-    )
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("n_tok", T.LongType()),
+    ]
+)
+
+
+def pack_pipeline(sized: DataFrame, budget: int = _PACK_BUDGET) -> DataFrame:
+    """Next-fit packing of a (doc_id, n_tok) frame — layout-independent
+    by construction (shard key and order are pure functions of doc_id),
+    pytest-asserted under different input partitionings."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -2458,7 +2465,7 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, tok in enumerate(pdf["n_tok"]):
             if i == 0:
                 fill = int(tok)
-            elif fill + int(tok) <= _PACK_BUDGET:
+            elif fill + int(tok) <= budget:
                 fill += int(tok)
             else:
                 bin_id += 1
@@ -2473,4 +2480,7 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return base.groupBy("bucket").applyInPandas(pack, out_schema)
+    base = sized.select(
+        "doc_id", (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"), "n_tok"
+    )
+    return base.groupBy("bucket").applyInPandas(pack, _PACK_SCHEMA)

@@ -663,3 +663,40 @@ def test_knn_int8_recall(spark):
     hits = sum(len(approx[q] & exact[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     assert hits / total >= 0.9, f"int8 recall too low: {hits / total}"
+
+
+def test_pack_sequences_layout_independent(spark):
+    """Packing must be a pure function of the data: the same (doc_id,
+    n_tok) rows produce byte-identical bins whether the input arrives
+    in 1 partition or 17, shuffled or sorted — the property that makes
+    a 100 TB packing run reproducible. Also: bin budget respected
+    except for single oversized docs, and bins are contiguous in
+    doc_id order within a shard."""
+    from flink_realtime_2024_spark.operators.llm import (
+        _PACK_BUDGET,
+        pack_pipeline,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(int(i), int(t)) for i, t in enumerate(rng.randint(1, 3000, size=400))]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+
+    a = {
+        (r["doc_id"]): (r["bucket"], r["bin_id"])
+        for r in pack_pipeline(df.repartition(1)).collect()
+    }
+    shuffled = spark.createDataFrame(list(reversed(rows)), "doc_id bigint, n_tok bigint")
+    b = {
+        (r["doc_id"]): (r["bucket"], r["bin_id"])
+        for r in pack_pipeline(shuffled.repartition(17)).collect()
+    }
+    assert a == b, "packing depends on input layout"
+
+    packed = pack_pipeline(df).collect()
+    fills: dict = {}
+    for r in packed:
+        key = (r["bucket"], r["bin_id"])
+        fills.setdefault(key, []).append(r["n_tok"])
+    for key, toks in fills.items():
+        if len(toks) > 1:
+            assert sum(toks) <= _PACK_BUDGET, (key, sum(toks))
