@@ -2484,3 +2484,76 @@ def pack_pipeline(sized: DataFrame, budget: int = _PACK_BUDGET) -> DataFrame:
         "doc_id", (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"), "n_tok"
     )
     return base.groupBy("bucket").applyInPandas(pack, _PACK_SCHEMA)
+
+
+_SEG_W = 4  # tokens per segment (CCNet/Dolma-style line granularity)
+
+_SEG_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+segs AS (
+  SELECT doc_id, k AS seg_idx,
+         array_to_string(t[k * {_SEG_W} + 1 : least((k + 1) * {_SEG_W}, len(t))], ' ') AS seg
+  FROM toks,
+       UNNEST(generate_series(0, (len(t) - 1) // {_SEG_W})) AS s(k)
+),
+df AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_segments,
+       CAST(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS shared_frac
+FROM segs JOIN df USING (seg)
+GROUP BY doc_id
+"""
+
+
+@register("llm_segment_dedup", oracle=_SEG_DEDUP_ORACLE, section="L1,L2,L5")
+def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage accounting (the CCNet/Dolma
+    'line dedup' signal): cut each document into fixed-width token
+    segments, find segments appearing in ≥2 distinct documents
+    corpus-wide, and report each document's shared-segment fraction —
+    the gating feature for boilerplate/template removal.
+
+    Scale shape: segments generate via JVM higher-order functions
+    (zero Python); the corpus-wide document-frequency groupBy and the
+    join back both key on md5(segment) — 16-byte digests shuffle, the
+    segment text never leaves the scan stage. Head segments (ultra-
+    common boilerplate) are exactly the skew AQE's skew-join handling
+    splits; the oracle computes the same counts from raw segment
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    segs_arr = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / _SEG_W).cast("int")),
+        lambda k: F.array_join(
+            F.slice(toks, k * _SEG_W + 1, _SEG_W), " "
+        ),
+    )
+    segs = docs.select(
+        "doc_id", F.explode(segs_arr).alias("seg")
+    ).select("doc_id", F.md5("seg").alias("h"))
+    df_counts = segs.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        segs.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("nd") >= 2).cast("bigint")).alias("n_shared_segments"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_shared_segments",
+            (F.col("n_shared_segments").cast("double") / F.col("n_segments"))
+            .cast("double")
+            .alias("shared_frac"),
+        )
+    )
