@@ -2109,6 +2109,11 @@ def kmeans_assign(
     """
     vecs = emb.select("vec_id", "embedding")
     init = vecs.orderBy("vec_id").limit(k).collect()
+    if not init:
+        return vecs.select(
+            "vec_id", F.lit(0).cast("int").alias("cluster_id"), "embedding"
+        )
+    k = min(k, len(init))  # degenerate corpora: one centroid per vector
     cent = np.array([r["embedding"] for r in init], dtype=np.float64)
     d = cent.shape[1]
     sc = emb.sparkSession.sparkContext
