@@ -85,9 +85,10 @@ def main() -> None:
         except Exception:
             pass
 
-    # two timed runs per query, keep the min: single-shot numbers at
-    # these sizes are dominated by JIT/GC noise, not engine work; the
-    # min is the steady-state cost a repeated production query pays.
+    # three timed runs per query, keep the min: single-shot numbers at
+    # these sizes are dominated by JIT/GC noise, not engine work (run-
+    # to-run spread was measured at ~25% with 2 reps); the min is the
+    # steady-state cost a repeated production query pays.
     # Per-query isolation: one red query records an error entry, the
     # rest of the round's numbers survive.
     timings: dict[str, float] = {}
@@ -95,7 +96,7 @@ def main() -> None:
     for name in sorted(queries):
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 materialize(queries[name].builder(spark, SF_DIR))
                 best = min(best, time.perf_counter() - t0)
