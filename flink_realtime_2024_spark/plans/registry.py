@@ -68,14 +68,14 @@ def register(
 # families the driver has never sampled (scalar/UDF/CDC/streaming/
 # warehouse/analytics/sql + the r2-unsampled LLM oracle ids).
 #
-# ROUND-4 ROTATION PLAN: after r3, exactly 41 ids have never been
-# driver-checked in any round (union of CORRECTNESS_r01/r02 keys and
-# this list vs the registry): the remaining sql_* (12), the r2-unsampled
-# llm_* oracle+rows-only ids (~22), analytics_basket_affinity,
-# analytics_cep_funnel, mm_resize_stats, stream_neardup_admit,
-# stream_source_smoke, stream_split. All 41 fit the next 50-slot
-# prefix — replace this list with them (+ flagship + a few spot
-# re-confirmations) at the start of round 4.
+# ROUND-4 ROTATION PLAN: at r4 start, recompute the never-checked set
+#   never = registry − union(CORRECTNESS_r01 ∪ _r02 ∪ _r03 keys)
+# (after r3 it is the remaining sql_* shapes, the r2-unsampled llm_*
+# ids, the round-3 additions — cep/segment-dedup/packing/split/bloom/
+# kmeans/semdedup/int8 — mm_resize_stats, stream_source_smoke,
+# stream_split, stream_neardup_admit; ~45 ids) and replace this list
+# with flagship + never-checked ids, padding any spare slots with spot
+# re-confirmations of earlier rounds.
 DRIVER_PRIORITY: list[str] = [
     "flagship_revenue_by_nation",
     # r2 failures (events-ts) — must show green this round
