@@ -130,11 +130,51 @@ def main() -> None:
         "n_err": len(query_errors),
         "r1_comparable_subset_sec": r1_subset,
     }
+    deltas = _deltas_vs_previous(timings, _sf_from_dir(SF_DIR))
+    if deltas:
+        out["deltas"] = deltas
     if stage_errors:
         out["stage_errors"] = stage_errors
     if query_errors:
         out["query_errors"] = query_errors
     print(json.dumps(out))
+
+
+def _deltas_vs_previous(timings: dict[str, float], sf: float) -> dict | None:
+    """Self-reported regression diff: per-query delta (sec, this run
+    minus previous round) against the newest same-SF BENCH_r*.json next
+    to this script, so round N+1 regressions surface in the bench
+    output itself rather than needing an external diff. The driver
+    wraps the bench line under a "parsed" key — unwrap it."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in reversed(prev_files):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
+            prev_q = prev.get("queries") or {}
+            if not prev_q:
+                continue  # e.g. the crashed r2 recording
+            if prev.get("sf") != sf:
+                continue  # cross-SF deltas would be meaningless
+            return {
+                "vs": os.path.basename(path),
+                "queries": {
+                    n: round(t - prev_q[n], 3) for n, t in timings.items() if n in prev_q
+                },
+                "new_queries": sorted(n for n in timings if n not in prev_q),
+            }
+        except Exception:
+            continue
+    return None
 
 
 if __name__ == "__main__":

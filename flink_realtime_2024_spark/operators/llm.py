@@ -465,17 +465,27 @@ def connected_components(edges: DataFrame, src: str, dst: str, max_iter: int = 5
             .distinct()
             .localCheckpoint()
         )
+        # order-insensitive EDGE-SET digest: count + XOR of per-edge
+        # xxhash64(u, v) (the edge set is distinct, so XOR never
+        # self-cancels; XOR also can't overflow under ANSI mode the way
+        # a 64-bit sum can). Equal digests across rounds mean (up to a
+        # 2^-64-grade hash collision) the edge set itself is unchanged,
+        # i.e. a genuine fixpoint — unlike a (count, sum(u+v)) moment
+        # signature, which distinct edge sets can share.
         sig = tuple(
             e.agg(
-                F.count(F.lit(1)), F.sum(F.col("u") + F.col("v"))
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
             ).collect()[0]
         )
         if sig == prev_sig:
             break
         prev_sig = sig
-    # at fixpoint e is (member, root) stars; roots label themselves.
-    # groupBy-min also collapses any residual multi-label nodes if
-    # max_iter stopped the loop early.
+    # At the fixpoint e is (member, root) stars; roots label themselves.
+    # If max_iter stopped the loop BEFORE the fixpoint, the groupBy-min
+    # below is only a best-effort collapse (members of one component can
+    # still hold different intermediate labels) — max_iter=50 vs the
+    # O(log^2 n) convergence of large-star/small-star makes that case
+    # unreachable for any realistic graph.
     return (
         e.select(F.col("u").alias("doc_id"), F.col("v").alias("label"))
         .unionByName(
@@ -861,7 +871,7 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_knn_ivf_partitioned", oracle=None, section="L3,S7")
+@register("llm_knn_ivf_partitioned", oracle=None, section="L3,S7", bench=True)
 def llm_knn_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 the IVF claim made physical: the inverted lists are WRITTEN as
     a parquet index partitioned by centroid_id (one-time build, like a
@@ -1713,10 +1723,21 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     final left join restores n_overlap=0 docs. Result is EXACT — the
     bloom only prunes."""
     docs = load_table(spark, sf_dir, "documents")
+    # materialize the split/explode/distinct pipeline ONCE — it feeds
+    # four downstream actions (bench sizing count, bit-position collect,
+    # bloom probe, final doc restore) that would otherwise each re-run
+    # the full text tokenization
     exploded = (
-        docs.select("doc_id", F.explode(_token_ngrams()).alias("gram")).distinct()
+        docs.select("doc_id", F.explode(_token_ngrams()).alias("gram"))
+        .distinct()
+        .localCheckpoint()
     )
-    bench = exploded.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    # bench is itself read three times (count, bit positions, verify
+    # join); checkpoint the small distinct-gram set too
+    bench = (
+        exploded.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+        .localCheckpoint()
+    )
     corpus = exploded.where(F.col("doc_id") % 97 != 0)
 
     n_bench = bench.count()  # scalar: sizes the filter
@@ -2132,6 +2153,10 @@ def kmeans_assign(
         def partials(batches):
             C = b.value
             for pdf in batches:
+                if len(pdf) == 0:
+                    # empty Arrow batch → np.array(list(...)) would be
+                    # 1-D shape (0,) and the matmul would raise
+                    continue
                 E = np.array(list(pdf["embedding"]), dtype=np.float64)
                 a = (E @ C.T).argmax(axis=1)
                 rows = []
@@ -2167,6 +2192,8 @@ def kmeans_assign(
     @F.pandas_udf(T.IntegerType())
     def assign(embedding: pd.Series) -> pd.Series:
         C = bfin.value
+        if len(embedding) == 0:  # empty Arrow batch: 1-D (0,) @ C.T raises
+            return pd.Series([], dtype=np.int32)
         E = np.array(list(embedding), dtype=np.float64)
         return pd.Series((E @ C.T).argmax(axis=1).astype(np.int32))
 

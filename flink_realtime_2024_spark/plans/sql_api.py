@@ -416,3 +416,176 @@ def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe row. The identical string runs on DuckDB."""
     register_views(spark, sf_dir, ["lineitem", "part"])
     return spark.sql(_SQL_Q17)
+
+
+_SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount > 0.045 AND l_discount < 0.075
+  AND l_quantity < 24
+"""
+
+
+@register("sql_forecast_revenue", oracle=_SQL_Q6, section="§3.2 SQL API,F2,A1")
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecasting revenue change — a pure scan-side query
+    (no join). Every conjunct (shipdate range, discount band, quantity
+    cap) lands in PushedFilters and the scan reads 4 of 11 columns;
+    the aggregate is a single partial/final pair over one exchange of
+    one row per partition. The discount band uses strict bounds between
+    the two-decimal grid points (0.045/0.075) so double comparison is
+    unambiguous on both engines; the money sum is exact DECIMAL cast to
+    DOUBLE last. Identical SQL string on Spark and DuckDB."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_SQL_Q6)
+
+
+_SQL_Q2 = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+       CAST(ps.ps_supplycost AS DOUBLE) AS supplycost
+FROM part p
+JOIN supply ps ON ps.ps_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size <= 5 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM supply ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@register("sql_min_cost_supplier", oracle=_SQL_Q2, section="§3.2 SQL API,J1,J2,J6,A1")
+def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region,
+    selected by a correlated scalar MIN subquery. The fixture has no
+    partsupp table, so supply costs derive from lineitem (min observed
+    unit price per part-supplier pair) — the plan shape is Q2's exactly:
+    the correlated MIN decorrelates to a per-part aggregate joined back,
+    the region/nation dims broadcast, and the final TakeOrderedAndProject
+    caps the result at 100. The unit-price division is the same IEEE
+    double op on both engines, so the MIN-equality predicate is exact.
+    Identical SQL string on Spark and DuckDB."""
+    register_views(
+        spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"]
+    )
+    return spark.sql(_SQL_Q2)
+
+
+_SQL_Q11 = """
+WITH supply_value AS (
+  SELECT l.l_partkey AS partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey
+)
+SELECT partkey, CAST(val AS DOUBLE) AS part_value
+FROM supply_value
+WHERE val > (SELECT SUM(val) * 0.001 FROM supply_value)
+ORDER BY part_value DESC, partkey
+"""
+
+
+@register("sql_important_stock", oracle=_SQL_Q11, section="§3.2 SQL API,J1,A1")
+def sql_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supply value from one nation exceeds
+    a fraction of that nation's total — an uncorrelated scalar aggregate
+    subquery over the SAME derived table the outer query reads. Catalyst
+    evaluates the CTE once per reference; both the outer scan and the
+    global-sum threshold are partial-aggregated before their exchanges.
+    All value math stays in exact DECIMAL until the final DOUBLE cast,
+    so the threshold comparison cannot flip on float rounding. Identical
+    SQL string on Spark and DuckDB."""
+    register_views(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    return spark.sql(_SQL_Q11)
+
+
+_SQL_Q16 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type <> 'MEDIUM'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("sql_parts_supplier_kinds", oracle=_SQL_Q16, section="§3.2 SQL API,J1,J6,A3")
+def sql_parts_supplier_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can furnish each surviving
+    (brand, type, size) kind, excluding a NOT IN blacklist (negative
+    account balance stands in for the comment-based complaint filter —
+    the fixture has no s_comment). The NOT IN compiles to a null-aware
+    anti join against the tiny supplier side; the part predicates prune
+    the build side before the fact join; COUNT(DISTINCT) runs as the
+    two-phase distinct-aggregate expansion. Identical SQL string on
+    Spark and DuckDB."""
+    register_views(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql(_SQL_Q16)
+
+
+_SQL_Q20 = """
+WITH part_shipped AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_shipped t ON t.l_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY l.l_suppkey, l.l_partkey, t.total_qty
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 0.12 * t.total_qty
+  )
+ORDER BY s.s_name
+"""
+
+
+@register("sql_excess_inventory", oracle=_SQL_Q20, section="§3.2 SQL API,J1,J6,A1,A6")
+def sql_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one region who dominate the supply
+    of a part family (shipped share > 12% of a 'red%' part's total — the
+    partsupp availqty-vs-half-shipped test re-expressed over lineitem).
+    The inner query is the Q20 skeleton: IN-subquery → left-semi join;
+    per-(supplier, part) aggregate HAVING-gated against a pre-aggregated
+    per-part total joined in BEFORE grouping (no correlated aggregate in
+    HAVING — portable and decorrelation-free by construction). Quantity
+    sums stay in DECIMAL so the 0.12 threshold compare is exact.
+    Identical SQL string on Spark and DuckDB."""
+    register_views(
+        spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"]
+    )
+    return spark.sql(_SQL_Q20)

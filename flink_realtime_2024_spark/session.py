@@ -61,7 +61,11 @@ def prepare(spark: SparkSession) -> SparkSession:
     return spark
 
 
-_ENV_CHECKED: set[int] = set()
+# Flag attribute stashed on each verified SparkSession object. An
+# id(spark)-keyed set would be wrong twice over: ids recycle after GC
+# (a new session could silently skip the probe) and the set would grow
+# without bound. An attribute dies with the session it verified.
+_ENV_CHECKED_ATTR = "_flink_realtime_2024_env_checked"
 
 
 def assert_environment(spark: SparkSession, sf_dir: str) -> None:
@@ -74,7 +78,7 @@ def assert_environment(spark: SparkSession, sf_dir: str) -> None:
     that actually matters: the events scan must yield a ``ts`` type the
     engine knows how to normalize. One footer read, cached per session.
     """
-    if id(spark) in _ENV_CHECKED:
+    if getattr(spark, _ENV_CHECKED_ATTR, False):
         return
     import os as _os
 
@@ -92,7 +96,7 @@ def assert_environment(spark: SparkSession, sf_dir: str) -> None:
             "handles LongType/TimestampNTZType/TimestampType only — add "
             "a branch before running queries"
         )
-    _ENV_CHECKED.add(id(spark))
+    setattr(spark, _ENV_CHECKED_ATTR, True)
 
 
 def get_spark(

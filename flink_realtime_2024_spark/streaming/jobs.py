@@ -299,7 +299,15 @@ def stream_late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm = {"us": None}  # watermark BEFORE the current batch, in epoch-µs
 
     def split_sink(batch_df: DataFrame, batch_id: int) -> None:
-        with_us = batch_df.withColumn("us", F.unix_micros("ts"))
+        from pyspark.sql import Observation
+
+        # observation rides the SAME pass as the first branch write
+        # (the observe node sits below the branch filters, so every
+        # batch row flows through it) — no second scan for the max
+        obs = Observation(f"late_split_wm_{batch_id}")
+        with_us = batch_df.withColumn("us", F.unix_micros("ts")).observe(
+            obs, F.max("us").alias("max_us")
+        )
         with_us.persist()
         try:
             threshold = wm["us"]
@@ -317,7 +325,7 @@ def stream_late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 branch.drop("us").write.mode("overwrite").parquet(
                     os.path.join(root, name, f"batch={batch_id}")
                 )
-            batch_max = with_us.agg(F.max("us")).collect()[0][0]
+            batch_max = obs.get["max_us"]
             if batch_max is not None:
                 cand = batch_max - allowed_us
                 wm["us"] = cand if threshold is None else max(threshold, cand)

@@ -65,6 +65,29 @@ _FIRST_VISIT_OUT = StructType(
 _FIRST_VISIT_STATE = StructType([StructField("seen_days", StringType())])
 
 
+def _first_days_chunks(key, pdfs, seen: set) -> list[pd.DataFrame]:
+    """Vectorized kernel shared by both state backends: per incoming
+    pandas chunk, keep the first (us, event_id)-ordered row of each day
+    not yet in ``seen``, updating ``seen`` in place. Whole-column
+    pandas ops (sort + drop_duplicates + isin) — no per-row Python."""
+    out = []
+    for pdf in pdfs:
+        firsts = pdf.sort_values(["us", "event_id"]).drop_duplicates("day")
+        firsts = firsts[~firsts["day"].isin(seen)]
+        if len(firsts):
+            seen.update(firsts["day"].tolist())
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": key[0],
+                        "day": firsts["day"].to_numpy(),
+                        "first_event_id": firsts["event_id"].to_numpy(),
+                    }
+                )
+            )
+    return out
+
+
 def _first_visit_fn(key, pdfs, state: GroupState):
     """Per-key kernel: emit (user, day, event_id) the first time a day is
     seen for this user; remember seen days in GroupState across batches.
@@ -77,16 +100,10 @@ def _first_visit_fn(key, pdfs, state: GroupState):
         (packed,) = state.get
         if packed:
             seen = set(packed.split(","))
-    rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["us", "event_id"])
-        for r in pdf.itertuples(index=False):
-            if r.day not in seen:
-                seen.add(r.day)
-                rows.append((key[0], r.day, r.event_id))
+    chunks = _first_days_chunks(key, pdfs, seen)
     state.update((",".join(sorted(seen)),))
-    if rows:
-        yield pd.DataFrame(rows, columns=["user_id", "day", "first_event_id"])
+    if chunks:
+        yield pd.concat(chunks, ignore_index=True)
 
 
 def _first_visit_tws_processor():
@@ -105,16 +122,10 @@ def _first_visit_tws_processor():
         def handleInputRows(self, key, rows, timer_values):
             packed = self._seen.get()
             seen = set(packed[0].split(",")) if packed and packed[0] else set()
-            out = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["us", "event_id"])
-                for r in pdf.itertuples(index=False):
-                    if r.day not in seen:
-                        seen.add(r.day)
-                        out.append((key[0], r.day, r.event_id))
+            chunks = _first_days_chunks(key, rows, seen)
             self._seen.update((",".join(sorted(seen)),))
-            if out:
-                yield pd.DataFrame(out, columns=["user_id", "day", "first_event_id"])
+            if chunks:
+                yield pd.concat(chunks, ignore_index=True)
 
         def close(self) -> None:
             pass
