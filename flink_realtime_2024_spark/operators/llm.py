@@ -2589,3 +2589,205 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shared_frac"),
         )
     )
+
+
+# =============================================================================
+# L4 BPE tokenizer training + encoding (beyond reference — training-data
+# pipelines train their own tokenizers on the corpus they curate)
+# =============================================================================
+
+_BPE_MERGES = 24  # merges to learn (vocab = chars + this many)
+_BPE_EOW = "</w>"  # end-of-word marker (Sennrich et al. 2016 convention)
+
+
+def _bpe_word_histogram(docs: DataFrame) -> DataFrame:
+    """(word, weight) histogram — the ONLY corpus-scale pass in BPE
+    training. Everything iterative afterwards runs over distinct words,
+    whose count grows ~O(corpus^0.5) (Heaps' law), not linearly: at
+    100 TB the corpus never re-enters the loop."""
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def _bpe_apply_merge(sym: DataFrame, a: str, b: str) -> DataFrame:
+    """Replace adjacent (a, b) symbols with their concatenation,
+    left-to-right non-overlapping (the standard BPE rewrite). Only rows
+    that contain BOTH symbols enter the Python kernel; the (typically
+    overwhelming) untouched remainder passes through JVM-side."""
+    merged = a + b
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def rewrite(syms: pd.Series) -> pd.Series:
+        out = []
+        for s in syms:
+            s = list(s)
+            res = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    hit = F.array_contains("syms", a) & F.array_contains("syms", b)
+    touched = sym.filter(hit).select("weight", rewrite("syms").alias("syms"))
+    return sym.filter(~hit).unionByName(touched)
+
+
+def bpe_train(docs: DataFrame, n_merges: int = _BPE_MERGES) -> DataFrame:
+    """Distributed byte-pair-encoding merge learning (Sennrich et al.
+    2016, the GPT-2/RoBERTa tokenizer-training algorithm), Spark-shaped:
+
+    1. one corpus pass builds the (word, count) histogram;
+    2. words become symbol arrays (chars + ``</w>``);
+    3. each round, adjacent-pair counts aggregate distributed
+       (weighted by word count), the argmax pair — ONE row — comes to
+       the driver, and the merge rewrites only the histogram rows that
+       contain both symbols (JVM prefilter, vectorized kernel).
+
+    Driver state per round is a single (pair, count) row; the histogram
+    stays partitioned across executors; ``localCheckpoint`` per round
+    keeps the iterative lineage flat (same discipline as
+    ``connected_components``). Ties break deterministically on
+    (count desc, left, right).
+
+    Returns the learned merge table: (merge_rank, left, right, merged,
+    pair_count) — ``n_merges`` rows."""
+    spark = docs.sparkSession
+    hist = _bpe_word_histogram(docs)
+    sym = hist.select(
+        "weight",
+        F.concat(F.split("word", ""), F.array(F.lit(_BPE_EOW))).alias("syms"),
+    ).localCheckpoint()
+    # the untouched∪rewritten union below would otherwise DOUBLE the
+    # partition count every round (N·2^rounds tasks by round ~12);
+    # coalesce back to the histogram's own width before each checkpoint
+    width = max(1, sym.rdd.getNumPartitions())
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    pair_t = "array<struct<a:string,b:string>>"
+    for rank in range(n_merges):
+        pairs = sym.select(
+            "weight",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("a"),
+                            F.element_at("syms", i + F.lit(1)).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.expr(f"CAST(array() AS {pair_t})"))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("weight").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break  # nothing left worth merging
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rank, a, b, a + b, cnt))
+        sym = _bpe_apply_merge(sym, a, b).coalesce(width).localCheckpoint()
+
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.IntegerType()),
+            T.StructField("left", T.StringType()),
+            T.StructField("right", T.StringType()),
+            T.StructField("merged", T.StringType()),
+            T.StructField("pair_count", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+@register("llm_bpe_train", oracle=None, section="L4")
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: train a BPE tokenizer on the corpus. Rows-only: iterative
+    argmax is not SQL-expressible; exact merge-table equality against a
+    pure-Python reference implementation is pytest-asserted
+    (tests/test_semantics.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs)
+
+
+def bpe_encode_counts(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge list to the corpus and report per-document
+    BPE token counts. The kernel encodes each DISTINCT word once per
+    Arrow batch (memoized dict — Zipf makes the hit rate high) and
+    applies merges in rank order, the standard greedy BPE encoder.
+
+    Scale shape: one mapInPandas pass, merge list broadcast (it is
+    vocab-sized, KBs), no shuffle at all — per-doc outputs land where
+    the docs already are."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(list(merges))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
+
+    def encode(batches):
+        merge_list = bc.value
+        cache: dict[str, int] = {}
+
+        def word_tokens(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                s = list(w) + [_BPE_EOW]
+                for a, b in merge_list:
+                    m = a + b
+                    res = []
+                    i = 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            res.append(m)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    s = res
+                n = cache[w] = len(s)
+            return n
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in str(text).lower().split() if w]
+                rows.append(
+                    (int(doc_id), len(words), sum(word_tokens(w) for w in words))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_words", "n_bpe_tokens"])
+
+    return widen(docs.select("doc_id", "text")).mapInPandas(encode, out_schema)
+
+
+@register("llm_bpe_encode", oracle=None, section="L4")
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: encode the corpus with the corpus-trained BPE merges and
+    report per-doc token counts — the number that actually prices a
+    training run. Rows-only (the merge table feeding it is iterative);
+    the encoder kernel is pytest-asserted equal to a pure-Python
+    reference, and every count is bounded by chars+1 per word (sanity
+    invariant also pytest-checked)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merge_rows = bpe_train(docs).orderBy("merge_rank").collect()
+    return bpe_encode_counts(docs, [(r["left"], r["right"]) for r in merge_rows])

@@ -700,3 +700,76 @@ def test_pack_sequences_layout_independent(spark):
     for key, toks in fills.items():
         if len(toks) > 1:
             assert sum(toks) <= _PACK_BUDGET, (key, sum(toks))
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python Sennrich-style BPE trainer: returns the merge list
+    [(rank, left, right, merged, count)] with (count desc, left, right)
+    tie-breaking — the exact contract bpe_train promises."""
+    syms = {w: tuple(list(w) + ["</w>"]) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for w, c in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((rank, a, b, a + b, cnt))
+        for w in syms:
+            s = list(syms[w])
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            syms[w] = tuple(res)
+    return merges, syms
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE training must produce the exact merge table a
+    sequential reference implementation produces (same tie-breaking),
+    and the encoder's per-word token counts must match the reference's
+    final symbol tables."""
+    from flink_realtime_2024_spark.operators.llm import bpe_train, bpe_encode_counts
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider wider new new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+    word_counts = {}
+    for t in texts:
+        for w in t.split():
+            word_counts[w] = word_counts.get(w, 0) + 1
+    ref_merges, ref_syms = _bpe_reference(word_counts, n_merges=10)
+
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=10).orderBy("merge_rank").collect()
+    ]
+    assert got == ref_merges
+
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_counts(
+            docs, [(m[1], m[2]) for m in ref_merges]
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        words = t.split()
+        expect = sum(len(ref_syms[w]) for w in words)
+        assert enc[i] == (len(words), expect)
