@@ -2791,3 +2791,70 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merge_rows = bpe_train(docs).orderBy("merge_rank").collect()
     return bpe_encode_counts(docs, [(r["left"], r["right"]) for r in merge_rows])
+
+
+# =============================================================================
+# L2 entity-resolution fuzzy matching (deletion-neighborhood blocking)
+# =============================================================================
+
+_FUZZY_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+def fuzzy_pairs_dist1(names: DataFrame, col: str = "name") -> DataFrame:
+    """All distinct string pairs within edit distance 1, WITHOUT the
+    O(n²) comparison: the FastSS/SymSpell deletion-neighborhood trick.
+    Each string expands to itself plus every single-character-deletion
+    variant; two strings at edit distance ≤ 1 (substitution, insertion
+    or deletion) are GUARANTEED to share a variant, so an equi-join on
+    the variant key produces a candidate superset and a JVM
+    ``levenshtein`` verify makes the result exact — same
+    candidate-generate → exact-verify discipline as the MinHash and
+    bloom paths, but with a recall *guarantee* instead of a probability.
+
+    Scale shape: n·(L+1) variant rows shuffle on the variant key (short
+    strings — for long keys hash the variant first); candidate pairs are
+    bounded by bucket sizes, never n². Depth-d neighborhoods generalize
+    the same plan to distance d."""
+    n = names.select(F.col(col).alias("name")).distinct()
+    variants = n.select(
+        "name",
+        F.explode(
+            F.concat(
+                F.array(F.col("name")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("name")),
+                    lambda i: F.concat(
+                        F.substring(F.col("name"), F.lit(1), i - 1),
+                        F.substring(F.col("name"), i + 1, F.length("name")),
+                    ),
+                ),
+            )
+        ).alias("v"),
+    ).distinct()
+    cands = (
+        variants.alias("a")
+        .join(variants.alias("b"), "v")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+    return cands.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+    ).filter(F.col("dist") <= 1)
+
+
+@register("llm_fuzzy_pairs", oracle=_FUZZY_ORACLE, section="L1,L2,J8")
+def llm_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 entity resolution: near-identical name detection over the part
+    catalog (typo-grade variants, edit distance ≤ 1) via deletion-
+    neighborhood blocking — exact by construction, value-checked against
+    a brute-force O(n²) levenshtein oracle. The same operator applies to
+    any string key (URLs, titles, author names) in a curation pipeline."""
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_pairs_dist1(part.select(F.col("p_name").alias("name")))

@@ -773,3 +773,33 @@ def test_bpe_train_matches_reference(spark):
         words = t.split()
         expect = sum(len(ref_syms[w]) for w in words)
         assert enc[i] == (len(words), expect)
+
+
+def test_fuzzy_pairs_deletion_neighborhood_guarantee(spark):
+    """Deletion-neighborhood blocking must find EVERY pair at edit
+    distance ≤ 1 — substitution, insertion, deletion — and nothing at
+    distance ≥ 2 (verify filter)."""
+    from flink_realtime_2024_spark.operators.llm import fuzzy_pairs_dist1
+
+    names = ["gear", "bear", "gears", "ear", "gopher", "widget", "widgit", "wídget"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_pairs_dist1(df).collect()
+    }
+    expect = set()
+    def lev(a, b):
+        import functools
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0 or j == 0:
+                return i + j
+            return min(d(i-1, j) + 1, d(i, j-1) + 1,
+                       d(i-1, j-1) + (a[i-1] != b[j-1]))
+        return d(len(a), len(b))
+    for i, a in enumerate(names):
+        for b in names[i+1:]:
+            x, y = sorted((a, b))
+            if lev(x, y) <= 1:
+                expect.add((x, y, lev(x, y)))
+    assert got == expect and len(expect) >= 4
