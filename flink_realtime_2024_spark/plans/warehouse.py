@@ -232,3 +232,70 @@ def warehouse_traffic_dws(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("session_value")).cast("double").alias("total_value"),
         )
     )
+
+
+_BUCKETED_ORACLE = """
+SELECT o.o_orderkey,
+       o.o_orderstatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS gross
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderstatus
+"""
+
+_N_BUCKETS = 8
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and lineitem ONCE as bucketed+sorted tables
+    (bucketBy/sortBy on the order key, explicit /tmp locations, session
+    catalog). This is the physical layout a production warehouse keeps
+    its co-joined facts in: bucket files pre-hash the join key, so every
+    subsequent join or aggregate on that key runs with ZERO exchanges —
+    the bucketing/`repartition` co-location technique, made durable.
+    Returns the two table names."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    for name, src, key in (
+        (t_orders, "orders", "o_orderkey"),
+        (t_lineitem, "lineitem", "l_orderkey"),
+    ):
+        path = os.path.join(tempfile.gettempdir(), f"bucketed_{name}")
+        if not spark.catalog.tableExists(name):
+            (
+                load_table(spark, sf_dir, src)
+                .write.mode("overwrite")
+                .bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", path)
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    return t_orders, t_lineitem
+
+
+@register("warehouse_bucketed_join", oracle=_BUCKETED_ORACLE, section="S7,S8,J1,A1")
+def warehouse_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join over BUCKETED tables: both sides were
+    written bucketBy(orderkey), so the sort-merge join consumes the
+    bucket layout directly and the per-order aggregate reuses the same
+    distribution — the whole plan has NO shuffle exchange (asserted in
+    tests/test_semantics.py). At 100 TB this is the difference between
+    re-shuffling two fact tables on every join and paying the hash
+    partitioning once at write time. The merge hints pin SMJ so the
+    demo doesn't degenerate to a broadcast at toy scale; the oracle
+    checks values against the unbucketed originals."""
+    t_orders, t_lineitem = ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders).hint("merge")
+    l = spark.table(t_lineitem).hint("merge")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("gross"),
+        )
+    )

@@ -803,3 +803,23 @@ def test_fuzzy_pairs_deletion_neighborhood_guarantee(spark):
             if lev(x, y) <= 1:
                 expect.add((x, y, lev(x, y)))
     assert got == expect and len(expect) >= 4
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both join sides are bucketed by the join key, so the SMJ and the
+    per-order aggregate must run with ZERO shuffle exchanges — the
+    whole point of paying the bucketed write once."""
+    from flink_realtime_2024_spark.plans.warehouse import warehouse_bucketed_join
+
+    df = warehouse_bucketed_join(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    exchanges = [
+        l for l in plan.splitlines()
+        if re.search(r"\bExchange\b", l) and "BroadcastExchange" not in l
+    ]
+    assert exchanges == [], f"unexpected shuffle exchanges: {exchanges}"
+    assert "BroadcastExchange" not in plan
