@@ -75,11 +75,13 @@ def register(
 # Exactly 50 ids — covers every id registered through round 3
 # (149/149 cumulative after r4).
 #
-# ROUND-5 ROTATION PLAN: prefix = flagship + the round-4 additions
-# (sql_forecast_revenue, sql_min_cost_supplier, sql_important_stock,
-# sql_parts_supplier_kinds, sql_excess_inventory + anything newer) +
-# spot re-confirmations drawn from families whose last green is oldest
-# (r1 ids first — joins/aggregates/window-function families).
+# FROM ROUND 5 ON the prefix is SELF-COMPUTING: once CORRECTNESS_r04
+# exists, ``driver_order()`` derives the rotation from the committed
+# CORRECTNESS_r*.json recordings themselves — flagship, then every id
+# with no recording at all (registration order), then already-checked
+# ids stalest-first. No more manual prefix recomputes; the static list
+# below remains only as the round-4 prefix and the fallback when the
+# recordings can't be read.
 DRIVER_PRIORITY: list[str] = [
     "flagship_revenue_by_nation",
     # never driver-checked: SQL API TPC-H shapes
@@ -144,15 +146,63 @@ def all_queries() -> dict[str, Query]:
     return dict(_REGISTRY)
 
 
+def _auto_rotation(corrections_dir: str | None = None) -> list[str] | None:
+    """Compute the sampling prefix from the committed CORRECTNESS_r*.json
+    recordings: flagship first, then ids with NO recording (registration
+    order), then recorded ids ordered stalest-first (oldest last-seen
+    round). Returns None — caller falls back to DRIVER_PRIORITY — until
+    a round-4 recording exists (the round-4 prefix was hand-verified
+    before commit and must stay byte-stable) or if the files are
+    unreadable."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = corrections_dir or os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    last_seen: dict[str, int] = {}
+    max_round = 0
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        max_round = max(max_round, rnd)
+        for name in data:
+            last_seen[name] = max(rnd, last_seen.get(name, 0))
+    if max_round < 4:
+        return None
+    names = list(_REGISTRY)
+    flagship = "flagship_revenue_by_nation"
+    never = [n for n in names if n not in last_seen and n != flagship]
+    stale = sorted(
+        (n for n in names if n in last_seen and n != flagship),
+        key=lambda n: (last_seen[n], names.index(n)),
+    )
+    return [flagship] + never + stale
+
+
 def driver_order() -> dict[str, Query]:
     """Registry reordered for the verification driver's 50-id sample.
 
-    Ids in ``DRIVER_PRIORITY`` come first (in that order), then the
-    rest in registration order. Only ``__spark_entry__`` should use
-    this; everything else wants ``all_queries()``.
+    From round 5 on the order is computed from the CORRECTNESS_r*.json
+    recordings (see ``_auto_rotation``); before that — or if the
+    recordings are unreadable — ids in ``DRIVER_PRIORITY`` come first,
+    then the rest in registration order. Only ``__spark_entry__``
+    should use this; everything else wants ``all_queries()``.
     """
+    priority = _auto_rotation() or DRIVER_PRIORITY
     ordered: dict[str, Query] = {}
-    for name in DRIVER_PRIORITY:
+    for name in priority:
         if name in _REGISTRY:
             ordered[name] = _REGISTRY[name]
     for name, q in _REGISTRY.items():

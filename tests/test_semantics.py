@@ -823,3 +823,34 @@ def test_bucketed_join_has_no_exchange(spark):
     ]
     assert exchanges == [], f"unexpected shuffle exchanges: {exchanges}"
     assert "BroadcastExchange" not in plan
+
+
+def test_driver_rotation_self_computes(tmp_path):
+    """From round 5 the driver-sample prefix derives from the committed
+    CORRECTNESS recordings: unrecorded ids come right after flagship,
+    recorded ids follow stalest-first; before a round-4 recording
+    exists the computation declines (returns None)."""
+    import json
+    from flink_realtime_2024_spark.plans.registry import _auto_rotation, all_queries
+
+    names = list(all_queries())
+    # r1-r3 only → must decline (round-4 prefix is hand-pinned)
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({names[0]: {}}))
+    assert _auto_rotation(str(tmp_path)) is None
+
+    # add a round-4 recording → rotation activates
+    r4 = {n: {} for n in names[:50]}
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps(r4))
+    order = _auto_rotation(str(tmp_path))
+    assert order is not None
+    assert order[0] == "flagship_revenue_by_nation"
+    assert set(order) == set(names)  # a permutation of the registry
+    never = [n for n in names if n not in r4 and n != names[0]]
+    # every never-recorded id precedes every recorded one (bar flagship)
+    pos = {n: i for i, n in enumerate(order)}
+    recorded = [n for n in names[:50] if n != "flagship_revenue_by_nation"]
+    assert max(pos[n] for n in never) < min(pos[n] for n in recorded)
+    # staleness: an id seen only in r3 sorts before ids seen in r4
+    r3_only = names[0]
+    if r3_only != "flagship_revenue_by_nation":
+        assert pos[r3_only] < min(pos[n] for n in recorded if n != r3_only)
