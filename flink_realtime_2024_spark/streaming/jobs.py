@@ -585,3 +585,74 @@ def stream_neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream(stream.writeStream.foreachBatch(sink), "neardup_admit")
     store.unpersist()
     return spark.read.parquet(out)
+
+
+_AGG_MERGE_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_agg_merge", oracle=_AGG_MERGE_ORACLE, section="S7,S2,T6,A1")
+def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 Doris AGGREGATE-KEY serving model: each micro-batch computes a
+    PARTIAL aggregate and MERGES it into the serving table (sum-merge on
+    the key) — the third Doris table model next to the UNIQUE-KEY upsert
+    (stream_cdc_upsert) and the partitioned duplicate-key serving table
+    (serving_partition_prune). The stream never replays old batches: the
+    serving state is itself the aggregate, exactly how a Doris rollup
+    ingests a Kafka feed.
+
+    Exactness across merge rounds: running sums are DECIMAL(18,4)
+    (associative, no float drift), cast to DOUBLE only in the final
+    projection, so the merged result is bit-identical to the one-shot
+    batch aggregate the oracle computes. Each round writes a fresh
+    versioned state dir (sequential availableNow batches — no
+    read/overwrite race), O(distinct keys) rows.
+
+    Scale: the per-batch partial is a map-side-combined groupBy of the
+    batch only; the merge joins two key-sized aggregates. At 100 TB of
+    history the state table is still only O(users)."""
+    ev = events_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="agg_merge_")
+    state: dict[str, str | None] = {"path": None}
+
+    from ..operators._util import dec
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(dec("value")).alias("total_value"),
+        )
+        if state["path"] is not None:
+            prev = spark.read.parquet(state["path"])
+            part = (
+                prev.unionByName(part)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        out = os.path.join(root, f"v{batch_id}")
+        (
+            part.select(
+                "user_id",
+                "n_events",
+                F.col("total_value").cast("decimal(18,4)").alias("total_value"),
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        state["path"] = out
+
+    run_stream(ev.writeStream.outputMode("append").foreachBatch(merge), "agg_merge")
+    assert state["path"] is not None
+    return spark.read.parquet(state["path"]).select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
