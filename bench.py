@@ -150,9 +150,14 @@ def _deltas_vs_previous(timings: dict[str, float], sf: float) -> dict | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def _round_no(p: str):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else None
+
     prev_files = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        (p for p in glob.glob(os.path.join(here, "BENCH_r*.json")) if _round_no(p) is not None),
+        key=_round_no,
     )
     for path in reversed(prev_files):
         try:

@@ -2613,29 +2613,32 @@ def _bpe_word_histogram(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_merge_pair(s: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right non-overlapping replacement of adjacent (a, b)
+    with their concatenation — the one subtle BPE rewrite rule, shared
+    by the trainer and the encoder so they can never desynchronize."""
+    merged = a + b
+    res: list[str] = []
+    i = 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            res.append(merged)
+            i += 2
+        else:
+            res.append(s[i])
+            i += 1
+    return res
+
+
 def _bpe_apply_merge(sym: DataFrame, a: str, b: str) -> DataFrame:
     """Replace adjacent (a, b) symbols with their concatenation,
     left-to-right non-overlapping (the standard BPE rewrite). Only rows
     that contain BOTH symbols enter the Python kernel; the (typically
     overwhelming) untouched remainder passes through JVM-side."""
-    merged = a + b
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def rewrite(syms: pd.Series) -> pd.Series:
-        out = []
-        for s in syms:
-            s = list(s)
-            res = []
-            i = 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    res.append(merged)
-                    i += 2
-                else:
-                    res.append(s[i])
-                    i += 1
-            out.append(res)
-        return pd.Series(out)
+        return pd.Series([_bpe_merge_pair(list(s), a, b) for s in syms])
 
     hit = F.array_contains("syms", a) & F.array_contains("syms", b)
     touched = sym.filter(hit).select("weight", rewrite("syms").alias("syms"))
@@ -2754,17 +2757,7 @@ def bpe_encode_counts(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFra
             if n is None:
                 s = list(w) + [_BPE_EOW]
                 for a, b in merge_list:
-                    m = a + b
-                    res = []
-                    i = 0
-                    while i < len(s):
-                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                            res.append(m)
-                            i += 2
-                        else:
-                            res.append(s[i])
-                            i += 1
-                    s = res
+                    s = _bpe_merge_pair(s, a, b)
                 n = cache[w] = len(s)
             return n
 

@@ -148,12 +148,15 @@ def all_queries() -> dict[str, Query]:
 
 def _auto_rotation(corrections_dir: str | None = None) -> list[str] | None:
     """Compute the sampling prefix from the committed CORRECTNESS_r*.json
-    recordings: flagship first, then ids with NO recording (registration
-    order), then recorded ids ordered stalest-first (oldest last-seen
-    round). Returns None — caller falls back to DRIVER_PRIORITY — until
-    a round-4 recording exists (the round-4 prefix was hand-verified
-    before commit and must stay byte-stable) or if the files are
-    unreadable."""
+    recordings: flagship first, then ids whose LATEST recording shows a
+    failure (they must re-prove a fix immediately — the 'last round's
+    reds go first' rule), then ids with NO recording (registration
+    order), then passing recorded ids stalest-first (oldest last-seen
+    round). ``err == "no_oracle"`` is the driver's marker for a
+    rows-only check, not a failure. Returns None — caller falls back to
+    DRIVER_PRIORITY — until a round-4 recording exists (the round-4
+    prefix was hand-verified before commit and must stay byte-stable)
+    or if the files are unreadable."""
     import glob
     import json
     import os
@@ -163,6 +166,7 @@ def _auto_rotation(corrections_dir: str | None = None) -> list[str] | None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     last_seen: dict[str, int] = {}
+    last_failed: dict[str, bool] = {}
     max_round = 0
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(path))
@@ -177,18 +181,31 @@ def _auto_rotation(corrections_dir: str | None = None) -> list[str] | None:
         if not isinstance(data, dict):
             continue
         max_round = max(max_round, rnd)
-        for name in data:
+        for name, rec in data.items():
+            if rnd >= last_seen.get(name, 0):
+                failed = False
+                if isinstance(rec, dict):
+                    err = rec.get("err")
+                    failed = (err is not None and err != "no_oracle") or any(
+                        rec.get(k) is False
+                        for k in ("rows_match", "schema_match", "hash_match")
+                    )
+                last_failed[name] = failed
             last_seen[name] = max(rnd, last_seen.get(name, 0))
     if max_round < 4:
         return None
     names = list(_REGISTRY)
     flagship = "flagship_revenue_by_nation"
+    red = [
+        n for n in names
+        if n != flagship and last_failed.get(n, False)
+    ]
     never = [n for n in names if n not in last_seen and n != flagship]
     stale = sorted(
-        (n for n in names if n in last_seen and n != flagship),
+        (n for n in names if n in last_seen and n != flagship and n not in red),
         key=lambda n: (last_seen[n], names.index(n)),
     )
-    return [flagship] + never + stale
+    return [flagship] + red + never + stale
 
 
 def driver_order() -> dict[str, Query]:

@@ -525,7 +525,7 @@ SELECT p.p_brand, p.p_type, p.p_size,
        COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
-WHERE p.p_brand <> 'Brand#45'
+WHERE p.p_brand <> 'Brand#5'
   AND p.p_type <> 'MEDIUM'
   AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
   AND l.l_suppkey NOT IN (
@@ -545,7 +545,10 @@ def sql_parts_supplier_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti join against the tiny supplier side; the part predicates prune
     the build side before the fact join; COUNT(DISTINCT) runs as the
     two-phase distinct-aggregate expansion. Identical SQL string on
-    Spark and DuckDB."""
+    Spark and DuckDB. Predicates chosen to be LIVE on the fixture:
+    Brand#5 exists at every SF (brands run #1-#25), and the blacklist
+    is non-empty at sf0.01+ (6 of 100 suppliers), so both exclusions
+    are exercised where the driver verifies parity."""
     register_views(spark, sf_dir, ["lineitem", "part", "supplier"])
     return spark.sql(_SQL_Q16)
 

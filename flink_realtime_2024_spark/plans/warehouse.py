@@ -263,7 +263,12 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         (t_orders, "orders", "o_orderkey"),
         (t_lineitem, "lineitem", "l_orderkey"),
     ):
-        path = os.path.join(tempfile.gettempdir(), f"bucketed_{name}")
+        # path is per-process: the catalog guard below is per-session,
+        # so a shared fixed /tmp path would let two concurrent processes
+        # (pytest + driver) overwrite each other's bucket files
+        path = os.path.join(
+            tempfile.gettempdir(), f"bucketed_{name}_{os.getpid()}"
+        )
         if not spark.catalog.tableExists(name):
             (
                 load_table(spark, sf_dir, src)

@@ -834,23 +834,35 @@ def test_driver_rotation_self_computes(tmp_path):
     from flink_realtime_2024_spark.plans.registry import _auto_rotation, all_queries
 
     names = list(all_queries())
+    flagship = "flagship_revenue_by_nation"
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    rows_only = {"rows_match": None, "err": "no_oracle"}
     # r1-r3 only → must decline (round-4 prefix is hand-pinned)
-    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({names[0]: {}}))
+    r3_only = names[60]  # recorded in r3, absent from the r4 recording
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({r3_only: ok}))
     assert _auto_rotation(str(tmp_path)) is None
 
-    # add a round-4 recording → rotation activates
-    r4 = {n: {} for n in names[:50]}
+    # add a round-4 recording → rotation activates. One id failed its
+    # r4 check, one was rows-only (no_oracle — NOT a failure).
+    r4_ids = [n for n in names[:50] if n != r3_only]
+    failed_id = r4_ids[10]
+    r4 = {n: dict(ok) for n in r4_ids}
+    r4[failed_id] = {"rows_match": True, "schema_match": True,
+                     "hash_match": False, "err": None}
+    r4[r4_ids[11]] = dict(rows_only)
     (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps(r4))
     order = _auto_rotation(str(tmp_path))
     assert order is not None
-    assert order[0] == "flagship_revenue_by_nation"
+    assert order[0] == flagship
     assert set(order) == set(names)  # a permutation of the registry
-    never = [n for n in names if n not in r4 and n != names[0]]
-    # every never-recorded id precedes every recorded one (bar flagship)
     pos = {n: i for i, n in enumerate(order)}
-    recorded = [n for n in names[:50] if n != "flagship_revenue_by_nation"]
-    assert max(pos[n] for n in never) < min(pos[n] for n in recorded)
-    # staleness: an id seen only in r3 sorts before ids seen in r4
-    r3_only = names[0]
-    if r3_only != "flagship_revenue_by_nation":
-        assert pos[r3_only] < min(pos[n] for n in recorded if n != r3_only)
+    # last round's red comes immediately after flagship, before never-checked
+    assert pos[failed_id] == 1
+    never = [n for n in names if n not in r4 and n not in (flagship, r3_only)]
+    recorded_ok = [n for n in r4_ids if n not in (flagship, failed_id)]
+    # every never-recorded id precedes every green recorded one
+    assert max(pos[n] for n in never) < min(pos[n] for n in recorded_ok)
+    # staleness: the id last seen in r3 sorts before everything seen in r4
+    assert pos[r3_only] < min(pos[n] for n in recorded_ok)
+    # rows-only is not treated as a failure
+    assert pos[r4_ids[11]] > max(pos[n] for n in never)
