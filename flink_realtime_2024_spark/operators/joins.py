@@ -350,7 +350,7 @@ GROUP BY o_orderstatus
 """
 
 
-@register("join_skew_salted", oracle=_SKEW_SALTED_ORACLE, section="J1,SKEW")
+@register("join_skew_salted", oracle=_SKEW_SALTED_ORACLE, section="J1,SKEW", bench=True)
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manual skew-salted fact⋈fact join, oracle-checked against the
     plain join: salting redistributes hot keys over n_salts reducers

@@ -2854,7 +2854,7 @@ def fuzzy_pairs_dist1(names: DataFrame, col: str = "name") -> DataFrame:
     ).filter(F.col("dist") <= 1)
 
 
-@register("llm_fuzzy_pairs", oracle=_FUZZY_ORACLE, section="L1,L2,J8")
+@register("llm_fuzzy_pairs", oracle=_FUZZY_ORACLE, section="L1,L2,J8", bench=True)
 def llm_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 entity resolution: near-identical name detection over the part
     catalog (typo-grade variants, edit distance ≤ 1) via deletion-

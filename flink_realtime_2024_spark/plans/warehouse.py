@@ -282,7 +282,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return t_orders, t_lineitem
 
 
-@register("warehouse_bucketed_join", oracle=_BUCKETED_ORACLE, section="S7,S8,J1,A1")
+@register("warehouse_bucketed_join", oracle=_BUCKETED_ORACLE, section="S7,S8,J1,A1", bench=True)
 def warehouse_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located fact⋈fact join over BUCKETED tables: both sides were
     written bucketBy(orderkey), so the sort-merge join consumes the

@@ -102,7 +102,10 @@ def test_no_explicit_broadcast_of_scaling_tables(spark):
         plan = q.builder(spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
         lines = plan.splitlines()
         for i, ln in enumerate(lines):
-            if "ResolvedHint" not in ln:
+            # only BROADCAST hints are the OOM hazard; merge/shuffle
+            # hints force the scale-safe direction (e.g. the bucketed
+            # join pins SMJ so tiny fixtures don't degenerate the demo)
+            if "ResolvedHint" not in ln or "broadcast" not in ln.lower():
                 continue
             for nxt in lines[i + 1:]:
                 if "Relation" in nxt:
