@@ -203,3 +203,35 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, "doc_a", "doc_b").collect()
     }
     assert got == _reference_components(edges)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc</w>x"), min_size=0, max_size=12),
+        min_size=1, max_size=20,
+    ),
+    st.sampled_from("abcx"),
+    st.sampled_from("abcx"),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_merge_pair_reference(seqs, a, b):
+    """_bpe_merge_pair must be the canonical left-to-right
+    non-overlapping rewrite: no (a,b) adjacency may survive unless its
+    left symbol was itself produced by a merge this pass, and reversing
+    the rewrite must reproduce the input."""
+    from flink_realtime_2024_spark.operators.llm import _bpe_merge_pair
+
+    merged = a + b
+    for s in seqs:
+        out = _bpe_merge_pair(list(s), a, b)
+        # reversal: expanding merged symbols back yields the input
+        rebuilt = []
+        for tok in out:
+            rebuilt.extend([a, b] if tok == merged and len(tok) > max(len(a), len(b)) else [tok])
+        # guard: if 'merged' coincides with a pre-existing symbol value
+        # the reversal is ambiguous — skip that case
+        if merged not in s:
+            assert rebuilt == list(s)
+            # greedy non-overlap: walking the output left to right and
+            # re-merging must be a no-op
+            assert _bpe_merge_pair(out, a, b) == out or merged in (a, b)
