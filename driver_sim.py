@@ -14,9 +14,12 @@ import time
 sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.01"
-only = [a for a in sys.argv[1:] if not a.startswith("--")]
-if "--sf" in sys.argv:
-    SF = sys.argv[sys.argv.index("--sf") + 1]
+args = sys.argv[1:]
+if "--sf" in args:
+    i = args.index("--sf")
+    SF = args[i + 1]
+    del args[i : i + 2]
+only = [a for a in args if not a.startswith("--")]
 
 from pyspark.sql import SparkSession  # noqa: E402
 

@@ -2863,3 +2863,80 @@ def llm_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     any string key (URLs, titles, author names) in a curation pipeline."""
     part = load_table(spark, sf_dir, "part")
     return fuzzy_pairs_dist1(part.select(F.col("p_name").alias("name")))
+
+
+# =============================================================================
+# L5 temperature-scaled mixture sampling (mT5/XLM-R data recipe)
+# =============================================================================
+
+_TEMP_TARGET_FRAC = 0.5  # overall corpus fraction to keep
+
+_TEMP_SAMPLE_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+targets AS (
+  SELECT lang, n,
+         CAST(FLOOR(FLOOR(SUM(n) OVER () * {_TEMP_TARGET_FRAC})
+                    * SQRT(n) / SUM(SQRT(n)) OVER ()) AS BIGINT) AS t
+  FROM counts
+),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         md5(CAST(d.doc_id AS VARCHAR)) AS sample_key,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rn,
+         t.t
+  FROM documents d JOIN targets t USING (lang)
+)
+SELECT doc_id, lang, sample_key FROM ranked WHERE rn <= t
+"""
+
+
+@register("llm_sample_temperature", oracle=_TEMP_SAMPLE_ORACLE, section="L5,W1")
+def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 temperature-scaled mixture sampling (α = 0.5): per-language
+    sample sizes ∝ sqrt(corpus share) — the mT5/XLM-R recipe that
+    up-weights low-resource languages relative to proportional
+    sampling. Selection is RANK-based, not rate-based: each language
+    keeps its t_l lowest-md5 documents, so once the L per-language
+    integer targets agree across engines the selected set is exact
+    integer semantics (the only float math — sqrt over counts — feeds
+    a floor() whose inputs are irrational, never at a boundary).
+
+    Scale shape: the per-language histogram is L rows; targets join
+    back as a broadcast; the per-language rank shuffles by lang and
+    sorts on the 16-hex-char key. At 100 TB you would pre-filter with
+    an estimated key threshold (≈ t_l/n_l of the keyspace, slightly
+    padded) before ranking so the sort sees ~t_l rows per language —
+    same trick as heavy-hitters' candidate pruning; at fixture scale
+    the direct rank is the clearer plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    targets = counts.select(
+        "lang",
+        F.floor(
+            F.floor(F.sum("n").over(w_all) * F.lit(_TEMP_TARGET_FRAC))
+            * F.sqrt("n")
+            / F.sum(F.sqrt("n")).over(w_all)
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    key = F.md5(F.col("doc_id").cast("string"))
+    w_lang = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.join(F.broadcast(targets), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            key.alias("sample_key"),
+            F.row_number().over(w_lang).alias("rn"),
+            "t",
+        )
+        .filter(F.col("rn") <= F.col("t"))
+        .select("doc_id", "lang", "sample_key")
+    )
