@@ -2940,3 +2940,74 @@ def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("t"))
         .select("doc_id", "lang", "sample_key")
     )
+
+
+# =============================================================================
+# L3 semantic decontamination (embedding-level benchmark overlap)
+# =============================================================================
+
+_SEMDECON_TAU = 0.8  # cosine above which a doc counts as contaminated
+_SEMDECON_BENCH_CAP = 256  # eval suites are fixed-size; cap the bench side
+
+_SEMDECON_ORACLE = f"""
+WITH bench AS (
+  SELECT vec_id AS bid, embedding AS be FROM embeddings
+  WHERE vec_id % 97 = 0
+  ORDER BY vec_id LIMIT {_SEMDECON_BENCH_CAP}
+),
+scored AS (
+  SELECT c.vec_id,
+         MAX(round(list_dot_product(c.embedding::DOUBLE[], b.be::DOUBLE[]), 6))
+           AS max_cosine
+  FROM embeddings c CROSS JOIN bench b
+  WHERE c.vec_id % 97 <> 0
+  GROUP BY c.vec_id
+)
+SELECT vec_id, max_cosine,
+       CAST(max_cosine >= {_SEMDECON_TAU} AS INTEGER) AS contaminated
+FROM scored
+"""
+
+
+@register("llm_semantic_decontaminate", oracle=_SEMDECON_ORACLE, section="L2,L3")
+def llm_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic
+    complement of the token-5-gram pass (``llm_decontaminate``):
+    paraphrased eval questions share no n-grams but sit next to the
+    benchmark in embedding space, so flag any corpus vector whose max
+    cosine against the held-out set (vec_id % 97, same stand-in split)
+    reaches τ. The dot product is the proven JVM zip_with+aggregate
+    kernel (order-identical float64 reduction in both engines,
+    round(6) — same discipline as llm_cosine_pairs), so the whole
+    query is hash-checked, not rows-only.
+
+    Scale shape: an eval suite is FIXED-size (capped at 256 vectors
+    here), so the benchmark side broadcasts and the cross join
+    is corpus × constant — one scan pass, partial MAX aggregates
+    map-side, no corpus shuffle. Zero Python anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .orderBy("vec_id")
+        .limit(_SEMDECON_BENCH_CAP)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("be"))
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    dot = F.round(
+        F.aggregate(
+            F.zip_with("embedding", "be", lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        corpus.crossJoin(bench)
+        .groupBy("vec_id")
+        .agg(F.max(dot).alias("max_cosine"))
+        .select(
+            "vec_id",
+            "max_cosine",
+            (F.col("max_cosine") >= _SEMDECON_TAU).cast("int").alias("contaminated"),
+        )
+    )
