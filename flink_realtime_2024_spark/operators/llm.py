@@ -2906,8 +2906,11 @@ def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer semantics (the only float math — sqrt over counts — feeds
     a floor() whose inputs are irrational, never at a boundary).
 
-    Scale shape: the per-language histogram is L rows; targets join
-    back as a broadcast; the per-language rank shuffles by lang and
+    Scale shape: the per-language histogram is L rows; the targets
+    join back is left to AQE, which sees an L-row side at runtime and
+    broadcasts it (no explicit hint — the repo rule is that hints only
+    wrap provably fixed-size relations, and this one is an aggregate
+    OF a scaling table); the per-language rank shuffles by lang and
     sorts on the 16-hex-char key. At 100 TB you would pre-filter with
     an estimated key threshold (≈ t_l/n_l of the keyspace, slightly
     padded) before ranking so the sort sees ~t_l rows per language —
@@ -2929,7 +2932,7 @@ def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.md5(F.col("doc_id").cast("string"))
     w_lang = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
     return (
-        docs.join(F.broadcast(targets), "lang")
+        docs.join(targets, "lang")
         .select(
             "doc_id",
             "lang",

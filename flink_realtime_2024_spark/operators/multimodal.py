@@ -7,12 +7,18 @@ for pruning/partitioning, and decode / feature-extract / resize /
 frame-sample run as mapInPandas kernels (one Arrow batch of payloads at
 a time — bounded executor memory, no driver involvement).
 
-The decode step is REAL for the uncompressed container formats that
-need no external codec: 24-bit BMP and binary PPM (P6) images, 16-bit
-PCM WAV audio, and YUV4MPEG2 (Y4M) 4:2:0 video — header/chunk/frame
-parsing + numpy pixel/sample/luma statistics, asserted against
-hand-built fixtures in tests/test_semantics.py. Compressed codecs
-(JPEG/H.264/...) still need a library this container lacks; swap
+The decode step is REAL across both container classes:
+
+- uncompressed: 24-bit BMP and binary PPM (P6) images, 16-bit PCM WAV
+  audio, YUV4MPEG2 (Y4M) 4:2:0 video — header/chunk/frame parsing +
+  numpy pixel/sample/luma statistics;
+- COMPRESSED, stdlib-only: PNG (zlib inflate + full scanline
+  unfiltering incl. Paeth — interoperable 8-bit truecolor) and G.711
+  μ-law WAV (log-companded 8-bit telephony audio expanded to PCM16).
+
+All are asserted against hand-built fixtures and round-trips in
+tests/test_semantics.py. Codecs needing external libraries
+(JPEG/MP3/H.264) remain the one integration point; swap
 ``decode_video``'s body for ffmpeg/PyAV on a real cluster — the
 mapInPandas plumbing is identical.
 """
@@ -70,9 +76,144 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return hdr + data
 
 
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a real, interoperable PNG
+    (8-bit truecolor, filter 0 scanlines, one zlib IDAT, CRC-32 chunk
+    checksums). zlib is the Python standard library — an actual
+    COMPRESSED codec with zero external dependencies."""
+    import zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int = 3) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0-4 incl. Paeth) into an
+    (h, w*bpp) uint8 array. Sequential by spec — each byte depends on
+    the reconstructed left/up/up-left neighbors."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, offset=y * (stride + 1) + 1, count=stride
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the in-row left neighbor
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + b) // 2
+                elif f == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"unknown PNG filter {f}")
+                rec[x] = (line[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor PNG: walk chunks, inflate the IDAT
+    stream, reverse scanline filters. Returns (h, w, 3) uint8 RGB."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    off, w = 8, None
+    idat = bytearray()
+    while off + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, off)
+        tag = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + size]
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit truecolor non-interlaced PNG supported")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        off += 12 + size
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    return _png_unfilter(raw, w, h).reshape(h, w, 3)
+
+
+# G.711 μ-law companding (WAV format tag 7) — a real compressed
+# telephony codec: 16-bit PCM → 8 bits/sample, logarithmic.
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def _mulaw_compress(samples: np.ndarray) -> np.ndarray:
+    s = samples.astype(np.int32)
+    sign = (s < 0).astype(np.uint8) * 0x80
+    mag = np.minimum(np.abs(s), _MULAW_CLIP) + _MULAW_BIAS
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp.astype(np.uint8) << 4) | mant.astype(np.uint8))).astype(
+        np.uint8
+    )
+
+
+def _mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    u = (~codes.astype(np.uint8)).astype(np.int32)
+    sign, exp, mant = u & 0x80, (u >> 4) & 0x07, u & 0x0F
+    mag = ((mant << 3) + _MULAW_BIAS) << exp
+    mag -= _MULAW_BIAS
+    return np.where(sign > 0, -mag, mag).astype(np.int16)
+
+
+def encode_wav_mulaw(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 samples as mono G.711 μ-law WAV (format tag 7,
+    8 bits/sample — half the bytes of PCM16)."""
+    data = _mulaw_compress(samples).tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 7, 1, rate, rate, 1, 8,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
 def decode_image(payload: bytes) -> dict:
-    """Decode an uncompressed BMP or PPM payload to real pixel stats:
-    width, height, mean pixel value over all RGB samples."""
+    """Decode a BMP, PPM, or PNG payload to real pixel stats: width,
+    height, mean pixel value over all RGB samples. PNG is a genuinely
+    COMPRESSED container (zlib inflate + scanline unfiltering)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        px = decode_png(payload)
+        h, w = px.shape[:2]
+        return {"width": int(w), "height": int(h), "mean_value": float(px.mean())}
     if payload[:2] == b"BM":
         data_off = struct.unpack_from("<I", payload, 10)[0]
         w, h = struct.unpack_from("<ii", payload, 18)
@@ -95,22 +236,32 @@ def decode_image(payload: bytes) -> dict:
 
 
 def decode_audio(payload: bytes) -> dict:
-    """Decode a 16-bit PCM WAV payload: walk RIFF chunks to fmt/data,
-    return sample rate, duration, RMS amplitude."""
+    """Decode a WAV payload — 16-bit PCM (format 1) or G.711 μ-law
+    (format 7, a real compressed telephony codec: 8-bit log-companded
+    samples expanded back to int16). Walks RIFF chunks to fmt/data,
+    returns sample rate, duration, RMS amplitude."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    off, rate, bits, channels = 12, None, None, None
-    samples = None
+    off, rate, bits, channels, fmt_tag = 12, None, None, None, None
+    data = None
     while off + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, off)
         if cid == b"fmt ":
-            _fmt, channels, rate = struct.unpack_from("<HHI", payload, off + 8)
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", payload, off + 8)
             bits = struct.unpack_from("<H", payload, off + 22)[0]
         elif cid == b"data":
-            samples = np.frombuffer(payload, dtype="<i2", offset=off + 8, count=size // 2)
+            data = (off + 8, size)
         off += 8 + size + (size & 1)
-    if rate is None or samples is None or bits != 16:
-        raise ValueError("unsupported WAV layout (need PCM16 fmt + data chunks)")
+    if rate is None or data is None:
+        raise ValueError("unsupported WAV layout (need fmt + data chunks)")
+    d_off, d_size = data
+    if fmt_tag == 1 and bits == 16:
+        samples = np.frombuffer(payload, dtype="<i2", offset=d_off, count=d_size // 2)
+    elif fmt_tag == 7 and bits == 8:
+        codes = np.frombuffer(payload, dtype=np.uint8, offset=d_off, count=d_size)
+        samples = _mulaw_expand(codes)
+    else:
+        raise ValueError(f"unsupported WAV encoding (fmt={fmt_tag}, bits={bits})")
     n = len(samples) // channels
     return {
         "sample_rate": int(rate),
@@ -228,16 +379,27 @@ DECODE_STATS_SCHEMA = T.StructType(
 
 def synthesize_assets(batches):
     """Deterministic media generator: md5(text) seeds pixel/sample data,
-    then the REAL encoders produce well-formed BMP / PPM / WAV bytes.
-    (Stands in for reading actual media files, which the fixture set
-    lacks — everything downstream of this kernel is a real decode.)"""
+    then the REAL encoders produce well-formed BMP / PPM / PNG / WAV
+    (PCM16 + μ-law) / Y4M bytes. (Stands in for reading actual media
+    files, which the fixture set lacks — everything downstream of this
+    kernel is a real decode, including zlib-compressed PNG.)"""
     for pdf in batches:
         out = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             seed = hashlib.md5((text or "").encode("utf-8")).digest()
             rng = np.random.RandomState(np.frombuffer(seed[:4], dtype=np.uint32)[0])
-            kind = int(doc_id) % 4
-            if kind == 0:
+            kind = int(doc_id) % 6
+            if kind == 4:
+                w, h = 8 + int(seed[12]) % 24, 8 + int(seed[13]) % 24
+                payload = encode_png(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+                mime = "image/png"
+            elif kind == 5:
+                n = 256 + int(seed[14]) * 8
+                payload = encode_wav_mulaw(
+                    rng.randint(-20000, 20000, size=n).astype(np.int16), rate=8000
+                )
+                mime = "audio/basic+wav"
+            elif kind == 0:
                 w, h = 8 + int(seed[4]) % 24, 8 + int(seed[5]) % 24
                 payload = encode_bmp(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
                 mime = "image/bmp"
@@ -333,7 +495,9 @@ def resize_stats(batches):
         for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"], pdf["payload"]):
             payload = bytes(payload)
             if mime.startswith("image/"):
-                if payload[:2] == b"BM":
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    px = decode_png(payload)
+                elif payload[:2] == b"BM":
                     data_off = struct.unpack_from("<I", payload, 10)[0]
                     w, h = struct.unpack_from("<ii", payload, 18)
                     ah = abs(h)
@@ -377,9 +541,12 @@ def resize_stats(batches):
                     means.append(float(resize_nearest(lum3, _THUMB, _THUMB).mean()))
                 rows.append((int(asset_id), mime, float(np.mean(means)), take))
             else:
-                samples = np.frombuffer(
-                    payload[payload.index(b"data") + 8 :], dtype="<i2"
-                )
+                raw = payload[payload.index(b"data") + 8 :]
+                fmt_tag = struct.unpack_from("<H", payload, 20)[0]
+                if fmt_tag == 7:  # G.711 μ-law: expand codes to PCM16
+                    samples = _mulaw_expand(np.frombuffer(raw, dtype=np.uint8))
+                else:
+                    samples = np.frombuffer(raw, dtype="<i2")
                 frames = frame_sample(samples, _N_FRAMES, _FRAME_LEN)
                 rms = np.sqrt(np.mean(frames.astype(np.float64) ** 2, axis=1))
                 rows.append((int(asset_id), mime, float(rms.mean()), _N_FRAMES))

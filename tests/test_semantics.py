@@ -400,16 +400,17 @@ def test_multimodal_resize_and_frame_sample(spark):
 
     agg = {r["mime"]: r for r in mm_resize_stats(spark, SF_DIR).collect()}
     assert set(agg) == {
-        "image/bmp", "image/x-portable-pixmap", "audio/wav", "video/x-yuv4mpeg"
+        "image/bmp", "image/x-portable-pixmap", "image/png",
+        "audio/wav", "audio/basic+wav", "video/x-yuv4mpeg"
     }
     for r in agg.values():
         assert r["n_assets"] > 0 and r["avg_feature"] > 0
 
 
 def test_multimodal_pipeline_decodes_real_bytes(spark):
-    """End-to-end: synthesized BMP/PPM/WAV payloads flow through the
-    mapInPandas decode kernel; spot-check a few assets against a local
-    re-decode of the same bytes."""
+    """End-to-end: synthesized BMP/PPM/PNG/WAV(PCM+μ-law)/Y4M payloads
+    flow through the mapInPandas decode kernel; spot-check a few assets
+    against a local re-decode of the same bytes."""
     from flink_realtime_2024_spark.operators.multimodal import (
         DECODE_STATS_SCHEMA,
         build_assets,
@@ -421,7 +422,8 @@ def test_multimodal_pipeline_decodes_real_bytes(spark):
 
     agg = {r["mime"]: r for r in mm_decode_stats(spark, SF_DIR).collect()}
     assert set(agg) == {
-        "image/bmp", "image/x-portable-pixmap", "audio/wav", "video/x-yuv4mpeg"
+        "image/bmp", "image/x-portable-pixmap", "image/png",
+        "audio/wav", "audio/basic+wav", "video/x-yuv4mpeg"
     }
     for mime, r in agg.items():
         assert r["n_assets"] > 0 and r["total_bytes"] > 0
@@ -866,3 +868,89 @@ def test_driver_rotation_self_computes(tmp_path):
     assert pos[r3_only] < min(pos[n] for n in recorded_ok)
     # rows-only is not treated as a failure
     assert pos[r4_ids[11]] > max(pos[n] for n in never)
+
+
+def test_png_roundtrip_and_all_filters():
+    """decode_png must invert encode_png exactly AND reverse every
+    scanline filter type (Sub/Up/Average/Paeth), proven by a test-local
+    encoder that FORWARD-filters each row with a chosen type."""
+    import struct as st
+    import zlib
+    import numpy as np
+    from flink_realtime_2024_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for (h, w) in [(1, 1), (3, 5), (16, 11), (24, 24)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+    # forward-filter each row with filter type (row index % 5)
+    px = rng.randint(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    h, w, bpp = 12, 9, 3
+    stride = w * bpp
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        a = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        c = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - a
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - (a + prev) // 2
+        else:
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            enc = cur - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(tag, body):
+        return st.pack(">I", len(body)) + tag + body + st.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), px)
+
+
+def test_mulaw_codec_properties():
+    """μ-law expand∘compress must be sign-preserving, monotone, and
+    within the codec's worst-case quantization error; a full WAV
+    round-trip through decode_audio must report the expanded RMS."""
+    import numpy as np
+    from flink_realtime_2024_spark.operators.multimodal import (
+        _mulaw_compress,
+        _mulaw_expand,
+        decode_audio,
+        encode_wav_mulaw,
+    )
+
+    s = np.linspace(-32000, 32000, 4001).astype(np.int16)
+    rt = _mulaw_expand(_mulaw_compress(s))
+    assert np.all(np.sign(rt) == np.sign(s)) or np.all(np.abs(s[np.sign(rt) != np.sign(s)]) < 64)
+    # worst-case μ-law quantization step at max amplitude is 1024
+    assert np.max(np.abs(rt.astype(np.int32) - s.astype(np.int32))) <= 1024
+    # monotone non-decreasing reconstruction over increasing input
+    assert np.all(np.diff(rt.astype(np.int32)) >= 0)
+
+    wav = encode_wav_mulaw(s, rate=8000)
+    info = decode_audio(wav)
+    assert info["sample_rate"] == 8000
+    expect_rms = float(np.sqrt(np.mean(rt.astype(np.float64) ** 2)))
+    assert abs(info["mean_value"] - expect_rms) < 1e-9
