@@ -374,3 +374,65 @@ def test_neardup_admit_equals_batch_twin(spark):
     }
     store.unpersist()
     assert streamed == batch and len(streamed) > 0
+
+
+def test_checkpoint_resume_exactly_once(spark):
+    """S11 checkpointing, proven directly: a file-sink stream is STOPPED
+    mid-topic after its first micro-batches commit, then a NEW query
+    resumes from the same checkpoint and drains the rest. The resumed
+    run must (a) not reprocess what the first run committed and (b) not
+    lose anything — the final sink contents equal one batch read of the
+    whole topic, row for row. This is the Flink
+    checkpoint/savepoint-restart contract on Spark's commit-log sink."""
+    import os
+    import time
+
+    from flink_realtime_2024_spark.sources.io import events_ts_to_timestamp
+    from flink_realtime_2024_spark.streaming.jobs import staged_events_dir_ordered
+
+    staged = staged_events_dir_ordered(spark, SF_DIR)
+    ckpt = tempfile.mkdtemp(prefix="resume_ckpt_")
+    out = tempfile.mkdtemp(prefix="resume_out_")
+    schema = spark.read.parquet(staged).schema
+
+    def writer():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        return (
+            events_ts_to_timestamp(raw)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+        )
+
+    # phase 1: run continuously, stop as soon as ≥1 batch has committed
+    q = writer().start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["numInputRows"] > 0 and q.status["isDataAvailable"] is not None:
+            committed = [f for f in os.listdir(out) if f.endswith(".parquet")]
+            if committed:
+                break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    n_phase1 = spark.read.parquet(out).count()
+
+    # phase 2: RESUME from the same checkpoint; drain the remainder
+    q2 = writer().trigger(availableNow=True).start()
+    q2.awaitTermination()
+
+    final = spark.read.parquet(out)
+    batch = spark.read.parquet(staged).select("event_id", "user_id", "event_type")
+    assert final.count() == batch.count(), (
+        f"resume lost/duplicated rows: phase1={n_phase1}, "
+        f"final={final.count()}, expected={batch.count()}"
+    )
+    # exact multiset equality (event_id is unique → set equality suffices)
+    assert final.select("event_id").exceptAll(batch.select("event_id")).count() == 0
+    assert batch.select("event_id").exceptAll(final.select("event_id")).count() == 0
