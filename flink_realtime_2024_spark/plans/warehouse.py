@@ -246,6 +246,17 @@ GROUP BY o.o_orderkey, o.o_orderstatus
 
 _N_BUCKETS = 8
 
+# bucket dirs staged this process, removed at interpreter exit so
+# repeated pytest/bench/driver runs don't accumulate /tmp garbage
+_BUCKET_TMP_DIRS: list[str] = []
+
+
+def _cleanup_bucket_dirs() -> None:
+    import shutil
+
+    for d in _BUCKET_TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders and lineitem ONCE as bucketed+sorted tables
@@ -255,6 +266,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     subsequent join or aggregate on that key runs with ZERO exchanges —
     the bucketing/`repartition` co-location technique, made durable.
     Returns the two table names."""
+    import atexit
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
@@ -265,11 +277,23 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ):
         # path is per-process: the catalog guard below is per-session,
         # so a shared fixed /tmp path would let two concurrent processes
-        # (pytest + driver) overwrite each other's bucket files
+        # (pytest + driver) overwrite each other's bucket files.
+        # The tableExists guard is sound ONLY because the catalog is
+        # in-memory and dies with the session — with a persistent (hive)
+        # metastore a prior pid's table entry would resolve to an
+        # already-cleaned /tmp path; assert the assumption so enabling
+        # hive support surfaces here instead of as a missing-file read.
+        assert (
+            spark.conf.get("spark.sql.catalogImplementation", "in-memory")
+            == "in-memory"
+        ), "bucketed staging assumes a per-session in-memory catalog"
         path = os.path.join(
             tempfile.gettempdir(), f"bucketed_{name}_{os.getpid()}"
         )
         if not spark.catalog.tableExists(name):
+            if not _BUCKET_TMP_DIRS:
+                atexit.register(_cleanup_bucket_dirs)
+            _BUCKET_TMP_DIRS.append(path)
             (
                 load_table(spark, sf_dir, src)
                 .write.mode("overwrite")

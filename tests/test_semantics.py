@@ -765,6 +765,16 @@ def test_bpe_train_matches_reference(spark):
     ]
     assert got == ref_merges
 
+    # batched rounds (the default) must be bit-identical to strict
+    # 1-merge-per-round training — the _bpe_select_batch exactness claim
+    got_seq = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=10, merges_per_round=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got_seq == ref_merges
+
     enc = {
         r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
         for r in bpe_encode_counts(
@@ -775,6 +785,38 @@ def test_bpe_train_matches_reference(spark):
         words = t.split()
         expect = sum(len(ref_syms[w]) for w in words)
         assert enc[i] == (len(words), expect)
+
+
+def test_bpe_batched_matches_reference_tie_heavy(spark):
+    """Adversarial fixture for batched merge selection: many pair counts
+    tie and top pairs share symbols, so naive disjoint-prefix batching
+    would reorder merges. The batched trainer must still reproduce the
+    sequential reference exactly (batch acceptance falls back to the
+    argmax when the 4×c_guard exactness bound can't be met)."""
+    from flink_realtime_2024_spark.operators.llm import bpe_train
+
+    # 'abab'-family words create chained pairs (a,b),(b,a) with close,
+    # frequently-tying counts; 'zz'/'zy' exercise the merged-symbol
+    # occupancy rule (pre-existing spelling equal to a merge output)
+    texts = [
+        "abab abab abab baba baba",
+        "abba abba aabb aabb aabb",
+        "zz zz zz zy zy zzy zzy",
+        "ab ab ab ba ba ba ba",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    word_counts = {}
+    for t in texts:
+        for w in t.split():
+            word_counts[w] = word_counts.get(w, 0) + 1
+    ref_merges, _ = _bpe_reference(word_counts, n_merges=12)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=12).orderBy("merge_rank").collect()
+    ]
+    assert got == ref_merges
 
 
 def test_fuzzy_pairs_deletion_neighborhood_guarantee(spark):
