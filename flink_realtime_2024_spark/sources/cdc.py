@@ -194,12 +194,15 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dim_upsert", oracle=None, section="S4")
+@register("dim_upsert", oracle=_LATEST_ORACLE, section="S4")
 def dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 HBase-style dim sink: apply the changelog in ts-ordered
     micro-batches, each merged into a keyed parquet dim store
-    (foreachBatch merge-overwrite). Rows-only check; final state must
-    equal ``cdc_latest_row`` — asserted in tests/test_cdc.py.
+    (foreachBatch merge-overwrite). Because the batches partition the
+    changelog into ascending event-time ranges, incremental
+    merge-upsert converges to exactly the one-shot latest-per-key
+    materialization — so the job carries the FULL ``cdc_latest_row``
+    oracle (also asserted in tests/test_cdc.py).
 
     The batch loop is the test-harness replay of the streaming
     foreachBatch sink (streaming/sinks.py) — same merge function.

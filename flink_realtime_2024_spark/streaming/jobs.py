@@ -78,6 +78,45 @@ def staged_events_dir_ordered(spark: SparkSession, sf_dir: str, n_files: int = 4
     return staged
 
 
+def _staged_events_dir_keyed(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage events as n_files 'topic files' assigned by the
+    SQL-expressible rule ``event_id % n_files``, with ascending
+    modification times so FileStreamSource (oldest-first) replays file
+    k as micro-batch k. Unlike ``_staged_events_dir`` (opaque hash
+    repartition), the batch→row mapping here is a pure function of the
+    data — which lets batch-boundary-dependent jobs (late-row split)
+    carry a full DuckDB oracle instead of a rows-only check."""
+    import shutil
+
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"events_topic_keyed_{os.path.basename(sf_dir)}_{n_files}",
+    )
+    marker = os.path.join(staged, "_STAGED_OK")
+    if not os.path.exists(marker):
+        os.makedirs(staged, exist_ok=True)
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # on-disk ts type
+        base = None
+        for k in range(n_files):
+            tmp = tempfile.mkdtemp(prefix="keyed_part_")
+            (
+                raw.filter(F.col("event_id") % n_files == k)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(staged, f"part-{k}.parquet")
+            shutil.move(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            if base is None:
+                base = int(os.path.getmtime(dst))
+            os.utime(dst, (base + k, base + k))
+        with open(marker, "w"):
+            pass
+    return staged
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 stream source: the engine's Kafka-source equivalent. Schema is
     probed from the file footer (streams require one, and it must match
@@ -273,7 +312,28 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("purchase_id", "click_id")
 
 
-@register("stream_late_split", oracle=None, section="T7,F4")
+_LATE_SPLIT_ORACLE = """
+WITH e AS (
+  SELECT event_id % 4 AS b, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+), mx AS (
+  SELECT b, MAX(us) AS mx FROM e GROUP BY b
+), wm AS (
+  SELECT b,
+         MAX(mx) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - 3600000000 AS wm
+  FROM mx
+), tagged AS (
+  SELECT CASE WHEN w.wm IS NULL OR e.us >= w.wm THEN 'main' ELSE 'late' END AS branch
+  FROM e JOIN wm w USING (b)
+)
+SELECT br.branch, CAST(COALESCE(t.n, 0) AS BIGINT) AS n
+FROM (VALUES ('main'), ('late')) AS br(branch)
+LEFT JOIN (SELECT branch, COUNT(*) AS n FROM tagged GROUP BY branch) t USING (branch)
+"""
+
+
+@register("stream_late_split", oracle=_LATE_SPLIT_ORACLE, section="T7,F4")
 def stream_late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 allowed-lateness SIDE OUTPUT — the real thing, not just the
     drop metric. Flink's ``.sideOutputLateData(tag)`` reroutes late
@@ -289,11 +349,22 @@ def stream_late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the split is two filters on the executing batch (no extra
     shuffle); the watermark update is a single per-batch max — O(1)
-    driver state. Rows-only: the result (per-branch counts) depends on
-    the replay's batch boundaries, which SQL over the static table
-    cannot see; the main+late=total invariant and late-set correctness
-    are pytest-asserted instead."""
-    ev = events_stream(spark, sf_dir)
+    driver state.
+
+    Full oracle (was rows-only through r4): the topic is staged with
+    the SQL-expressible assignment ``event_id % 4`` replayed in fixed
+    file order, so the per-batch watermark progression — running
+    prefix-max of batch max-event-time minus allowed lateness — is a
+    pure function of the static table and DuckDB reproduces the exact
+    main/late row sets; the main+late=total invariant stays
+    pytest-asserted too."""
+    prepare(spark)
+    staged = _staged_events_dir_keyed(spark, sf_dir)
+    ev = events_ts_to_timestamp(
+        spark.readStream.schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
     root = tempfile.mkdtemp(prefix="late_split_")
     allowed_us = 3_600_000_000  # 1 hour allowed lateness
     wm = {"us": None}  # watermark BEFORE the current batch, in epoch-µs
@@ -587,6 +658,8 @@ def stream_neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+_AGG_MERGE_BUCKETS = 16  # state-table hash buckets (Doris tablet analogue)
+
 _AGG_MERGE_ORACLE = """
 SELECT user_id,
        COUNT(*) AS n_events,
@@ -596,7 +669,7 @@ GROUP BY user_id
 """
 
 
-@register("stream_agg_merge", oracle=_AGG_MERGE_ORACLE, section="S7,S2,T6,A1")
+@register("stream_agg_merge", oracle=_AGG_MERGE_ORACLE, section="S7,S2,T6,A1", bench=True)
 def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 Doris AGGREGATE-KEY serving model: each micro-batch computes a
     PARTIAL aggregate and MERGES it into the serving table (sum-merge on
@@ -609,29 +682,55 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness across merge rounds: running sums are DECIMAL(18,4)
     (associative, no float drift), cast to DOUBLE only in the final
     projection, so the merged result is bit-identical to the one-shot
-    batch aggregate the oracle computes. Each round writes a fresh
-    versioned state dir (sequential availableNow batches — no
-    read/overwrite race), O(distinct keys) rows.
+    batch aggregate the oracle computes.
+
+    Incremental merge at bucket granularity: the state table is
+    hash-partitioned into ``_AGG_MERGE_BUCKETS`` key buckets (Doris
+    tablets; a Delta/Iceberg MERGE target's file groups). Each
+    micro-batch aggregates only its own rows, collects its touched
+    bucket ids (≤ bucket-count values, bounded driver state), reads
+    back ONLY those buckets' current state files, and rewrites ONLY
+    those buckets into a fresh versioned dir — untouched buckets keep
+    their existing files via the per-bucket pointer map. Per-batch
+    cost is O(batch + touched-bucket state), not O(all keys): at 10⁹
+    users and a batch touching 3% of buckets, 97% of the state table
+    is neither read nor written. Versioned dirs (not in-place
+    overwrite) keep the sequential availableNow rounds race-free;
+    a lakehouse MERGE INTO is the same shape with commit-log-managed
+    versions.
 
     Scale: the per-batch partial is a map-side-combined groupBy of the
-    batch only; the merge joins two key-sized aggregates. At 100 TB of
-    history the state table is still only O(users)."""
+    batch only; the merge joins two bucket-sized aggregates. At 100 TB
+    of history the state table is still only O(users)."""
     ev = events_stream(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="agg_merge_")
-    state: dict[str, str | None] = {"path": None}
+    bucket_path: dict[int, str] = {}  # bucket id -> current state dir
 
     from ..operators._util import dec
 
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(_AGG_MERGE_BUCKETS)).cast("int")
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        part = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(dec("value")).alias("total_value"),
+        part = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(dec("value")).alias("total_value"),
+            )
+            .withColumn("bucket", bucket)
+            .localCheckpoint()
         )
-        if state["path"] is not None:
-            prev = spark.read.parquet(state["path"])
+        touched = sorted(r["bucket"] for r in part.select("bucket").distinct().collect())
+        prev_dirs = [bucket_path[b] for b in touched if b in bucket_path]
+        if prev_dirs:
+            # leaf bucket=k dirs hold plain files (bucket was a partition
+            # column at write time); re-derive it from the key — cheaper
+            # and simpler than cross-version partition discovery
+            prev = spark.read.parquet(*prev_dirs).withColumn("bucket", bucket)
             part = (
-                prev.unionByName(part)
-                .groupBy("user_id")
+                prev.select("user_id", "n_events", "total_value", "bucket")
+                .unionByName(part)
+                .groupBy("user_id", "bucket")
                 .agg(
                     F.sum("n_events").cast("bigint").alias("n_events"),
                     F.sum("total_value").alias("total_value"),
@@ -643,15 +742,19 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id",
                 "n_events",
                 F.col("total_value").cast("decimal(18,4)").alias("total_value"),
+                "bucket",
             )
             .write.mode("overwrite")
+            .partitionBy("bucket")
             .parquet(out)
         )
-        state["path"] = out
+        for b in touched:
+            bucket_path[b] = os.path.join(out, f"bucket={b}")
 
     run_stream(ev.writeStream.outputMode("append").foreachBatch(merge), "agg_merge")
-    assert state["path"] is not None
-    return spark.read.parquet(state["path"]).select(
+    assert bucket_path, "no state buckets written"
+    final = spark.read.parquet(*bucket_path.values())
+    return final.select(
         "user_id",
         "n_events",
         F.col("total_value").cast("double").alias("total_value"),
