@@ -119,23 +119,31 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int = 3) -> np.ndarray:
             rec = line
         elif f == 2:  # Up
             rec = (line + prev) & 0xFF
-        else:  # Sub / Average / Paeth need the in-row left neighbor
-            rec = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                if f == 1:  # Sub
-                    pred = a
-                elif f == 3:  # Average
-                    pred = (a + b) // 2
-                elif f == 4:  # Paeth
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        elif f == 1:  # Sub: per-lane prefix sum mod 256 — fully vectorized
+            rec = (np.cumsum(line.reshape(w, bpp), axis=0) & 0xFF).reshape(stride)
+        elif f in (3, 4):  # Average / Paeth: left-neighbor recurrence —
+            # iterate PIXELS, vectorize the bpp channel lanes per step
+            lanes = line.reshape(w, bpp)
+            prev_l = prev.reshape(w, bpp)
+            rec_l = np.zeros((w, bpp), dtype=np.int32)
+            a = np.zeros(bpp, dtype=np.int32)  # reconstructed left pixel
+            c = np.zeros(bpp, dtype=np.int32)  # up-left pixel
+            for x in range(w):
+                b = prev_l[x]
+                if f == 3:
+                    pred = (a + b) >> 1
                 else:
-                    raise ValueError(f"unknown PNG filter {f}")
-                rec[x] = (line[x] + pred) & 0xFF
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                a = (lanes[x] + pred) & 0xFF
+                rec_l[x] = a
+                c = b
+            rec = rec_l.reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
         out[y] = rec.astype(np.uint8)
     return out
 
@@ -235,11 +243,12 @@ def decode_image(payload: bytes) -> dict:
     return {"width": int(w), "height": int(abs(h)), "mean_value": float(px.mean())}
 
 
-def decode_audio(payload: bytes) -> dict:
-    """Decode a WAV payload — 16-bit PCM (format 1) or G.711 μ-law
-    (format 7, a real compressed telephony codec: 8-bit log-companded
-    samples expanded back to int16). Walks RIFF chunks to fmt/data,
-    returns sample rate, duration, RMS amplitude."""
+def _wav_parse(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Walk RIFF chunks to fmt/data (tolerating extra chunks like LIST
+    in any order — the one correct way to locate WAV samples) and
+    return (fmt_tag, channels, rate, bits, samples-as-int16). The
+    single parser both decode_audio and resize_stats use, so a
+    non-canonical chunk layout can never be read two different ways."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     off, rate, bits, channels, fmt_tag = 12, None, None, None, None
@@ -262,6 +271,15 @@ def decode_audio(payload: bytes) -> dict:
         samples = _mulaw_expand(codes)
     else:
         raise ValueError(f"unsupported WAV encoding (fmt={fmt_tag}, bits={bits})")
+    return fmt_tag, channels, rate, bits, samples
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Decode a WAV payload — 16-bit PCM (format 1) or G.711 μ-law
+    (format 7, a real compressed telephony codec: 8-bit log-companded
+    samples expanded back to int16). Walks RIFF chunks to fmt/data,
+    returns sample rate, duration, RMS amplitude."""
+    _, channels, rate, _, samples = _wav_parse(payload)
     n = len(samples) // channels
     return {
         "sample_rate": int(rate),
@@ -541,12 +559,9 @@ def resize_stats(batches):
                     means.append(float(resize_nearest(lum3, _THUMB, _THUMB).mean()))
                 rows.append((int(asset_id), mime, float(np.mean(means)), take))
             else:
-                raw = payload[payload.index(b"data") + 8 :]
-                fmt_tag = struct.unpack_from("<H", payload, 20)[0]
-                if fmt_tag == 7:  # G.711 μ-law: expand codes to PCM16
-                    samples = _mulaw_expand(np.frombuffer(raw, dtype=np.uint8))
-                else:
-                    samples = np.frombuffer(raw, dtype="<i2")
+                # same RIFF chunk walk as decode_audio — no fixed
+                # offsets, so LIST/extra chunks can't mis-parse here
+                _, _, _, _, samples = _wav_parse(payload)
                 frames = frame_sample(samples, _N_FRAMES, _FRAME_LEN)
                 rms = np.sqrt(np.mean(frames.astype(np.float64) ** 2, axis=1))
                 rows.append((int(asset_id), mime, float(rms.mean()), _N_FRAMES))

@@ -176,10 +176,13 @@ def _auto_rotation(corrections_dir: str | None = None) -> list[str] | None:
         try:
             with open(path) as f:
                 data = json.load(f)
+            if not isinstance(data, dict):
+                raise ValueError("recording is not a JSON object")
         except Exception:
-            continue
-        if not isinstance(data, dict):
-            continue
+            # a corrupt/unreadable recording (possibly the LATEST round)
+            # must not silently skew the rotation toward stale rounds —
+            # fall all the way back to DRIVER_PRIORITY, as documented
+            return None
         max_round = max(max_round, rnd)
         for name, rec in data.items():
             if rnd >= last_seen.get(name, 0):

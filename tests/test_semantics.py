@@ -912,6 +912,35 @@ def test_driver_rotation_self_computes(tmp_path):
     assert pos[r4_ids[11]] > max(pos[n] for n in never)
 
 
+def test_wav_chunk_walk_tolerates_noncanonical_layout():
+    """A WAV with a LIST chunk BEFORE fmt/data (legal RIFF, produced by
+    many encoders) must parse identically to the canonical layout in
+    BOTH consumers — decode_audio and the resize_stats kernel share
+    _wav_parse, so fixed-offset mis-parses are structurally impossible."""
+    import struct as st
+    import numpy as np
+    from flink_realtime_2024_spark.operators.multimodal import (
+        _wav_parse,
+        decode_audio,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(11)
+    samples = rng.randint(-3000, 3000, size=512).astype(np.int16)
+    canonical = encode_wav(samples, rate=8000)
+    # rebuild with an INFO LIST chunk injected before fmt
+    fmt_and_data = canonical[12:]
+    info = b"INFOISFT" + st.pack("<I", 6) + b"spark\x00"
+    list_chunk = b"LIST" + st.pack("<I", len(info)) + info
+    body = list_chunk + fmt_and_data
+    weird = b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    ftag, ch, rate, bits, got = _wav_parse(weird)
+    assert (ftag, ch, rate, bits) == (1, 1, 8000, 16)
+    assert np.array_equal(got, samples)
+    assert decode_audio(weird) == decode_audio(canonical)
+
+
 def test_png_roundtrip_and_all_filters():
     """decode_png must invert encode_png exactly AND reverse every
     scanline filter type (Sub/Up/Average/Paeth), proven by a test-local
