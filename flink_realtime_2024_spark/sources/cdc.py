@@ -253,7 +253,37 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import run_stream
 
     prepare(spark)
-    # stage the changelog as a 3-file event-time-ordered topic
+    stream = cdc_binlog_stream(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="cdc_stream_dim_")
+    state = {"dim": None}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merged = merge_upsert(state["dim"], batch_df)
+        path = os.path.join(store, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(path)
+        state["dim"] = batch_df.sparkSession.read.parquet(path)
+
+    run_stream(stream.writeStream.outputMode("append").foreachBatch(sink), "cdc_upsert")
+    assert state["dim"] is not None
+    return state["dim"].select("key", "op", "totalprice", "orderstatus", "ts_ms")
+
+
+def merge_upsert(dim: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """MERGE INTO-equivalent for a keyed dim: union(current-as-oldest,
+    batch) → latest per key → drop deletes."""
+    if dim is None:
+        return latest_per_key(batch)
+    return latest_per_key(dim.unionByName(batch))
+
+
+def cdc_binlog_stream(spark: SparkSession, sf_dir: str):
+    """Stage the changelog ONCE as a 3-file event-time-ordered 'binlog
+    topic' and open a readStream over it (maxFilesPerTrigger=1 → real
+    micro-batches in commit order) — the shared CDC source for every
+    streaming changelog consumer."""
+    import os
+    import tempfile
+
     staged = os.path.join(
         tempfile.gettempdir(), f"cdc_topic_{os.path.basename(os.path.normpath(sf_dir))}"
     )
@@ -276,26 +306,224 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write("ok")
 
     schema = "key bigint, op string, totalprice double, orderstatus string, ts_ms bigint"
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+
+
+# =============================================================================
+# Changelog kinds / retract streams (flink-table-runtime, pom.xml:125-130)
+# =============================================================================
+#
+# Flink's Table runtime tracks four RowKinds through every plan:
+# +I (INSERT), -U (UPDATE_BEFORE), +U (UPDATE_AFTER), -D (DELETE). The
+# upsert changelog a CDC source emits carries only after-images; the
+# ChangelogNormalize operator re-derives the before-images so downstream
+# operators (notably aggregates grouped on NON-key columns) can RETRACT
+# the old row's contribution before applying the new one. These builders
+# re-express that algebra in Spark: the normalize step is a per-key
+# lag() (batch) or a dim-store lookup (streaming), and retract
+# consumption is signed aggregation — exact, associative, and
+# incremental.
+
+_ROWKIND_PREC = "CASE op WHEN 'd' THEN 2 WHEN 'u' THEN 1 ELSE 0 END"
+
+
+def changelog_to_retract(changelog: DataFrame) -> DataFrame:
+    """ChangelogNormalize: upsert changelog → retract stream. Each
+    envelope becomes its RowKind rows — 'c' → +I(new); 'u' → −U(old),
+    +U(new); 'd' → −D(old) — with the before-image recovered by a
+    per-key event-time lag. One shuffle on key; output carries an
+    explicit ``sign`` so any downstream aggregate can consume it as
+    signed contributions."""
+    prec = F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
+    w = Window.partitionBy("key").orderBy("ts_ms", prec)
+    lagged = changelog.select(
+        "key",
+        "op",
+        "totalprice",
+        "orderstatus",
+        "ts_ms",
+        F.lag("totalprice").over(w).alias("p_price"),
+        F.lag("orderstatus").over(w).alias("p_status"),
     )
-    store = tempfile.mkdtemp(prefix="cdc_stream_dim_")
-    state = {"dim": None}
+
+    def _kind(kind, price, status, sign):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            price.alias("price"),
+            status.alias("status"),
+            F.lit(sign).cast("int").alias("sign"),
+        )
+
+    rows = (
+        F.when(
+            F.col("op") == "c",
+            F.array(_kind("+I", F.col("totalprice"), F.col("orderstatus"), 1)),
+        )
+        .when(
+            F.col("op") == "u",
+            F.array(
+                _kind("-U", F.col("p_price"), F.col("p_status"), -1),
+                _kind("+U", F.col("totalprice"), F.col("orderstatus"), 1),
+            ),
+        )
+        .otherwise(F.array(_kind("-D", F.col("p_price"), F.col("p_status"), -1)))
+    )
+    return lagged.select("key", "ts_ms", F.explode(rows).alias("r")).select(
+        "key", "r.kind", "r.price", "r.status", "r.sign", "ts_ms"
+    )
+
+
+_RETRACT_STREAM_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+lagged AS (
+  SELECT key, op, totalprice, orderstatus, ts_ms,
+         LAG(totalprice) OVER w AS p_price,
+         LAG(orderstatus) OVER w AS p_status
+  FROM changelog
+  WINDOW w AS (PARTITION BY key ORDER BY ts_ms, {_ROWKIND_PREC})
+)
+SELECT key, '+I' AS kind, totalprice AS price, orderstatus AS status,
+       CAST(1 AS INTEGER) AS sign, ts_ms FROM lagged WHERE op = 'c'
+UNION ALL
+SELECT key, '-U', p_price, p_status, -1, ts_ms FROM lagged WHERE op = 'u'
+UNION ALL
+SELECT key, '+U', totalprice, orderstatus, 1, ts_ms FROM lagged WHERE op = 'u'
+UNION ALL
+SELECT key, '-D', p_price, p_status, -1, ts_ms FROM lagged WHERE op = 'd'
+"""
+
+
+@register("cdc_retract_stream", oracle=_RETRACT_STREAM_ORACLE, section="S3,W3")
+def cdc_retract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink changelog kinds (flink-table-runtime): the upsert changelog
+    normalized into an explicit ±I/±U/±D retract stream with recovered
+    before-images — the dynamic-table algebra Flink tracks through
+    every Table/SQL plan, full oracle."""
+    return changelog_to_retract(build_changelog(spark, sf_dir))
+
+
+_RETRACT_AGG_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+latest AS (
+  SELECT key, op, totalprice, orderstatus FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY key
+      ORDER BY ts_ms DESC, {_ROWKIND_PREC} DESC,
+               COALESCE(totalprice, -1) DESC, COALESCE(orderstatus, '') DESC
+    ) AS rn
+    FROM changelog
+  ) WHERE rn = 1 AND op <> 'd'
+)
+SELECT orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM latest GROUP BY orderstatus
+"""
+
+
+@register("cdc_retract_aggregate", oracle=_RETRACT_AGG_ORACLE, section="S3,A1")
+def cdc_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a RETRACT stream: GROUP BY a NON-key column
+    (orderstatus) of an updating table — impossible with append-only
+    semantics, the motivating case for Flink's retract mode. Each
+    RowKind row contributes ``sign``-weighted terms; updates cancel
+    their before-image exactly (DECIMAL sums — associative, no float
+    drift), so the signed aggregate over ALL kinds equals the aggregate
+    over the final materialized state, which is what the oracle
+    computes. One shuffle for the normalize lag + one for the group-by;
+    both map-side combined."""
+    retract = changelog_to_retract(build_changelog(spark, sf_dir))
+    return (
+        retract.groupBy(F.col("status").alias("orderstatus"))
+        .agg(
+            F.sum("sign").cast("bigint").alias("n_orders"),
+            F.sum(F.col("sign") * dec("price")).alias("v"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "orderstatus", "n_orders", F.col("v").cast("double").alias("total_price")
+        )
+    )
+
+
+@register("stream_retract_agg", oracle=_RETRACT_AGG_ORACLE, section="S3,A1,T5")
+def stream_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retract aggregate in its TRUE streaming form — incremental
+    view maintenance over the binlog topic. Per micro-batch:
+
+    1. the batch's touched keys look up their CURRENT images in the dim
+       store (the streaming ChangelogNormalize — before-images come
+       from state, exactly Flink's operator);
+    2. old touched images retract (−1), the merged new touched images
+       assert (+1), and the signed per-status delta — a handful of
+       rows — merges into the running aggregate (driver-held exact
+       Decimal sums, O(groups) state);
+    3. the dim store advances by the same merge_upsert as
+       stream_cdc_upsert.
+
+    Per-batch cost is O(batch + touched-key state + groups); the
+    untouched dim majority is never re-aggregated. The final running
+    aggregate carries the same full oracle as the batch twin — batch
+    boundaries are invisible because signed DECIMAL addition is
+    associative and commutative."""
+    import os
+    import tempfile
+    from decimal import Decimal
+
+    from ..session import prepare
+    from ..streaming.jobs import run_stream
+
+    prepare(spark)
+    stream = cdc_binlog_stream(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="cdc_retract_dim_")
+    state: dict = {"dim": None}
+    agg: dict[str, list] = {}  # status -> [n_orders, Decimal total]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        merged = merge_upsert(state["dim"], batch_df)
+        sess = batch_df.sparkSession
+        batch = batch_df.localCheckpoint()
+        touched = batch.select("key").distinct()
+        old_dim = state["dim"]
+        old_touched = (
+            old_dim.join(touched, "key", "semi") if old_dim is not None else None
+        )
+        new_touched = merge_upsert(old_touched, batch)
+        signed = new_touched.select(
+            F.col("orderstatus").alias("status"),
+            F.lit(1).alias("sign"),
+            F.col("totalprice").alias("price"),
+        )
+        if old_touched is not None:
+            signed = signed.unionByName(
+                old_touched.select(
+                    F.col("orderstatus").alias("status"),
+                    F.lit(-1).alias("sign"),
+                    F.col("totalprice").alias("price"),
+                )
+            )
+        delta = (
+            signed.groupBy("status")
+            .agg(
+                F.sum("sign").cast("bigint").alias("dn"),
+                F.sum(F.col("sign") * dec("price")).alias("dv"),
+            )
+            .collect()
+        )
+        for r in delta:
+            cur = agg.setdefault(r["status"], [0, Decimal("0")])
+            cur[0] += int(r["dn"])
+            cur[1] += Decimal(str(r["dv"])) if r["dv"] is not None else Decimal("0")
+        merged = merge_upsert(old_dim, batch)
         path = os.path.join(store, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(path)
-        state["dim"] = batch_df.sparkSession.read.parquet(path)
+        state["dim"] = sess.read.parquet(path)
 
-    run_stream(stream.writeStream.outputMode("append").foreachBatch(sink), "cdc_upsert")
-    assert state["dim"] is not None
-    return state["dim"].select("key", "op", "totalprice", "orderstatus", "ts_ms")
-
-
-def merge_upsert(dim: DataFrame | None, batch: DataFrame) -> DataFrame:
-    """MERGE INTO-equivalent for a keyed dim: union(current-as-oldest,
-    batch) → latest per key → drop deletes."""
-    if dim is None:
-        return latest_per_key(batch)
-    return latest_per_key(dim.unionByName(batch))
+    run_stream(stream.writeStream.outputMode("append").foreachBatch(sink), "retract_agg")
+    rows = [
+        (status, n, float(total))
+        for status, (n, total) in sorted(agg.items())
+        if n > 0
+    ]
+    return spark.createDataFrame(
+        rows, "orderstatus string, n_orders bigint, total_price double"
+    )

@@ -912,6 +912,49 @@ def test_driver_rotation_self_computes(tmp_path):
     assert pos[r4_ids[11]] > max(pos[n] for n in never)
 
 
+def test_retract_stream_group_migration(spark):
+    """Retract algebra on a handcrafted changelog where an update MOVES
+    a row between groups (status P→F) and a key is created then deleted:
+    the signed aggregate must migrate the contribution across groups and
+    net the deleted key to zero — the exact case append-only semantics
+    cannot express (Flink retract mode's motivation)."""
+    import pyspark.sql.functions as F
+    from flink_realtime_2024_spark.sources.cdc import changelog_to_retract
+    from flink_realtime_2024_spark.operators._util import dec
+
+    rows = [
+        (1, "c", 100.0, "P", 1000),  # created P@100
+        (1, "u", 150.0, "F", 2000),  # moves to F@150 — must retract P
+        (2, "c", 50.0, "P", 1500),   # stays P@50
+        (3, "c", 70.0, "O", 1200),   # created then deleted — nets to 0
+        (3, "d", None, None, 1800),
+    ]
+    log = spark.createDataFrame(
+        rows, "key bigint, op string, totalprice double, orderstatus string, ts_ms bigint"
+    )
+    retract = changelog_to_retract(log)
+    kinds = {
+        (r["key"], r["kind"], r["status"], r["price"]) for r in retract.collect()
+    }
+    assert (1, "+I", "P", 100.0) in kinds
+    assert (1, "-U", "P", 100.0) in kinds, "before-image must be recovered"
+    assert (1, "+U", "F", 150.0) in kinds
+    assert (3, "-D", "O", 70.0) in kinds, "delete must retract the last image"
+
+    agg = {
+        r["status"]: (r["n"], r["v"])
+        for r in retract.groupBy("status")
+        .agg(
+            F.sum("sign").alias("n"),
+            F.sum(F.col("sign") * dec("price")).cast("double").alias("v"),
+        )
+        .collect()
+    }
+    assert agg["F"] == (1, 150.0), "update's contribution migrated to F"
+    assert agg["P"] == (1, 50.0), "P retains only key 2 after retraction"
+    assert agg["O"] == (0, 0.0), "create+delete nets to zero"
+
+
 def test_wav_chunk_walk_tolerates_noncanonical_layout():
     """A WAV with a LIST chunk BEFORE fmt/data (legal RIFF, produced by
     many encoders) must parse identically to the canonical layout in
