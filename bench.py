@@ -166,11 +166,17 @@ def main() -> None:
 
 
 _SF1_QUERIES = (
+    # LLM showcases
     "llm_dedup_minhash",
     "llm_knn_ivf_partitioned",
     "llm_decontaminate",
     "llm_fuzzy_pairs",
     "llm_wordcount",
+    # core relational path: fact⋈fact+dims, hash agg, sessionization
+    "warehouse_order_wide",
+    "agg_hash_groupby",
+    "join_inner_hash",
+    "window_session",
 )
 _SF1_REPLICATION = 10
 
@@ -190,18 +196,17 @@ def _sf1_probe(spark, builders, timings: dict[str, float]) -> dict:
     probe_dir = os.path.join(
         tempfile.gettempdir(), f"sf1_probe_{os.path.basename(SF_DIR.rstrip('/'))}"
     )
-    marker = os.path.join(probe_dir, "_STAGED_OK")
+    marker = os.path.join(probe_dir, "_STAGED_OK_V2")
     t0 = time.perf_counter()
     if not os.path.exists(marker):
-        docs = load_table(spark, SF_DIR, "documents")
-        emb = load_table(spark, SF_DIR, "embeddings")
-        part = load_table(spark, SF_DIR, "part")
         key_off = 10_000_000
 
-        def replicas(df, key, perturb=None):
+        def replicas(df, keys, perturb=None):
             outs = []
             for i in range(_SF1_REPLICATION):
-                r = df.withColumn(key, F.col(key) + F.lit(i * key_off))
+                r = df
+                for key in keys:
+                    r = r.withColumn(key, F.col(key) + F.lit(i * key_off))
                 if perturb is not None and i > 0:
                     r = perturb(r, i)
                 outs.append(r)
@@ -210,17 +215,32 @@ def _sf1_probe(spark, builders, timings: dict[str, float]) -> dict:
                 u = u.unionByName(r)
             return u
 
-        replicas(
-            docs, "doc_id",
-            lambda r, i: r.withColumn("text", F.concat("text", F.lit(f" v{i}"))),
-        ).write.mode("overwrite").parquet(os.path.join(probe_dir, "documents.parquet"))
-        replicas(emb, "vec_id").write.mode("overwrite").parquet(
-            os.path.join(probe_dir, "embeddings.parquet")
-        )
-        replicas(
-            part, "p_partkey",
-            lambda r, i: r.withColumn("p_name", F.concat("p_name", F.lit(f" v{i}"))),
-        ).write.mode("overwrite").parquet(os.path.join(probe_dir, "part.parquet"))
+        # foreign keys offset IDENTICALLY on both sides per replica, so
+        # every join stays valid and selectivities match the original
+        plan = {
+            "documents": (
+                ["doc_id"],
+                lambda r, i: r.withColumn("text", F.concat("text", F.lit(f" v{i}"))),
+            ),
+            "embeddings": (["vec_id"], None),
+            "part": (
+                ["p_partkey"],
+                lambda r, i: r.withColumn("p_name", F.concat("p_name", F.lit(f" v{i}"))),
+            ),
+            "lineitem": (["l_orderkey", "l_partkey"], None),
+            "orders": (["o_orderkey", "o_custkey"], None),
+            "customer": (["c_custkey"], None),
+            "events": (["event_id", "user_id"], None),
+        }
+        for table, (keys, perturb) in plan.items():
+            replicas(load_table(spark, SF_DIR, table), keys, perturb).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(probe_dir, f"{table}.parquet"))
+        # fixed-size dims stay 1x — at any SF nation/region don't grow
+        for table in ("nation", "region", "supplier"):
+            load_table(spark, SF_DIR, table).write.mode("overwrite").parquet(
+                os.path.join(probe_dir, f"{table}.parquet")
+            )
         open(marker, "w").close()
     staging_s = round(time.perf_counter() - t0, 3)
 
