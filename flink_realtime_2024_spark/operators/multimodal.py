@@ -582,6 +582,58 @@ def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_byte_sql(k: int) -> str:
+    """DuckDB expression for byte ``k`` of md5(COALESCE(text,'')) —
+    the seed bytes the asset synthesizer derives every container
+    dimension from."""
+    p = 2 * k + 1
+    return (
+        f"((strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(hx, {p + 1}, 1)) - 1))"
+    )
+
+
+_DECODE_DIMS_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS hx, doc_id % 6 AS kind FROM documents
+)
+SELECT doc_id AS asset_id,
+       CASE kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+                 WHEN 2 THEN 'image/x-portable-pixmap' WHEN 3 THEN 'video/x-yuv4mpeg'
+                 WHEN 4 THEN 'image/png' ELSE 'audio/basic+wav' END AS mime,
+       CAST(CASE kind WHEN 4 THEN 8 + {_md5_byte_sql(12)} % 24
+                      WHEN 0 THEN 8 + {_md5_byte_sql(4)} % 24
+                      WHEN 2 THEN 8 + {_md5_byte_sql(7)} % 24
+                      WHEN 3 THEN 8 + 2 * ({_md5_byte_sql(9)} % 8)
+                      ELSE NULL END AS INTEGER) AS width,
+       CAST(CASE kind WHEN 4 THEN 8 + {_md5_byte_sql(13)} % 24
+                      WHEN 0 THEN 8 + {_md5_byte_sql(5)} % 24
+                      WHEN 2 THEN 8 + {_md5_byte_sql(8)} % 24
+                      WHEN 3 THEN 8 + 2 * ({_md5_byte_sql(10)} % 8)
+                      ELSE NULL END AS INTEGER) AS height,
+       CAST(CASE kind WHEN 5 THEN 1000.0 * (256 + {_md5_byte_sql(14)} * 8) / 8000
+                      WHEN 1 THEN 1000.0 * (256 + {_md5_byte_sql(6)} * 8) / 8000
+                      WHEN 3 THEN (4 + {_md5_byte_sql(11)} % 8) * 200.0
+                      ELSE NULL END AS DOUBLE) AS duration_ms
+FROM h
+"""
+
+
+@register("mm_decode_dims", oracle=_DECODE_DIMS_ORACLE, section="L6")
+def mm_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 with a FULL oracle: every asset's container dimensions as
+    reported by the REAL decoders (PNG chunk walk + zlib inflate +
+    unfilter, BMP/PPM header parse, RIFF chunk walk incl. μ-law, Y4M
+    frame scan) must equal an INDEPENDENT DuckDB derivation of the same
+    dimensions from the synthesizer's md5 seed bytes. One mismatched
+    header field, stride, or chunk offset anywhere in the
+    encode→decode path fails the hash — the binary plumbing is
+    oracle-checked end to end, not just rows-only (pixel/sample
+    statistics stay pytest-territory: numpy RNG isn't SQL)."""
+    decoded = build_assets(spark, sf_dir).mapInPandas(decode_stats, DECODE_STATS_SCHEMA)
+    return decoded.select("asset_id", "mime", "width", "height", "duration_ms")
+
+
 @register("mm_decode_stats", oracle=None, section="L6")
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6 multimodal pipeline: binary asset table → REAL decode kernel
