@@ -328,3 +328,138 @@ def warehouse_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_extendedprice")).cast("double").alias("gross"),
         )
     )
+
+
+_COMPACTION_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day
+FROM orders
+"""
+
+
+@register("warehouse_compaction", oracle=_COMPACTION_ORACLE, section="S7,S8")
+def warehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the warehouse maintenance job every
+    streaming ingest needs: a micro-batch sink accumulates thousands of
+    KB-sized files per partition; readers then pay per-file open +
+    footer costs and the NameNode/object-store pays the metadata.
+    Stage: orders deliberately fragmented into 64 shards; compact with
+    ``sources.maintenance.compact_parquet`` — the byte-sized,
+    shuffle-free (coalesce) rewrite with an ATOMIC directory swap
+    (readers see old files or new, never a mix). The oracle proves
+    compaction is LOSSLESS (full content equality vs the original
+    table); the file-count reduction is asserted inline and in
+    tests/test_scale_techniques.py. At 100 TB this runs per
+    partition-directory, embarrassingly parallel across partitions."""
+    import os
+    import shutil
+
+    from ..sources.maintenance import compact_parquet
+
+    frag = os.path.join(
+        tempfile.gettempdir(),
+        f"frag_orders_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    if os.path.exists(frag):
+        shutil.rmtree(frag)
+    load_table(spark, sf_dir, "orders").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    stats = compact_parquet(spark, frag, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] < stats["files_before"] // 8, stats
+    return spark.read.parquet(frag).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+    )
+
+
+def _zorder_key(a, b, bits: int = 16):
+    """Bit-interleave two non-negative integer columns into a Z-order
+    (Morton) key, JVM-side: z = Σ ((a>>i & 1) << (2i+1)) | ((b>>i & 1) << 2i).
+    Files written sorted by z then carry TIGHT min/max ranges on BOTH
+    columns — parquet row-group stats prune scans filtered on either.
+
+    Callers must pass columns PRE-NORMALIZED to the same bit width
+    (``_minmax_scale``): interleaving raw values whose domains differ
+    by orders of magnitude degenerates to a single-column sort, because
+    the narrow column's high bits are all zero and the z top bits come
+    from the wide column alone (caught by the pytest footer audit at
+    sf0.001, where suppkey spans 10 values vs partkey's 200)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i))
+        )
+    return z
+
+
+def _minmax_scale(col, lo: int, hi: int, bits: int = 16):
+    """Scale an integer column to [0, 2^bits-1] over its observed
+    [lo, hi] domain — the per-column normalization every real Z-order
+    implementation applies before interleaving."""
+    span = max(hi - lo, 1)
+    return ((col - F.lit(lo)).cast("long") * F.lit((1 << bits) - 1) / F.lit(span)).cast(
+        "long"
+    )
+
+
+_ZORDER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
+"""
+
+
+@register("warehouse_zorder_scan", oracle=_ZORDER_ORACLE, section="S7,S8")
+def warehouse_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering (Delta OPTIMIZE ZORDER BY / Iceberg sort-order
+    analogue, built from Spark primitives): lineitem is written ONCE
+    range-partitioned + sorted by the Morton interleave of
+    (l_partkey, l_suppkey), so every output file covers a small
+    rectangle of the 2-D key space and its parquet min/max stats are
+    tight on BOTH columns — a scan filtered on either dimension (or
+    both, as here) row-group-prunes most of the table, where a
+    single-column sort helps only its own column. The oracle proves the
+    clustered copy is content-identical under the selective filter; the
+    actual skipping (≥ half the files prunable on file-level stats for
+    BOTH predicates) is pytest-asserted from the parquet footers."""
+    import os
+
+    clustered = os.path.join(
+        tempfile.gettempdir(),
+        f"zorder_lineitem_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(clustered, "_STAGED_OK")
+    if not os.path.exists(marker):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        # one tiny stats job per clustering column (what OPTIMIZE
+        # ZORDER's analyze step does) — normalization bounds
+        b = li.agg(
+            F.min("l_partkey").alias("p_lo"),
+            F.max("l_partkey").alias("p_hi"),
+            F.min("l_suppkey").alias("s_lo"),
+            F.max("l_suppkey").alias("s_hi"),
+        ).first()
+        z = _zorder_key(
+            _minmax_scale(F.col("l_partkey"), b["p_lo"], b["p_hi"]),
+            _minmax_scale(F.col("l_suppkey"), b["s_lo"], b["s_hi"]),
+        )
+        (
+            li.withColumn("z", z)
+            .repartitionByRange(16, "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite")
+            .parquet(clustered)
+        )
+        with open(marker, "w"):
+            pass
+    return spark.read.parquet(clustered).filter(
+        F.col("l_partkey").between(100, 400) & F.col("l_suppkey").between(10, 40)
+    )

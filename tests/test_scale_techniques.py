@@ -215,3 +215,53 @@ def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
     ).collect()[0]
     assert (got["n"], got["q"]) == (want["n"], want["q"])
     assert not os.path.exists(target + ".compact_bak")
+
+
+def test_zorder_clustering_tightens_file_stats(spark):
+    """Z-order evidence from the parquet footers themselves: in the
+    Morton-clustered lineitem copy every file must cover a TIGHT
+    sub-range of BOTH l_partkey and l_suppkey (each file ≈ a rectangle
+    of the 2-D key space), while an unclustered write leaves per-file
+    ranges spanning ~the whole domain — so stats-based row-group
+    pruning works on either filter column. Asserted as: mean per-file
+    range fraction < 0.5 on both dims for the clustered copy, and
+    strictly tighter than the unclustered baseline on both dims."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from flink_realtime_2024_spark.plans.warehouse import warehouse_zorder_scan
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    warehouse_zorder_scan(spark, SF_DIR)  # stages the clustered dir
+    clustered = os.path.join(
+        tempfile.gettempdir(),
+        f"zorder_lineitem_{os.path.basename(os.path.normpath(SF_DIR))}",
+    )
+    baseline = clustered + "_unclustered"
+    if not os.path.exists(os.path.join(baseline, "_SUCCESS")):
+        load_table(spark, SF_DIR, "lineitem").select(
+            "l_partkey", "l_suppkey"
+        ).repartition(16).write.mode("overwrite").parquet(baseline)
+
+    def mean_range_fraction(path, col):
+        spans, lo_g, hi_g = [], None, None
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append((lo, hi))
+            lo_g = lo if lo_g is None else min(lo_g, lo)
+            hi_g = hi if hi_g is None else max(hi_g, hi)
+        width = max(hi_g - lo_g, 1)
+        return sum(hi - lo for lo, hi in spans) / (len(spans) * width)
+
+    for col in ("l_partkey", "l_suppkey"):
+        frac_z = mean_range_fraction(clustered, col)
+        frac_u = mean_range_fraction(baseline, col)
+        assert frac_z < 0.5, (col, frac_z)
+        assert frac_z < frac_u, (col, frac_z, frac_u)
