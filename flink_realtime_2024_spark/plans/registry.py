@@ -32,6 +32,9 @@ class Query:
     section: str  # SURVEY.md §2 row id(s), e.g. "J4"
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
+    reverify: bool = False  # verification contract changed (e.g. a new
+    # oracle replaced a rows-only check) — jump the rotation queue right
+    # after failing ids until the driver re-records it
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -42,6 +45,7 @@ def register(
     oracle: str | None = None,
     section: str = "",
     bench: bool = False,
+    reverify: bool = False,
 ) -> Callable[[Builder], Builder]:
     def deco(fn: Builder) -> Builder:
         if name in _REGISTRY:
@@ -53,6 +57,7 @@ def register(
             section=section,
             doc=(fn.__doc__ or "").strip(),
             bench=bench,
+            reverify=reverify,
         )
         return fn
 
@@ -203,12 +208,21 @@ def _auto_rotation(corrections_dir: str | None = None) -> list[str] | None:
         n for n in names
         if n != flagship and last_failed.get(n, False)
     ]
+    # ids whose verification contract changed since their last recording
+    # (rows-only -> full oracle): must re-prove under the new contract
+    reverify = [
+        n for n, q in _REGISTRY.items()
+        if q.reverify and n in last_seen and n != flagship and n not in red
+    ]
     never = [n for n in names if n not in last_seen and n != flagship]
     stale = sorted(
-        (n for n in names if n in last_seen and n != flagship and n not in red),
+        (
+            n for n in names
+            if n in last_seen and n != flagship and n not in red and n not in reverify
+        ),
         key=lambda n: (last_seen[n], names.index(n)),
     )
-    return [flagship] + red + never + stale
+    return [flagship] + red + reverify + never + stale
 
 
 def driver_order() -> dict[str, Query]:

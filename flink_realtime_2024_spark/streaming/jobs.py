@@ -333,7 +333,7 @@ LEFT JOIN (SELECT branch, COUNT(*) AS n FROM tagged GROUP BY branch) t USING (br
 """
 
 
-@register("stream_late_split", oracle=_LATE_SPLIT_ORACLE, section="T7,F4")
+@register("stream_late_split", oracle=_LATE_SPLIT_ORACLE, section="T7,F4", reverify=True)
 def stream_late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 allowed-lateness SIDE OUTPUT — the real thing, not just the
     drop metric. Flink's ``.sideOutputLateData(tag)`` reroutes late
