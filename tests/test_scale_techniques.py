@@ -265,3 +265,21 @@ def test_zorder_clustering_tightens_file_stats(spark):
         frac_u = mean_range_fraction(baseline, col)
         assert frac_z < 0.5, (col, frac_z)
         assert frac_z < frac_u, (col, frac_z, frac_u)
+
+
+def test_retract_aggregate_plan_shape(spark):
+    """Retract consumption must stay cheap: the whole plan (normalize
+    lag + RowKind explode + signed aggregate) may contain at most TWO
+    exchanges — one hash partition by key for the window, one for the
+    group-by (with its map-side partial combine) — and zero Python
+    nodes (the RowKind algebra is a JVM array of structs)."""
+    from flink_realtime_2024_spark.sources.cdc import cdc_retract_aggregate
+
+    df = cdc_retract_aggregate(spark, SF_DIR)
+    # executedPlan tree (formatted mode repeats each node in a details
+    # section, double-counting)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges\n{plan}"
+    for python_node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert python_node not in plan, python_node
