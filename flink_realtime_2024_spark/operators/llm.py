@@ -3142,3 +3142,148 @@ def llm_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_cosine") >= _SEMDECON_TAU).cast("int").alias("contaminated"),
         )
     )
+
+
+# =============================================================================
+# L1 URL-canonicalization dedup (pretraining crawl hygiene)
+# =============================================================================
+
+_URL_DEDUP_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://www.' || source || '.example.com/articles/'
+           || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&ref='
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(url), '^https?://(www\\.)?', ''),
+             '[?#].*$', ''),
+           '/+$', '') AS canonical_url
+  FROM u
+)
+SELECT doc_id, canonical_url,
+       CAST(doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS INTEGER) AS keep
+FROM canon
+"""
+
+
+@register("llm_dedup_url", oracle=_URL_DEDUP_ORACLE, section="L1")
+def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 crawl hygiene: URL canonicalization + dedup — the FIRST dedup
+    pass every pretraining crawl pipeline runs (cheaper than any
+    content hash: the same page fetched via http/https, with/without
+    www, with tracking params, or with a trailing slash is one
+    document). Canonicalize = lowercase, strip scheme + www, drop
+    query/fragment, trim trailing slashes; keep the smallest doc_id per
+    canonical URL. Pure JVM regexp — zero Python; the shuffle carries
+    (doc_id, canonical-url) pairs only, never page content. (The URL
+    column is synthesized deterministically from doc_id/source — the
+    fixture set has no crawl metadata — so DuckDB reproduces it exactly
+    and the whole canonicalize→group→keep-first path is hash-checked.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/articles/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        F.col("doc_id").cast("string"),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), r"^https?://(www\.)?", ""),
+            r"[?#].*$",
+            "",
+        ),
+        r"/+$",
+        "",
+    )
+    w = Window.partitionBy("canonical_url")
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .withColumn(
+            "keep", (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
+        )
+        .select("doc_id", "canonical_url", "keep")
+    )
+
+
+# =============================================================================
+# L1 exact-substring duplication profile (ExactSubstr-lite; Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — the span-level
+# complement to document-level dedup)
+# =============================================================================
+
+_SPAN_W = 32  # window length (chars)
+_SPAN_STRIDE = 16  # window stride
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH w AS (
+  SELECT d.doc_id,
+         md5(substr(d.text, s.pos, {_SPAN_W})) AS h
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, len(d.text) - {_SPAN_W} + 1,
+                                              {_SPAN_STRIDE})) AS pos) s
+  WHERE len(d.text) >= {_SPAN_W}
+), per_hash AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM w GROUP BY h
+), flagged AS (
+  SELECT w.doc_id, w.h, per_hash.n_docs > 1 AS dup
+  FROM w JOIN per_hash USING (h)
+)
+SELECT doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(ROUND(SUM(CASE WHEN dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+            AS DOUBLE) AS dup_frac
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register("llm_dedup_spans", oracle=_SPAN_DEDUP_ORACLE, section="L1,L2")
+def llm_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L2 span-level duplication profile (ExactSubstr-lite): slide a
+    {W}-char window at stride {S} over every document, fingerprint each
+    window (md5 — shared with DuckDB so the oracle is exact), and count
+    per document how many windows also occur verbatim in ANOTHER
+    document. The per-doc dup_frac is the removal signal span-level
+    dedup acts on — boilerplate headers, license blocks, and templated
+    paragraphs light up even when whole-document hashes differ.
+
+    Scale shape: windows are generated with JVM sequence/transform
+    (zero Python); only (digest, doc_id) pairs shuffle — never text —
+    and the per-digest doc count is a two-phase aggregate. At 100 TB
+    the digest table is the working set, ~text_bytes/stride rows of
+    ~48 B, the same inverted-index shape as the winnowing index."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _SPAN_W
+    )
+    windows = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.length("text") - _SPAN_W + 1,
+                    F.lit(_SPAN_STRIDE),
+                ),
+                lambda pos: F.md5(F.substring(F.col("text"), pos, _SPAN_W)),
+            )
+        ).alias("h"),
+    )
+    per_hash = windows.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = windows.join(per_hash, "h").select(
+        "doc_id", (F.col("n_docs") > 1).alias("dup")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("dup").cast("int")).cast("bigint").alias("n_dup_windows"),
+        F.round(
+            F.sum(F.col("dup").cast("int")) / F.count(F.lit(1)), 4
+        ).cast("double").alias("dup_frac"),
+    )
