@@ -235,3 +235,93 @@ def test_bpe_merge_pair_reference(seqs, a, b):
             # greedy non-overlap: walking the output left to right and
             # re-merging must be a no-op
             assert _bpe_merge_pair(out, a, b) == out or merged in (a, b)
+
+
+@st.composite
+def wellformed_changelogs(draw):
+    """Per key: one 'c', then 0-3 'u's, optionally a final 'd', at
+    strictly increasing timestamps — the envelope sequence a real CDC
+    source emits (Debezium guarantees per-key order). Prices/statuses
+    arbitrary so group-migrating updates are generated."""
+    rows = []
+    for key in range(draw(st.integers(min_value=1, max_value=5))):
+        ts = draw(st.integers(min_value=0, max_value=10))
+        rows.append(
+            (key, "c", float(draw(st.integers(0, 999))),
+             draw(st.sampled_from(["F", "O", "P"])), ts)
+        )
+        for _ in range(draw(st.integers(min_value=0, max_value=3))):
+            ts += 1 + draw(st.integers(0, 5))
+            rows.append(
+                (key, "u", float(draw(st.integers(0, 999))),
+                 draw(st.sampled_from(["F", "O", "P"])), ts)
+            )
+        if draw(st.booleans()):
+            ts += 1 + draw(st.integers(0, 5))
+            rows.append((key, "d", None, None, ts))
+    return rows
+
+
+@given(wellformed_changelogs())
+@settings(**_SETTINGS)
+def test_retract_stream_invariants(spark, rows):
+    """Two properties of the RowKind algebra on any well-formed
+    changelog: (1) changelog_to_retract equals the pure-Python
+    normalize model (before-images = previous envelope per key);
+    (2) the IVM invariant — signed per-status aggregation over the
+    retract stream equals aggregating the final materialized state,
+    including group-migrating updates and deleted keys."""
+    import pyspark.sql.functions as F
+    from flink_realtime_2024_spark.operators._util import dec
+    from flink_realtime_2024_spark.sources.cdc import changelog_to_retract
+
+    df = spark.createDataFrame(
+        rows, "key bigint, op string, totalprice double, orderstatus string, ts_ms bigint"
+    )
+    got = {
+        (r["key"], r["kind"], r["price"], r["status"], r["sign"], r["ts_ms"])
+        for r in changelog_to_retract(df).collect()
+    }
+
+    # reference normalize
+    want = set()
+    by_key: dict = {}
+    for key, op, price, status, ts in sorted(
+        rows, key=lambda r: (r[0], r[4], {"c": 0, "u": 1, "d": 2}[r[1]])
+    ):
+        prev = by_key.get(key)
+        if op == "c":
+            want.add((key, "+I", price, status, 1, ts))
+        elif op == "u":
+            want.add((key, "-U", prev[0], prev[1], -1, ts))
+            want.add((key, "+U", price, status, 1, ts))
+        else:
+            want.add((key, "-D", prev[0], prev[1], -1, ts))
+        by_key[key] = (price, status)
+    assert got == want
+
+    # IVM invariant: signed aggregate == aggregate of live final images
+    agg = {
+        r["status"]: (r["n"], round(r["v"], 4))
+        for r in changelog_to_retract(df)
+        .groupBy("status")
+        .agg(
+            F.sum("sign").alias("n"),
+            F.sum(F.col("sign") * dec("price")).cast("double").alias("v"),
+        )
+        .collect()
+        if r["n"] != 0 or round(r["v"], 4) != 0.0
+    }
+    live: dict = {}
+    for key, op, price, status, ts in sorted(
+        rows, key=lambda r: (r[0], r[4], {"c": 0, "u": 1, "d": 2}[r[1]])
+    ):
+        if op == "d":
+            live.pop(key, None)
+        else:
+            live[key] = (price, status)
+    expect: dict = {}
+    for price, status in live.values():
+        n, v = expect.get(status, (0, 0.0))
+        expect[status] = (n + 1, round(v + price, 4))
+    assert agg == {s: (n, v) for s, (n, v) in expect.items()}
