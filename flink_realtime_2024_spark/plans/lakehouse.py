@@ -1,0 +1,266 @@
+"""Mini-lakehouse table format: manifest-committed snapshots over plain
+parquet, with stats-pruned incremental MERGE and time travel.
+
+The reference's serving stores (HBase dim tables, Doris tablets —
+realtime-common/pom.xml:39-53) give its streaming jobs a mutable keyed
+table; Spark's native answer is a lakehouse format (Delta/Iceberg/Hudi),
+none of which ship in this environment. This module implements the part
+of that design the engine's CDC/serving paths actually need, from
+first principles on stdlib + parquet:
+
+- a table is a directory of immutable data files plus numbered manifest
+  files; **the manifest is the table** — a snapshot is the file list in
+  ``manifest-v{N}.json``, committed atomically (O_EXCL create), so a
+  reader of version N is isolated from every later writer;
+- every data file records min/max stats of the merge key in the
+  manifest; a MERGE reads and rewrites ONLY the files whose key range
+  intersects the incoming batch (everything else is carried into the
+  new snapshot by reference) — the Delta/Iceberg MERGE INTO shape, and
+  the durable version of what stream_agg_merge does with buckets;
+- old snapshots stay readable (time travel) until explicitly expired.
+
+At 100 TB: data files are the unit of both pruning and rewrite, so
+MERGE cost is O(batch + overlapping files), and the manifest (one JSON
+row per file) is the only metadata a planner must list — no directory
+walks. The deliberate gap vs a real format: no schema evolution, no
+concurrent-writer conflict resolution beyond first-commit-wins, one
+merge key. Those are documented seams, not hidden assumptions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.cdc import (
+    CHANGELOG_SQL,
+    _LATEST_ORACLE,
+    build_changelog,
+    latest_per_key,
+    merge_upsert,
+)
+from ..plans.registry import register
+
+
+class LakeTable:
+    """Handle to a manifest-committed parquet table rooted at ``root``."""
+
+    def __init__(self, root: str, key: str):
+        self.root = root
+        self.key = key
+        self.data_dir = os.path.join(root, "data")
+
+    # -- manifest plumbing -------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"manifest-v{version}.json")
+
+    def latest_version(self) -> int:
+        versions = [
+            int(f[len("manifest-v"):-len(".json")])
+            for f in os.listdir(self.root)
+            if f.startswith("manifest-v") and f.endswith(".json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no manifest in {self.root}")
+        return max(versions)
+
+    def manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def _commit(self, version: int, files: list[dict], operation: str) -> None:
+        """First-commit-wins atomic manifest write: O_EXCL create fails
+        if another writer took this version (optimistic concurrency —
+        a real format would then retry the merge against the new head;
+        here it raises, the documented single-writer contract)."""
+        manifest = {
+            "version": version,
+            "key": self.key,
+            "operation": operation,
+            "files": files,
+        }
+        path = self._manifest_path(version)
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+
+    # -- data-file plumbing ------------------------------------------------
+
+    def _write_files(self, df: DataFrame, n_files: int) -> list[dict]:
+        """Write ``df`` as ``n_files`` immutable data files range-sorted
+        by the merge key (tight per-file stats ⇒ effective pruning) and
+        return manifest entries with min/max key stats from the parquet
+        footers."""
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.data_dir, exist_ok=True)
+        staging = tempfile.mkdtemp(prefix="lake_stage_")
+        (
+            df.repartitionByRange(n_files, self.key)
+            .sortWithinPartitions(self.key)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        entries = []
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            dst_name = f"{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.data_dir, dst_name)
+            os.rename(os.path.join(staging, f), dst)
+            md = pq.read_metadata(dst)
+            idx = md.schema.names.index(self.key)
+            lo = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            entries.append(
+                {"path": os.path.join("data", dst_name), "min": lo, "max": hi}
+            )
+        return entries
+
+    # -- public API --------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls, df: DataFrame, root: str, key: str, n_files: int = 8
+    ) -> "LakeTable":
+        os.makedirs(root, exist_ok=True)
+        t = cls(root, key)
+        t._commit(0, t._write_files(df, n_files), "create")
+        return t
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read: exactly the manifest's file list — a reader of
+        version N never sees later commits (snapshot isolation by
+        construction: data files are immutable, manifests append-only)."""
+        m = self.manifest(self.latest_version() if version is None else version)
+        if not m["files"]:
+            raise ValueError("empty table snapshot")
+        return spark.read.parquet(
+            *(os.path.join(self.root, e["path"]) for e in m["files"])
+        )
+
+    def merge(self, spark: SparkSession, batch: DataFrame, n_files: int = 2) -> int:
+        """MERGE INTO: upsert/delete the changelog ``batch`` into the
+        table. File-level pruning via manifest stats — only data files
+        whose [min,max] key range contains some batch key are read and
+        rewritten; disjoint files carry over BY REFERENCE into the new
+        snapshot. Returns the new version."""
+        import bisect
+
+        parent = self.latest_version()
+        m = self.manifest(parent)
+        keys = sorted(
+            r[0] for r in batch.select(self.key).distinct().collect()
+        )
+
+        def overlaps(entry: dict) -> bool:
+            i = bisect.bisect_left(keys, entry["min"])
+            return i < len(keys) and keys[i] <= entry["max"]
+
+        touched = [e for e in m["files"] if overlaps(e)]
+        carried = [e for e in m["files"] if not overlaps(e)]
+        if touched:
+            current = spark.read.parquet(
+                *(os.path.join(self.root, e["path"]) for e in touched)
+            )
+            merged = merge_upsert(current, batch)
+        else:
+            merged = latest_per_key(batch)
+        new_files = self._write_files(merged, n_files)
+        self._commit(parent + 1, carried + new_files, "merge")
+        return parent + 1
+
+
+# =============================================================================
+# Registered queries: the CDC → lakehouse serving path, oracle-checked
+# =============================================================================
+
+
+def _changelog_thirds(spark: SparkSession, sf_dir: str):
+    """The changelog split into 3 ascending event-time ranges (same
+    deterministic boundaries as dim_upsert so oracles can reproduce)."""
+    log = build_changelog(spark, sf_dir).cache()
+    b = log.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")).first()
+    lo, hi = b["lo"], b["hi"]
+    step = (hi - lo) // 3 + 1
+    parts = [
+        log.filter((F.col("ts_ms") >= lo + i * step) & (F.col("ts_ms") < lo + (i + 1) * step))
+        for i in range(3)
+    ]
+    return log, parts
+
+
+def _build_lake(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Create the table from batch 0's state, then MERGE batches 1-2 —
+    one table dir per (sf_dir, pid), built once per process."""
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lake_orders_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    if os.path.exists(os.path.join(root, "manifest-v2.json")):
+        return LakeTable(root, "key")
+    log, parts = _changelog_thirds(spark, sf_dir)
+    try:
+        t = LakeTable.create(latest_per_key(parts[0]), root, "key")
+        t.merge(spark, parts[1])
+        t.merge(spark, parts[2])
+        return t
+    finally:
+        log.unpersist()
+
+
+@register("lake_cdc_merge", oracle=_LATEST_ORACLE, section="S4,S7")
+def lake_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC changelog applied to the lakehouse table via two
+    stats-pruned MERGE commits; the final snapshot must equal the
+    one-shot latest-per-key materialization (full cdc_latest_row
+    oracle). File reuse across snapshots is pytest-asserted — the
+    incremental claim is checked, not narrated."""
+    t = _build_lake(spark, sf_dir)
+    return t.read(spark).select("key", "op", "totalprice", "orderstatus", "ts_ms")
+
+
+_TIME_TRAVEL_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+bounds AS (
+  SELECT MIN(ts_ms) AS lo, (MAX(ts_ms) - MIN(ts_ms)) // 3 + 1 AS step FROM changelog
+),
+batch0 AS (
+  SELECT c.* FROM changelog c, bounds b WHERE c.ts_ms < b.lo + b.step
+)
+SELECT key, op, totalprice, orderstatus, ts_ms
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY key
+    ORDER BY ts_ms DESC, CASE op WHEN 'd' THEN 2 WHEN 'u' THEN 1 ELSE 0 END DESC,
+             COALESCE(totalprice, -1) DESC, COALESCE(orderstatus, '') DESC
+  ) AS rn
+  FROM batch0
+)
+WHERE rn = 1 AND op <> 'd'
+"""
+
+
+@register("lake_time_travel", oracle=_TIME_TRAVEL_ORACLE, section="S4,S7,S11")
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: reading snapshot v0 AFTER two later MERGE commits
+    must return exactly the pre-merge state (data files are immutable,
+    the v0 manifest still points at them). The oracle recomputes batch
+    0's latest-per-key state independently in DuckDB — so this checks
+    both snapshot isolation and that MERGE never mutates history."""
+    t = _build_lake(spark, sf_dir)
+    return t.read(spark, version=0).select(
+        "key", "op", "totalprice", "orderstatus", "ts_ms"
+    )

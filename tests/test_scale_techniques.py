@@ -283,3 +283,61 @@ def test_retract_aggregate_plan_shape(spark):
     assert n_exchanges <= 2, f"{n_exchanges} exchanges\n{plan}"
     for python_node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert python_node not in plan, python_node
+
+
+def test_lakehouse_merge_reuses_disjoint_files(spark):
+    """The lakehouse MERGE must be genuinely incremental: files whose
+    key range is disjoint from the batch carry into the new snapshot BY
+    REFERENCE (same path, no rewrite), only overlapping files rewrite,
+    and earlier snapshots stay byte-identical (time travel) — asserted
+    on a keyed table where the merge touches a narrow key band."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from flink_realtime_2024_spark.plans.lakehouse import LakeTable
+
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("key"),
+        F.lit("c").alias("op"),
+        (F.col("id") * 1.0).alias("totalprice"),
+        F.lit("O").alias("orderstatus"),
+        F.lit(1000).cast("bigint").alias("ts_ms"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_test_")
+    t = LakeTable.create(base, root, "key", n_files=8)
+    v0_files = {e["path"] for e in t.manifest(0)["files"]}
+    assert len(v0_files) == 8
+
+    # batch touches only keys 0-99 → at most 1-2 of the 8 range files
+    batch = spark.range(0, 100).select(
+        F.col("id").alias("key"),
+        F.lit("u").alias("op"),
+        (F.col("id") * 2.0).alias("totalprice"),
+        F.lit("F").alias("orderstatus"),
+        F.lit(2000).cast("bigint").alias("ts_ms"),
+    )
+    v1 = t.merge(spark, batch)
+    v1_files = {e["path"] for e in t.manifest(v1)["files"]}
+    reused = v0_files & v1_files
+    assert len(reused) >= 6, (len(reused), "merge rewrote non-overlapping files")
+    assert v1_files != v0_files
+
+    # merged content: keys 0-99 updated, the rest untouched
+    got = {r["key"]: (r["op"], r["totalprice"]) for r in t.read(spark).collect()}
+    assert len(got) == 1000
+    assert got[50] == ("u", 100.0) and got[500] == ("c", 500.0)
+
+    # time travel: v0 still the pre-merge state
+    old = {r["key"]: r["op"] for r in t.read(spark, version=0).collect()}
+    assert set(old.values()) == {"c"} and len(old) == 1000
+
+    # deletes flow through MERGE too
+    dels = spark.createDataFrame(
+        [(k, "d", None, None, 3000) for k in range(990, 1000)],
+        "key bigint, op string, totalprice double, orderstatus string, ts_ms bigint",
+    )
+    t.merge(spark, dels)
+    assert t.read(spark).count() == 990
+    assert os.path.exists(os.path.join(root, "manifest-v2.json"))
