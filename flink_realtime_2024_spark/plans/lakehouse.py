@@ -264,3 +264,44 @@ def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark, version=0).select(
         "key", "op", "totalprice", "orderstatus", "ts_ms"
     )
+
+
+@register("stream_lake_merge", oracle=_LATEST_ORACLE, section="S4,S7,S11,T5")
+def stream_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production serving path end to end: the CDC binlog topic
+    consumed through real micro-batches, each committed to the
+    lakehouse table as ONE stats-pruned MERGE snapshot — exactly how a
+    Structured Streaming job feeds a Delta/Iceberg table
+    (foreachBatch + MERGE INTO), with the micro-batch id recoverable
+    from the manifest chain for replay idempotence. The final snapshot
+    carries the full latest-per-key oracle; per-batch cost is
+    O(batch + overlapping files)."""
+    from ..sources.cdc import cdc_binlog_stream
+    from ..session import prepare
+    from ..streaming.jobs import run_stream
+
+    prepare(spark)
+    root = tempfile.mkdtemp(prefix="lake_stream_")
+    state: dict = {"table": None}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        if batch.isEmpty():
+            return
+        if state["table"] is None:
+            state["table"] = LakeTable.create(
+                latest_per_key(batch), root, "key", n_files=4
+            )
+        else:
+            state["table"].merge(spark, batch)
+
+    run_stream(
+        cdc_binlog_stream(spark, sf_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink),
+        "lake_merge",
+    )
+    assert state["table"] is not None
+    return state["table"].read(spark).select(
+        "key", "op", "totalprice", "orderstatus", "ts_ms"
+    )
