@@ -305,3 +305,33 @@ def stream_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state["table"].read(spark).select(
         "key", "op", "totalprice", "orderstatus", "ts_ms"
     )
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
+    """VACUUM: drop all but the newest ``keep_last`` snapshots and
+    delete data files referenced ONLY by dropped snapshots (reference
+    counting over manifests — never by directory listing, so a
+    concurrent writer's uncommitted staging files are untouchable).
+    Time travel shrinks to the retained window; storage is reclaimed.
+    Returns {"kept_versions", "removed_manifests", "removed_files"}."""
+    latest = table.latest_version()
+    keep = [v for v in range(latest + 1) if v > latest - keep_last]
+    drop = [v for v in range(latest + 1) if v <= latest - keep_last]
+    kept_refs = {
+        e["path"] for v in keep for e in table.manifest(v)["files"]
+    }
+    removed_files = 0
+    for v in drop:
+        for e in table.manifest(v)["files"]:
+            if e["path"] not in kept_refs:
+                p = os.path.join(table.root, e["path"])
+                if os.path.exists(p):
+                    os.remove(p)
+                    removed_files += 1
+    for v in drop:
+        os.remove(table._manifest_path(v))
+    return {
+        "kept_versions": keep,
+        "removed_manifests": len(drop),
+        "removed_files": removed_files,
+    }

@@ -341,3 +341,50 @@ def test_lakehouse_merge_reuses_disjoint_files(spark):
     t.merge(spark, dels)
     assert t.read(spark).count() == 990
     assert os.path.exists(os.path.join(root, "manifest-v2.json"))
+
+
+def test_lakehouse_expire_snapshots(spark):
+    """VACUUM reclaims exactly the files referenced only by dropped
+    snapshots: the latest snapshot stays fully readable and content-
+    identical, time travel to dropped versions fails, and every data
+    file still on disk is referenced by a kept manifest."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from flink_realtime_2024_spark.plans.lakehouse import (
+        LakeTable,
+        expire_snapshots,
+    )
+
+    base = spark.range(0, 400).select(
+        F.col("id").alias("key"), F.lit("c").alias("op"),
+        (F.col("id") * 1.0).alias("totalprice"),
+        F.lit("O").alias("orderstatus"), F.lit(1).cast("bigint").alias("ts_ms"),
+    )
+    t = LakeTable.create(base, tempfile.mkdtemp(prefix="lake_exp_"), "key", n_files=4)
+    upd = spark.range(0, 50).select(
+        F.col("id").alias("key"), F.lit("u").alias("op"),
+        (F.col("id") * 2.0).alias("totalprice"),
+        F.lit("F").alias("orderstatus"), F.lit(2).cast("bigint").alias("ts_ms"),
+    )
+    t.merge(spark, upd)
+    before = {tuple(r) for r in t.read(spark).collect()}
+
+    stats = expire_snapshots(t, keep_last=1)
+    assert stats["removed_manifests"] == 1 and stats["removed_files"] >= 1
+
+    after = {tuple(r) for r in t.read(spark).collect()}
+    assert after == before, "latest snapshot changed under vacuum"
+    try:
+        t.read(spark, version=0)
+        raise AssertionError("expired snapshot still readable")
+    except FileNotFoundError:
+        pass
+    on_disk = set(os.listdir(t.data_dir))
+    referenced = {
+        os.path.basename(e["path"])
+        for e in t.manifest(t.latest_version())["files"]
+    }
+    assert on_disk == referenced, "orphan data files survived vacuum"
