@@ -13,6 +13,7 @@ oracle, demonstrating surface portability.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.io import register_views
@@ -592,3 +593,119 @@ def sql_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"]
     )
     return spark.sql(_SQL_Q20)
+
+
+_SQL_DDL_ORACLE = """
+SELECT n_name AS nation, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("sql_ddl_roundtrip", oracle=_SQL_DDL_ORACLE, section="§3.2 SQL API,S7,S8")
+def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 2 exercised as DDL+DML, not just SELECT (the
+    reference's `tEnv.executeSql("CREATE TABLE … WITH (…)") / INSERT
+    INTO` surface, SURVEY §3.2): CREATE TABLE USING parquet at an
+    explicit location, INSERT INTO … SELECT a joined aggregate, then
+    read the TABLE back by name. The whole path — catalog DDL,
+    SQL-string insert through the same Catalyst pipeline, table-name
+    scan — must reproduce the direct query bit-for-bit (full oracle).
+    Per-process table name + location: in-memory catalog, no cross-run
+    state."""
+    import os
+    import tempfile
+
+    register_views(spark, sf_dir, ["customer", "nation"])
+    table = f"nation_balances_{os.getpid()}"
+    loc = os.path.join(tempfile.gettempdir(), f"sql_ddl_{table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"""CREATE TABLE {table}
+            (nation STRING, n_customers BIGINT, total_balance DOUBLE)
+            USING parquet LOCATION '{loc}'"""
+    )
+    spark.sql(
+        f"""INSERT OVERWRITE TABLE {table}
+            SELECT n_name AS nation, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                     AS total_balance
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name"""
+    )
+    return spark.sql(f"SELECT * FROM {table}")
+
+
+_DQ_ORACLE = """
+SELECT rule, n_violations FROM (
+  SELECT 'orders_totalprice_positive' AS rule,
+         CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders_status_domain',
+         CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('F','O','P')) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_quantity_range',
+         CAST(COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         CAST(COUNT(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk',
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+"""
+
+
+@register("dq_expectations", oracle=_DQ_ORACLE, section="F2,A6,J6")
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over the fact tables — the validation
+    pass every ingestion pipeline runs before publishing a batch
+    (Great-Expectations/Deequ shape, as a single engine query):
+    range, domain, cross-column, and referential-integrity rules, each
+    reported as (rule, n_violations). Conditional aggregation turns N
+    row-level rules over one table into ONE scan (no per-rule passes);
+    the FK rule is a left-anti join (J6). All violation counts are 0 on
+    the TPC-H-consistent fixtures — the oracle proves the CHECKS
+    compute the same thing, not merely that the data is clean."""
+    from ..sources.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    orders_rules = o.agg(
+        cnt(F.col("o_totalprice") <= 0).alias("orders_totalprice_positive"),
+        cnt(~F.col("o_orderstatus").isin("F", "O", "P")).alias("orders_status_domain"),
+    )
+    li_rules = li.agg(
+        cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "lineitem_quantity_range"
+        ),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "lineitem_discount_range"
+        ),
+    )
+    fk = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lineitem_orderkey_fk"))
+    )
+
+    def unpivot(df):
+        pairs = [
+            F.struct(F.lit(c).alias("rule"), F.col(c).alias("n_violations"))
+            for c in df.columns
+        ]
+        return df.select(F.explode(F.array(*pairs)).alias("r")).select(
+            "r.rule", "r.n_violations"
+        )
+
+    return unpivot(orders_rules).unionByName(unpivot(li_rules)).unionByName(unpivot(fk))
