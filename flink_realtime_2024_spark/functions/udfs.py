@@ -136,3 +136,17 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _weighted_avg_cents("l_extendedprice", "l_quantity").alias("weighted_avg_price"),
         _count_rows("l_quantity").alias("n"),
     )
+
+
+def bpe_ish_token_count_udf():
+    """U1 factory for the SQL-surface registered-UDF demo
+    (sql_udf_call): Arrow pandas UDF counting BPE-ish tokens
+    (letter-runs | digit-runs | single punctuation) — the same pattern
+    llm_token_count runs JVM-side, here as the catalog-registered
+    Python path."""
+
+    @F.pandas_udf(T.LongType())
+    def tok_count(text: pd.Series) -> pd.Series:
+        return text.str.lower().str.count(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+    return tok_count

@@ -709,3 +709,58 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return unpivot(orders_rules).unionByName(unpivot(li_rules)).unionByName(unpivot(fk))
+
+
+_SQL_TUMBLE_ORACLE = """
+SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000 AS window_start_ms,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("sql_window_tumble", oracle=_SQL_TUMBLE_ORACLE, section="§3.2 SQL API,T2")
+def sql_window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL's TUMBLE TVF surface on Spark: the SAME tumbling
+    aggregation the DataFrame twin (window_tumbling) runs, expressed as
+    a SQL string over the registered events view — `GROUP BY
+    window(ts, '1 hour')` through the full parse→analyze→optimize
+    pipeline. Window bounds exported as epoch-ms so DuckDB's integer
+    bucketing reproduces them exactly."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """SELECT unix_millis(window.start) AS window_start_ms,
+                  event_type,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           FROM events
+           GROUP BY window(ts, '1 hour'), event_type"""
+    )
+
+
+_SQL_UDF_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+            AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+@register("sql_udf_call", oracle=_SQL_UDF_ORACLE, section="§3.2 SQL API,U1")
+def sql_udf_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 through the SQL surface: an Arrow pandas UDF REGISTERED into
+    the session catalog (`spark.udf.register`) and invoked from a SQL
+    string — the reference's `CREATE FUNCTION` / catalog-UDF path
+    (Flink table-env registered functions). Same tokenizer kernel the
+    DataFrame surface uses; the oracle recomputes it with DuckDB
+    regexps, so registration, dispatch, and the kernel are all under
+    the hash."""
+    from ..functions.udfs import bpe_ish_token_count_udf
+
+    register_views(spark, sf_dir, ["documents"])
+    spark.udf.register("tok_count", bpe_ish_token_count_udf())
+    return spark.sql(
+        "SELECT doc_id, tok_count(text) AS n_tokens FROM documents"
+    )
