@@ -1,0 +1,507 @@
+"""Baseline JFIF (JPEG) codec — stdlib + numpy, no external libraries.
+
+Implements the interoperable subset every camera/browser produces and
+reads: baseline sequential DCT, 8-bit, YCbCr 4:4:4 (no chroma
+subsampling), the ITU-T T.81 Annex-K default quantization and Huffman
+tables (quality-scaled per the IJG convention). Grayscale payloads are
+encoded as 1-component JFIF. Progressive, arithmetic coding, restart
+markers, and subsampled chroma are out of scope and rejected loudly.
+
+Spec references (all public): ITU-T Recommendation T.81 (1992) —
+sections A.3.3 (FDCT/IDCT), F.1.2 (Huffman entropy coding), Annex K
+(example tables); JFIF 1.02 (ECMA TR/98) for the APP0 wrapper; the
+quality→scale-factor mapping follows the Independent JPEG Group's
+libjpeg ``jpeg_quality_scaling``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- Annex K example tables (T.81 §K.1-K.2) ---------------------------------
+
+_Q_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+_Q_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# (BITS, HUFFVAL) pairs, T.81 §K.3.3 — the default Huffman tables
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# zigzag scan order (T.81 Figure A.6): _ZIGZAG[k] = flat index of the
+# k-th coefficient in scan order
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# orthonormal 8-point DCT-II matrix: block_dct = D @ block @ D.T
+_D = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _D[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling: 50 → Annex-K tables verbatim."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_Q_LUMA, _Q_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+class _HuffEncoder:
+    """(size, code) per symbol from a (BITS, HUFFVAL) table — canonical
+    code assignment per T.81 §C.2."""
+
+    def __init__(self, bits, huffval):
+        self.size = {}
+        self.code = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                sym = huffval[k]
+                self.size[sym] = length
+                self.code[sym] = code
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _HuffDecoder:
+    """Canonical-code decoder: (length, code) → symbol."""
+
+    def __init__(self, bits, huffval):
+        self.lookup = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = huffval[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, size: int) -> None:
+        self.acc = (self.acc << size) | (code & ((1 << size) - 1))
+        self.nbits += size
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 §F.1.2.3)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:  # pad the final partial byte with 1s (T.81 §F.1.2.3)
+            pad = 8 - self.nbits
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise EOFError("entropy stream exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1  # unstuff
+            else:
+                raise EOFError("marker inside entropy stream")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) per T.81 §F.1.2.1: negative values encode
+    as value-1 in ``size`` bits."""
+    if v == 0:
+        return 0, 0
+    size = int(v if v > 0 else -v).bit_length()
+    if v < 0:
+        v = v - 1
+    return size, v & ((1 << size) - 1)
+
+
+def _extend(bits_val: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits_val < (1 << (size - 1)):
+        return bits_val - (1 << size) + 1
+    return bits_val
+
+
+def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """All 8×8 blocks of a (h8, w8) level-shifted plane → quantized
+    coefficient blocks, vectorized: (n_blocks, 8, 8) int32."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coeff = np.einsum("ij,bjk,lk->bil", _D, blocks.astype(np.float64), _D)
+    return np.round(coeff / qtab).astype(np.int32)
+
+
+def _dequant_idct(blocks: np.ndarray, qtab: np.ndarray, h: int, w: int) -> np.ndarray:
+    coeff = blocks.astype(np.float64) * qtab
+    pix = np.einsum("ji,bjk,kl->bil", _D, coeff, _D)
+    nbh, nbw = h // 8, w // 8
+    return pix.reshape(nbh, nbw, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    px = px.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+
+
+def _pad_to_8(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _encode_blocks(writer, blocks, dc_enc, ac_enc, dc_pred):
+    for b in blocks:
+        z = b.reshape(64)[_ZIGZAG]
+        diff = int(z[0]) - dc_pred
+        dc_pred = int(z[0])
+        size, amp = _magnitude(diff)
+        writer.put(dc_enc.code[size], dc_enc.size[size])
+        if size:
+            writer.put(amp, size)
+        run = 0
+        last_nz = np.nonzero(z[1:])[0]
+        last = last_nz[-1] + 1 if len(last_nz) else 0
+        for k in range(1, last + 1):
+            v = int(z[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                writer.put(ac_enc.code[0xF0], ac_enc.size[0xF0])  # ZRL
+                run -= 16
+            size, amp = _magnitude(v)
+            sym = (run << 4) | size
+            writer.put(ac_enc.code[sym], ac_enc.size[sym])
+            writer.put(amp, size)
+            run = 0
+        if last < 63:
+            writer.put(ac_enc.code[0x00], ac_enc.size[0x00])  # EOB
+    return dc_pred
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) RGB uint8 or (h, w) grayscale → baseline JFIF bytes."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    q_luma, q_chroma = _quality_tables(quality)
+    if gray:
+        planes = [(_pad_to_8(pixels.astype(np.float64)) - 128.0, q_luma)]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        planes = [
+            (_pad_to_8(ycc[..., 0]) - 128.0, q_luma),
+            (_pad_to_8(ycc[..., 1]) - 128.0, q_chroma),
+            (_pad_to_8(ycc[..., 2]) - 128.0, q_chroma),
+        ]
+    coeffs = [_fdct_quant(p, q) for p, q in planes]
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    for tid, tab in ([(0, q_luma)] if gray else [(0, q_luma), (1, q_chroma)]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(tab.reshape(64)[_ZIGZAG][k]) for k in range(64)
+        )
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        qid = 0 if cid == 1 else 1
+        out += struct.pack("BBB", cid, 0x11, qid)  # 1x1 sampling: 4:4:4
+    tables = [(_HUFF_DC_LUMA, 0x00), (_HUFF_AC_LUMA, 0x10)]
+    if not gray:
+        tables += [(_HUFF_DC_CHROMA, 0x01), (_HUFF_AC_CHROMA, 0x11)]
+    for (bits, vals), tc_th in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        td_ta = 0x00 if cid == 1 else 0x11
+        out += struct.pack("BB", cid, td_ta)
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+
+    writer = _BitWriter()
+    dc_l = _HuffEncoder(*_HUFF_DC_LUMA)
+    ac_l = _HuffEncoder(*_HUFF_AC_LUMA)
+    dc_c = _HuffEncoder(*_HUFF_DC_CHROMA)
+    ac_c = _HuffEncoder(*_HUFF_AC_CHROMA)
+    # non-interleaved would need DNL; baseline interleaved MCU order for
+    # 1x1 sampling is simply per-block round-robin across components
+    nb = coeffs[0].shape[0]
+    preds = [0] * len(coeffs)
+    encs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(coeffs) - 1)
+    for bi in range(nb):
+        for ci, c in enumerate(coeffs):
+            preds[ci] = _encode_blocks(
+                writer, c[bi : bi + 1], encs[ci][0], encs[ci][1], preds[ci]
+            )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (h, w, 3) RGB uint8 (grayscale replicated
+    if 1-component). Raises on progressive/subsampled/restart inputs."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff_dec: dict[tuple[int, int], _HuffDecoder] = {}
+    frame = None
+    scan_comps = None
+    data_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                flat = np.frombuffer(seg, np.uint8, 64, off + 1).astype(np.int32)
+                tab = np.zeros(64, np.int32)
+                tab[_ZIGZAG] = flat
+                qtabs[tq] = tab.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0xF
+                bits = list(seg[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + n])
+                huff_dec[(tc, th)] = _HuffDecoder(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit baseline supported")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
+                if hv != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = struct.unpack_from("BB", seg, 1 + 2 * i)
+                scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            data_start = pos + seglen
+            break
+        pos += seglen
+    if frame is None or scan_comps is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = frame
+    ph, pw = h + (-h % 8), w + (-w % 8)
+    nb = (ph // 8) * (pw // 8)
+
+    reader = _BitReader(payload[data_start:])
+
+    def read_block(dc: _HuffDecoder, ac: _HuffDecoder, pred: int):
+        z = np.zeros(64, np.int32)
+        sym = _read_symbol(reader, dc)
+        diff = _extend(reader.bits(sym), sym) if sym else 0
+        pred += diff
+        z[0] = pred
+        k = 1
+        while k < 64:
+            sym = _read_symbol(reader, ac)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflow")
+            z[k] = _extend(reader.bits(size), size)
+            k += 1
+        return z, pred
+
+    planes = []
+    blocks_per_comp = [np.zeros((nb, 64), np.int32) for _ in comps]
+    preds = [0] * len(comps)
+    decs = []
+    for _, (cs, td, ta) in zip(comps, scan_comps):
+        decs.append((huff_dec[(0, td)], huff_dec[(1, ta)]))
+    for bi in range(nb):
+        for ci in range(len(comps)):
+            z, preds[ci] = read_block(decs[ci][0], decs[ci][1], preds[ci])
+            blocks_per_comp[ci][bi] = z
+    for ci, (cid, tq) in enumerate(comps):
+        blk = np.zeros((nb, 8, 8), np.float64)
+        tmp = np.zeros((nb, 64), np.int32)
+        tmp[:, _ZIGZAG] = blocks_per_comp[ci]
+        blk = tmp.reshape(nb, 8, 8)
+        plane = _dequant_idct(blk, qtabs[tq], ph, pw) + 128.0
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
+        rgb = np.repeat(y[:, :, None], 3, axis=2)
+    else:
+        rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return np.round(rgb).astype(np.uint8)
+
+
+def _read_symbol(reader: _BitReader, dec: _HuffDecoder) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = dec.lookup.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")

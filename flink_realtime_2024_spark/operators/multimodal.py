@@ -12,15 +12,19 @@ The decode step is REAL across both container classes:
 - uncompressed: 24-bit BMP and binary PPM (P6) images, 16-bit PCM WAV
   audio, YUV4MPEG2 (Y4M) 4:2:0 video — header/chunk/frame parsing +
   numpy pixel/sample/luma statistics;
-- COMPRESSED, stdlib-only: PNG (zlib inflate + full scanline
-  unfiltering incl. Paeth — interoperable 8-bit truecolor) and G.711
-  μ-law WAV (log-companded 8-bit telephony audio expanded to PCM16).
+- COMPRESSED, no external libraries: PNG (zlib inflate + full
+  scanline unfiltering incl. Paeth — interoperable 8-bit truecolor),
+  G.711 μ-law WAV (log-companded 8-bit telephony audio expanded to
+  PCM16), and baseline JFIF JPEG (operators/_jpeg.py: full Huffman
+  entropy coding + quant + 2-D DCT per ITU-T T.81, Annex-K tables,
+  4:4:4) — encoder AND decoder, so the lossy path is
+  PSNR/structure-tested end to end.
 
 All are asserted against hand-built fixtures and round-trips in
-tests/test_semantics.py. Codecs needing external libraries
-(JPEG/MP3/H.264) remain the one integration point; swap
-``decode_video``'s body for ffmpeg/PyAV on a real cluster — the
-mapInPandas plumbing is identical.
+tests/test_semantics.py. Codecs still needing external libraries
+(MP3/H.264, progressive/subsampled JPEG) remain the one integration
+point; swap ``decode_video``'s body for ffmpeg/PyAV on a real cluster —
+the mapInPandas plumbing is identical.
 """
 
 from __future__ import annotations
@@ -215,11 +219,18 @@ def encode_wav_mulaw(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Decode a BMP, PPM, or PNG payload to real pixel stats: width,
-    height, mean pixel value over all RGB samples. PNG is a genuinely
-    COMPRESSED container (zlib inflate + scanline unfiltering)."""
+    """Decode a BMP, PPM, PNG, or baseline JPEG payload to real pixel
+    stats: width, height, mean pixel value over all RGB samples. PNG
+    (zlib inflate + unfiltering) and JPEG (Huffman + dequant + IDCT,
+    operators/_jpeg.py) are genuinely COMPRESSED containers."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         px = decode_png(payload)
+        h, w = px.shape[:2]
+        return {"width": int(w), "height": int(h), "mean_value": float(px.mean())}
+    if payload[:2] == b"\xff\xd8":
+        from ._jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
         h, w = px.shape[:2]
         return {"width": int(w), "height": int(h), "mean_value": float(px.mean())}
     if payload[:2] == b"BM":
@@ -406,8 +417,16 @@ def synthesize_assets(batches):
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             seed = hashlib.md5((text or "").encode("utf-8")).digest()
             rng = np.random.RandomState(np.frombuffer(seed[:4], dtype=np.uint32)[0])
-            kind = int(doc_id) % 6
-            if kind == 4:
+            kind = int(doc_id) % 7
+            if kind == 6:
+                from ._jpeg import encode_jpeg
+
+                w, h = 8 + int(seed[15]) % 24, 8 + int(seed[3]) % 24
+                payload = encode_jpeg(
+                    rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8), quality=85
+                )
+                mime = "image/jpeg"
+            elif kind == 4:
                 w, h = 8 + int(seed[12]) % 24, 8 + int(seed[13]) % 24
                 payload = encode_png(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
                 mime = "image/png"
@@ -515,6 +534,10 @@ def resize_stats(batches):
             if mime.startswith("image/"):
                 if payload[:8] == b"\x89PNG\r\n\x1a\n":
                     px = decode_png(payload)
+                elif payload[:2] == b"\xff\xd8":
+                    from ._jpeg import decode_jpeg
+
+                    px = decode_jpeg(payload)
                 elif payload[:2] == b"BM":
                     data_off = struct.unpack_from("<I", payload, 10)[0]
                     w, h = struct.unpack_from("<ii", payload, 18)
@@ -595,21 +618,24 @@ def _md5_byte_sql(k: int) -> str:
 
 _DECODE_DIMS_ORACLE = f"""
 WITH h AS (
-  SELECT doc_id, md5(COALESCE(text, '')) AS hx, doc_id % 6 AS kind FROM documents
+  SELECT doc_id, md5(COALESCE(text, '')) AS hx, doc_id % 7 AS kind FROM documents
 )
 SELECT doc_id AS asset_id,
        CASE kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
                  WHEN 2 THEN 'image/x-portable-pixmap' WHEN 3 THEN 'video/x-yuv4mpeg'
-                 WHEN 4 THEN 'image/png' ELSE 'audio/basic+wav' END AS mime,
+                 WHEN 4 THEN 'image/png' WHEN 6 THEN 'image/jpeg'
+                 ELSE 'audio/basic+wav' END AS mime,
        CAST(CASE kind WHEN 4 THEN 8 + {_md5_byte_sql(12)} % 24
                       WHEN 0 THEN 8 + {_md5_byte_sql(4)} % 24
                       WHEN 2 THEN 8 + {_md5_byte_sql(7)} % 24
                       WHEN 3 THEN 8 + 2 * ({_md5_byte_sql(9)} % 8)
+                      WHEN 6 THEN 8 + {_md5_byte_sql(15)} % 24
                       ELSE NULL END AS INTEGER) AS width,
        CAST(CASE kind WHEN 4 THEN 8 + {_md5_byte_sql(13)} % 24
                       WHEN 0 THEN 8 + {_md5_byte_sql(5)} % 24
                       WHEN 2 THEN 8 + {_md5_byte_sql(8)} % 24
                       WHEN 3 THEN 8 + 2 * ({_md5_byte_sql(10)} % 8)
+                      WHEN 6 THEN 8 + {_md5_byte_sql(3)} % 24
                       ELSE NULL END AS INTEGER) AS height,
        CAST(CASE kind WHEN 5 THEN 1000.0 * (256 + {_md5_byte_sql(14)} * 8) / 8000
                       WHEN 1 THEN 1000.0 * (256 + {_md5_byte_sql(6)} * 8) / 8000

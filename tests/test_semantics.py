@@ -400,7 +400,7 @@ def test_multimodal_resize_and_frame_sample(spark):
 
     agg = {r["mime"]: r for r in mm_resize_stats(spark, SF_DIR).collect()}
     assert set(agg) == {
-        "image/bmp", "image/x-portable-pixmap", "image/png",
+        "image/bmp", "image/x-portable-pixmap", "image/png", "image/jpeg",
         "audio/wav", "audio/basic+wav", "video/x-yuv4mpeg"
     }
     for r in agg.values():
@@ -422,7 +422,7 @@ def test_multimodal_pipeline_decodes_real_bytes(spark):
 
     agg = {r["mime"]: r for r in mm_decode_stats(spark, SF_DIR).collect()}
     assert set(agg) == {
-        "image/bmp", "image/x-portable-pixmap", "image/png",
+        "image/bmp", "image/x-portable-pixmap", "image/png", "image/jpeg",
         "audio/wav", "audio/basic+wav", "video/x-yuv4mpeg"
     }
     for mime, r in agg.items():
@@ -1068,3 +1068,107 @@ def test_mulaw_codec_properties():
     assert info["sample_rate"] == 8000
     expect_rms = float(np.sqrt(np.mean(rt.astype(np.float64) ** 2)))
     assert abs(info["mean_value"] - expect_rms) < 1e-9
+
+
+def test_jpeg_roundtrip_and_structure():
+    """Baseline JFIF codec (operators/_jpeg.py): flat blocks survive
+    exactly (DC-only), smooth content reconstructs above 40 dB PSNR,
+    grayscale 1-component payloads decode, dimensions/padding are
+    honored for non-multiple-of-8 sizes, and unsupported JPEG classes
+    are rejected loudly rather than mis-decoded."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_realtime_2024_spark.operators._jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # flat color: every block is DC-only → quantized exactly
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 90)), flat)
+
+    # smooth gradients at odd dimensions (edge padding + crop)
+    yy, xx = np.mgrid[0:37, 0:29]
+    sm = np.stack([(yy * 3) % 256, (xx * 5) % 256, (yy + xx) % 256], -1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(sm, 90))
+    assert dec.shape == sm.shape
+    err = dec.astype(float) - sm.astype(float)
+    psnr = 10 * np.log10(255.0**2 / (err**2).mean())
+    assert psnr > 40.0, psnr
+
+    # quality monotonicity: higher quality → lower error
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    errs = []
+    for q in (30, 70, 95):
+        d = decode_jpeg(encode_jpeg(px, q)).astype(float)
+        errs.append(((d - px) ** 2).mean())
+    assert errs[0] > errs[1] > errs[2], errs
+
+    # grayscale single-component path
+    g = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, 95))
+    assert dg.shape == (8, 8, 3)
+    assert np.abs(dg[:, :, 0].astype(int) - g.astype(int)).mean() < 10
+
+    # loud rejection of what we don't implement (never mis-decode)
+    bad = bytearray(encode_jpeg(flat, 90))
+    sof = bytes(bad).find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2  # pretend progressive
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+
+def test_jpeg_decoder_independent_of_encoder():
+    """Decoder checked against a HAND-CONSTRUCTED entropy stream, not
+    our own encoder (no shared-bug blind spot): a 1-block grayscale
+    JPEG whose scan encodes DC diff = +2 and a single AC coefficient,
+    built bit-by-bit from the T.81 Annex-K code tables, must decode to
+    the analytically computed IDCT pixels."""
+    import struct
+    import numpy as np
+
+    from flink_realtime_2024_spark.operators._jpeg import (
+        _D,
+        _HUFF_AC_LUMA,
+        _HUFF_DC_LUMA,
+        _HuffEncoder,
+        _UNZIGZAG,
+        decode_jpeg,
+    )
+
+    qtab = np.ones((8, 8), dtype=np.int32)  # quant table of all 1s
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    for (bits, vals), tcth in ((_HUFF_DC_LUMA, 0x00), (_HUFF_AC_LUMA, 0x10)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tcth)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+
+    # entropy stream by hand: DC size=2 bits amp=binary(2)='10';
+    # AC (run=0,size=1) amp='1' (+1) at zigzag index 1; then EOB
+    dc = _HuffEncoder(*_HUFF_DC_LUMA)
+    ac = _HuffEncoder(*_HUFF_AC_LUMA)
+    stream_bits = ""
+    stream_bits += format(dc.code[2], f"0{dc.size[2]}b") + "10"   # DC = +2
+    stream_bits += format(ac.code[0x11], f"0{ac.size[0x11]}b") + "1"  # AC[1] = +1
+    stream_bits += format(ac.code[0x00], f"0{ac.size[0x00]}b")    # EOB
+    stream_bits += "1" * (-len(stream_bits) % 8)                  # 1-pad
+    stream = bytearray()
+    for i in range(0, len(stream_bits), 8):
+        b = int(stream_bits[i : i + 8], 2)
+        stream.append(b)
+        if b == 0xFF:
+            stream.append(0x00)
+    out += bytes(stream) + b"\xff\xd9"
+
+    # analytic reference: coefficients → IDCT → +128 level shift
+    z = np.zeros(64)
+    z[0], z[1] = 2.0, 1.0
+    coeff = z[_UNZIGZAG].reshape(8, 8) * qtab
+    expect = np.clip(np.round(_D.T @ coeff @ _D + 128.0), 0, 255).astype(np.uint8)
+
+    got = decode_jpeg(bytes(out))
+    assert np.array_equal(got[:, :, 0], expect), (got[:, :, 0], expect)
