@@ -458,15 +458,17 @@ def stream_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
        assert (+1), and the signed per-status delta — a handful of
        rows — merges into the running aggregate (driver-held exact
        Decimal sums, O(groups) state);
-    3. the dim store advances by the same merge_upsert as
-       stream_cdc_upsert.
+    3. the dim store is a lakehouse table (plans/lakehouse.py): the
+       before-image lookup reads only manifest-stats-overlapping data
+       files, and the state advance is the same stats-pruned MERGE
+       commit.
 
-    Per-batch cost is O(batch + touched-key state + groups); the
-    untouched dim majority is never re-aggregated. The final running
+    Per-batch cost is O(batch + overlapping state files + groups) on
+    BOTH the aggregate and the store; the untouched dim majority is
+    neither read nor rewritten. The final running
     aggregate carries the same full oracle as the batch twin — batch
     boundaries are invisible because signed DECIMAL addition is
     associative and commutative."""
-    import os
     import tempfile
     from decimal import Decimal
 
@@ -476,17 +478,27 @@ def stream_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     stream = cdc_binlog_stream(spark, sf_dir)
     store = tempfile.mkdtemp(prefix="cdc_retract_dim_")
-    state: dict = {"dim": None}
+    state: dict = {"table": None}
     agg: dict[str, list] = {}  # status -> [n_orders, Decimal total]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
+        # lakehouse-backed state: before-image lookup reads only the
+        # manifest-stats-overlapping files, and the state update is the
+        # same stats-pruned MERGE — so BOTH halves of the job are
+        # O(batch + touched files), never O(all keys) (lazy import:
+        # lakehouse registers queries and imports this module)
+        from ..plans.lakehouse import LakeTable
+
         batch = batch_df.localCheckpoint()
         touched = batch.select("key").distinct()
-        old_dim = state["dim"]
+        t: LakeTable | None = state["table"]
         old_touched = (
-            old_dim.join(touched, "key", "semi") if old_dim is not None else None
+            t.read(batch_df.sparkSession).join(touched, "key", "semi")
+            if t is not None
+            else None
         )
+        if old_touched is not None:
+            old_touched = old_touched.localCheckpoint()
         new_touched = merge_upsert(old_touched, batch)
         signed = new_touched.select(
             F.col("orderstatus").alias("status"),
@@ -513,10 +525,12 @@ def stream_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = agg.setdefault(r["status"], [0, Decimal("0")])
             cur[0] += int(r["dn"])
             cur[1] += Decimal(str(r["dv"])) if r["dv"] is not None else Decimal("0")
-        merged = merge_upsert(old_dim, batch)
-        path = os.path.join(store, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(path)
-        state["dim"] = sess.read.parquet(path)
+        if t is None:
+            state["table"] = LakeTable.create(
+                latest_per_key(batch), store, "key", n_files=4
+            )
+        else:
+            t.merge(spark, batch)
 
     run_stream(stream.writeStream.outputMode("append").foreachBatch(sink), "retract_agg")
     rows = [
