@@ -138,7 +138,10 @@ def main() -> None:
     sf1 = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1_PROBE"):
         try:
-            sf1 = _sf1_probe(spark, {n: q.builder for n, q in queries.items()}, timings)
+            # probe over ALL registered builders (not just benched ones)
+            from flink_realtime_2024_spark.plans.registry import all_queries as _aq
+
+            sf1 = _sf1_probe(spark, {n: q.builder for n, q in _aq().items()}, timings)
         except Exception as e:  # the probe is evidence, not a gate
             sf1 = {"error": f"{type(e).__name__}: {e}"[:200]}
 
@@ -186,6 +189,10 @@ _SF1_QUERIES = (
     "agg_hash_groupby",
     "join_inner_hash",
     "window_session",
+    # CDC + changelog algebra (orders-derived) and span-level dedup
+    "cdc_latest_row",
+    "cdc_retract_aggregate",
+    "llm_dedup_spans",
 )
 _SF1_REPLICATION = 10
 
