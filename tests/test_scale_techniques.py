@@ -388,3 +388,34 @@ def test_lakehouse_expire_snapshots(spark):
         for e in t.manifest(t.latest_version())["files"]
     }
     assert on_disk == referenced, "orphan data files survived vacuum"
+
+
+def test_lakehouse_first_commit_wins(spark):
+    """Two writers racing the same parent snapshot: the second commit
+    must FAIL loudly (O_EXCL manifest create), never silently clobber —
+    and the winner's snapshot must be what readers see."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from flink_realtime_2024_spark.plans.lakehouse import LakeTable
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("key"), F.lit("c").alias("op"),
+        (F.col("id") * 1.0).alias("totalprice"),
+        F.lit("O").alias("orderstatus"), F.lit(1).cast("bigint").alias("ts_ms"),
+    )
+    t = LakeTable.create(base, tempfile.mkdtemp(prefix="lake_race_"), "key", n_files=2)
+    # writer A commits v1 normally
+    upd = spark.createDataFrame(
+        [(5, "u", 99.0, "F", 2)],
+        "key bigint, op string, totalprice double, orderstatus string, ts_ms bigint",
+    )
+    assert t.merge(spark, upd) == 1
+    # writer B raced from the same parent: simulate by committing v1 again
+    with _pytest.raises(FileExistsError):
+        t._commit(1, t.manifest(1)["files"], "merge")
+    # the winner's state is intact
+    got = {r["key"]: r["totalprice"] for r in t.read(spark).collect()}
+    assert got[5] == 99.0 and len(got) == 100
