@@ -764,3 +764,36 @@ def sql_udf_call(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, tok_count(text) AS n_tokens FROM documents"
     )
+
+
+_SQL_HOP_ORACLE = """
+WITH e AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events
+), w AS (
+  SELECT ((us // 1800000000) - k.k) * 1800000000 AS ws, event_type, value
+  FROM e, (SELECT unnest([0, 1]) AS k) k
+)
+SELECT ws // 1000 AS window_start_ms, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM w GROUP BY 1, 2
+"""
+
+
+@register("sql_window_hop", oracle=_SQL_HOP_ORACLE, section="§3.2 SQL API,T3")
+def sql_window_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL's HOP (sliding window) TVF surface: 1-hour windows
+    sliding every 30 minutes — every event lands in exactly TWO
+    windows. Spark SQL's 3-arg window() through the full SQL pipeline;
+    the oracle replicates the event→window fan-out with an explicit
+    2-row unnest (window/slide = 2), so assignment arithmetic is
+    hash-checked, not just row counts."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """SELECT unix_millis(window.start) AS window_start_ms,
+                  event_type,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           FROM events
+           GROUP BY window(ts, '1 hour', '30 minutes'), event_type"""
+    )
