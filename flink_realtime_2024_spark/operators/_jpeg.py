@@ -1,11 +1,13 @@
 """Baseline JFIF (JPEG) codec — stdlib + numpy, no external libraries.
 
 Implements the interoperable subset every camera/browser produces and
-reads: baseline sequential DCT, 8-bit, YCbCr 4:4:4 (no chroma
-subsampling), the ITU-T T.81 Annex-K default quantization and Huffman
-tables (quality-scaled per the IJG convention). Grayscale payloads are
-encoded as 1-component JFIF. Progressive, arithmetic coding, restart
-markers, and subsampled chroma are out of scope and rejected loudly.
+reads: baseline sequential DCT, 8-bit YCbCr in 4:4:4 or 4:2:0, with
+the ITU-T T.81 Annex-K default quantization and Huffman tables
+(quality-scaled per the IJG convention). Grayscale payloads are
+encoded as 1-component JFIF; 4:2:0 chroma subsampling (2×2-mean
+downsample, 16×16 MCUs) is supported on both sides. Progressive,
+arithmetic coding, restart markers, and other sampling layouts are out
+of scope and rejected loudly.
 
 Spec references (all public): ITU-T Recommendation T.81 (1992) —
 sections A.3.3 (FDCT/IDCT), F.1.2 (Huffman entropy coding), Annex K
@@ -315,21 +317,47 @@ def _encode_blocks(writer, blocks, dc_enc, ac_enc, dc_pred):
     return dc_pred
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3) RGB uint8 or (h, w) grayscale → baseline JFIF bytes."""
+def _pad_to(plane: np.ndarray, m: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, -h % m), (0, -w % m)), mode="edge")
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(h, w, 3) RGB uint8 or (h, w) grayscale → baseline JFIF bytes.
+    ``subsample=True`` emits 4:2:0 (2×2-mean chroma downsample, 2x2/1x1
+    sampling factors, 16×16 MCUs) — the layout cameras and browsers
+    produce by default; False emits 4:4:4."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     q_luma, q_chroma = _quality_tables(quality)
     if gray:
-        planes = [(_pad_to_8(pixels.astype(np.float64)) - 128.0, q_luma)]
+        coeffs = [_fdct_quant(_pad_to_8(pixels.astype(np.float64)) - 128.0, q_luma)]
+        samplings = [0x11]
+    elif subsample:
+        ycc = _rgb_to_ycbcr(pixels)
+        y16 = _pad_to(ycc[..., 0], 16)
+        cb = _pad_to(ycc[..., 1], 16)
+        cr = _pad_to(ycc[..., 2], 16)
+        # 2×2 mean downsample → chroma planes at half resolution
+        def down(p):
+            return p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+
+        coeffs = [
+            _fdct_quant(y16 - 128.0, q_luma),
+            _fdct_quant(down(cb) - 128.0, q_chroma),
+            _fdct_quant(down(cr) - 128.0, q_chroma),
+        ]
+        samplings = [0x22, 0x11, 0x11]
     else:
         ycc = _rgb_to_ycbcr(pixels)
-        planes = [
-            (_pad_to_8(ycc[..., 0]) - 128.0, q_luma),
-            (_pad_to_8(ycc[..., 1]) - 128.0, q_chroma),
-            (_pad_to_8(ycc[..., 2]) - 128.0, q_chroma),
+        coeffs = [
+            _fdct_quant(_pad_to_8(ycc[..., 0]) - 128.0, q_luma),
+            _fdct_quant(_pad_to_8(ycc[..., 1]) - 128.0, q_chroma),
+            _fdct_quant(_pad_to_8(ycc[..., 2]) - 128.0, q_chroma),
         ]
-    coeffs = [_fdct_quant(p, q) for p, q in planes]
+        samplings = [0x11, 0x11, 0x11]
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -338,11 +366,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
             int(tab.reshape(64)[_ZIGZAG][k]) for k in range(64)
         )
-    ncomp = 1 if gray else 3
+    ncomp = len(coeffs)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
         qid = 0 if cid == 1 else 1
-        out += struct.pack("BBB", cid, 0x11, qid)  # 1x1 sampling: 4:4:4
+        out += struct.pack("BBB", cid, samplings[cid - 1], qid)
     tables = [(_HUFF_DC_LUMA, 0x00), (_HUFF_AC_LUMA, 0x10)]
     if not gray:
         tables += [(_HUFF_DC_CHROMA, 0x01), (_HUFF_AC_CHROMA, 0x11)]
@@ -360,16 +388,35 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     ac_l = _HuffEncoder(*_HUFF_AC_LUMA)
     dc_c = _HuffEncoder(*_HUFF_DC_CHROMA)
     ac_c = _HuffEncoder(*_HUFF_AC_CHROMA)
-    # non-interleaved would need DNL; baseline interleaved MCU order for
-    # 1x1 sampling is simply per-block round-robin across components
-    nb = coeffs[0].shape[0]
     preds = [0] * len(coeffs)
     encs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(coeffs) - 1)
-    for bi in range(nb):
-        for ci, c in enumerate(coeffs):
-            preds[ci] = _encode_blocks(
-                writer, c[bi : bi + 1], encs[ci][0], encs[ci][1], preds[ci]
-            )
+    if not subsample or gray:
+        # 1×1 sampling: the interleaved MCU is one block per component
+        nb = coeffs[0].shape[0]
+        for bi in range(nb):
+            for ci, c in enumerate(coeffs):
+                preds[ci] = _encode_blocks(
+                    writer, c[bi : bi + 1], encs[ci][0], encs[ci][1], preds[ci]
+                )
+    else:
+        # 4:2:0 MCU = 4 luma blocks (2×2 raster) + 1 Cb + 1 Cr
+        ph, pw = y16.shape
+        nbw = pw // 8
+        mcw = pw // 16
+        mch = ph // 16
+        for mr in range(mch):
+            for mc in range(mcw):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        bi = (2 * mr + dy) * nbw + 2 * mc + dx
+                        preds[0] = _encode_blocks(
+                            writer, coeffs[0][bi : bi + 1], dc_l, ac_l, preds[0]
+                        )
+                ci_b = mr * mcw + mc
+                for ci in (1, 2):
+                    preds[ci] = _encode_blocks(
+                        writer, coeffs[ci][ci_b : ci_b + 1], dc_c, ac_c, preds[ci]
+                    )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -378,7 +425,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 3) RGB uint8 (grayscale replicated
-    if 1-component). Raises on progressive/subsampled/restart inputs."""
+    if 1-component). Supports 4:4:4 and 4:2:0 sampling (the two layouts
+    encoders actually emit); raises on progressive/restart/other
+    sampling inputs."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -423,9 +472,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
-                if hv != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            hvs = [(c[1], c[2]) for c in comps]
+            if not (
+                all(f == (1, 1) for f in hvs)
+                or (len(hvs) == 3 and hvs[0] == (2, 2) and hvs[1] == hvs[2] == (1, 1))
+            ):
+                raise ValueError(
+                    "unsupported sampling (4:4:4, 4:2:0, or grayscale only)"
+                )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG unsupported")
@@ -443,8 +498,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if frame is None or scan_comps is None:
         raise ValueError("missing SOF0/SOS")
     h, w, comps = frame
-    ph, pw = h + (-h % 8), w + (-w % 8)
-    nb = (ph // 8) * (pw // 8)
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    # frame grid padded to whole MCUs (8·max per axis); per-component
+    # plane dims scale by its sampling factors
+    ph, pw = h + (-h % (8 * max_v)), w + (-w % (8 * max_h))
+    mch, mcw = ph // (8 * max_v), pw // (8 * max_h)
+    comp_dims = [
+        (ph * c[2] // max_v, pw * c[1] // max_h) for c in comps
+    ]
 
     reader = _BitReader(payload[data_start:])
 
@@ -473,21 +535,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return z, pred
 
     planes = []
-    blocks_per_comp = [np.zeros((nb, 64), np.int32) for _ in comps]
+    blocks_per_comp = [
+        np.zeros(((ch // 8) * (cw // 8), 64), np.int32) for ch, cw in comp_dims
+    ]
     preds = [0] * len(comps)
     decs = []
     for _, (cs, td, ta) in zip(comps, scan_comps):
         decs.append((huff_dec[(0, td)], huff_dec[(1, ta)]))
-    for bi in range(nb):
-        for ci in range(len(comps)):
-            z, preds[ci] = read_block(decs[ci][0], decs[ci][1], preds[ci])
-            blocks_per_comp[ci][bi] = z
-    for ci, (cid, tq) in enumerate(comps):
-        blk = np.zeros((nb, 8, 8), np.float64)
-        tmp = np.zeros((nb, 64), np.int32)
+    # interleaved MCU order (T.81 §A.2.3): per MCU, each component
+    # contributes v×h blocks in raster order within the MCU
+    for mr in range(mch):
+        for mc in range(mcw):
+            for ci, (_, ch_f, cv_f, _) in enumerate(comps):
+                nbw_c = comp_dims[ci][1] // 8
+                for dy in range(cv_f):
+                    for dx in range(ch_f):
+                        z, preds[ci] = read_block(decs[ci][0], decs[ci][1], preds[ci])
+                        bi = (mr * cv_f + dy) * nbw_c + mc * ch_f + dx
+                        blocks_per_comp[ci][bi] = z
+    for ci, (cid, ch_f, cv_f, tq) in enumerate(comps):
+        cph, cpw = comp_dims[ci]
+        nb_c = (cph // 8) * (cpw // 8)
+        tmp = np.zeros((nb_c, 64), np.int32)
         tmp[:, _ZIGZAG] = blocks_per_comp[ci]
-        blk = tmp.reshape(nb, 8, 8)
-        plane = _dequant_idct(blk, qtabs[tq], ph, pw) + 128.0
+        plane = _dequant_idct(tmp.reshape(nb_c, 8, 8), qtabs[tq], cph, cpw) + 128.0
+        if (ch_f, cv_f) != (max_h, max_v):  # upsample subsampled chroma
+            plane = np.repeat(
+                np.repeat(plane, max_v // cv_f, axis=0), max_h // ch_f, axis=1
+            )
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         y = np.clip(planes[0], 0, 255)

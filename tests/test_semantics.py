@@ -1172,3 +1172,35 @@ def test_jpeg_decoder_independent_of_encoder():
 
     got = decode_jpeg(bytes(out))
     assert np.array_equal(got[:, :, 0], expect), (got[:, :, 0], expect)
+
+
+def test_jpeg_420_subsampling():
+    """4:2:0 mode (the camera/browser default layout): 16×16 MCU
+    interleave + 2×2-mean chroma downsample must roundtrip — flat
+    images exactly, smooth gradients above 40 dB PSNR at every
+    dimension class (MCU-aligned, odd, sub-MCU) — and must emit
+    smaller payloads than 4:4:4 on the same content."""
+    import numpy as np
+
+    from flink_realtime_2024_spark.operators._jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    flat = np.full((32, 32, 3), 200, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 90, subsample=True)), flat)
+
+    for shape in [(16, 16), (37, 29), (8, 8)]:
+        yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+        px = np.stack([(yy * 3) % 256, (xx * 5) % 256, (yy + xx) % 256], -1).astype(
+            np.uint8
+        )
+        dec = decode_jpeg(encode_jpeg(px, 90, subsample=True))
+        assert dec.shape == px.shape
+        err = dec.astype(float) - px.astype(float)
+        psnr = 10 * np.log10(255.0**2 / (err**2).mean())
+        assert psnr > 40.0, (shape, psnr)
+
+    yy, xx = np.mgrid[0:48, 0:40]
+    sm = np.stack([(yy * 2) % 256, (xx * 3) % 256, (yy * xx) % 256], -1).astype(np.uint8)
+    assert len(encode_jpeg(sm, 85, subsample=True)) < len(encode_jpeg(sm, 85))
