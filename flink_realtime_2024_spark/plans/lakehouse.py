@@ -335,3 +335,116 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> dict:
         "removed_manifests": len(drop),
         "removed_files": removed_files,
     }
+
+
+def compact_table(table: LakeTable, spark: SparkSession, n_files: int = 4) -> int:
+    """OPTIMIZE: rewrite the latest snapshot's data into ``n_files``
+    range-sorted files and commit the result as a NEW snapshot (the
+    content-identical compaction commit every lakehouse format has).
+    Older snapshots keep their manifests and files — time travel
+    survives until expire_snapshots reclaims them."""
+    parent = table.latest_version()
+    merged = table.read(spark, parent)
+    table._commit(parent + 1, table._write_files(merged, n_files), "compact")
+    return parent + 1
+
+
+def snapshot_diff(
+    table: LakeTable, spark: SparkSession, v_from: int, v_to: int
+) -> DataFrame:
+    """CDC-OUT of the table (the dynamic-table duality, reversed): the
+    row-level changes between two snapshots, computed by reading ONLY
+    the data files in the manifests' symmetric difference — files
+    carried by reference between versions are byte-identical and
+    CANNOT contribute a change, so a merge that touched 2% of files
+    diffs 2% of the table. Full-outer join of the two pruned sides on
+    the merge key yields +I (new key), -D (gone key), or -U/+U pairs
+    (changed image) — exactly the retract kinds cdc_retract_stream
+    derives from an input changelog, now derived from table state."""
+    m_from = {e["path"]: e for e in table.manifest(v_from)["files"]}
+    m_to = {e["path"]: e for e in table.manifest(v_to)["files"]}
+    only_from = [p for p in m_from if p not in m_to]
+    only_to = [p for p in m_to if p not in m_from]
+    key = table.key
+
+    def read_files(paths):
+        if not paths:
+            return None
+        return spark.read.parquet(*(os.path.join(table.root, p) for p in paths))
+
+    old = read_files(only_from)
+    new = read_files(only_to)
+    if old is None and new is None:
+        raise ValueError("identical snapshots")
+
+    def imaged(df, side):
+        return df.select(
+            F.col(key).alias(f"{side}_key"),
+            F.struct(*[c for c in df.columns if c != key]).alias(side),
+        )
+
+    if old is None:
+        return new.select(F.col(key), F.lit("+I").alias("kind"))
+    if new is None:
+        return old.select(F.col(key), F.lit("-D").alias("kind"))
+    j = imaged(old, "o").join(
+        imaged(new, "n"), F.col("o_key") == F.col("n_key"), "full_outer"
+    )
+    return j.select(
+        F.coalesce("o_key", "n_key").alias(key),
+        F.when(F.col("o").isNull(), "+I")
+        .when(F.col("n").isNull(), "-D")
+        .when(F.col("o") != F.col("n"), "U")  # image changed: -U/+U pair
+        .alias("kind"),
+    ).filter(F.col("kind").isNotNull())
+
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+bounds AS (
+  SELECT MIN(ts_ms) AS lo, (MAX(ts_ms) - MIN(ts_ms)) // 3 + 1 AS step FROM changelog
+),
+s0 AS (
+  SELECT key, op, totalprice, orderstatus, ts_ms FROM (
+    SELECT c.*, ROW_NUMBER() OVER (
+      PARTITION BY key
+      ORDER BY ts_ms DESC, CASE op WHEN 'd' THEN 2 WHEN 'u' THEN 1 ELSE 0 END DESC,
+               COALESCE(totalprice, -1) DESC, COALESCE(orderstatus, '') DESC
+    ) AS rn
+    FROM changelog c, bounds b WHERE c.ts_ms < b.lo + b.step
+  ) WHERE rn = 1 AND op <> 'd'
+),
+s2 AS (
+  SELECT key, op, totalprice, orderstatus, ts_ms FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY key
+      ORDER BY ts_ms DESC, CASE op WHEN 'd' THEN 2 WHEN 'u' THEN 1 ELSE 0 END DESC,
+               COALESCE(totalprice, -1) DESC, COALESCE(orderstatus, '') DESC
+    ) AS rn
+    FROM changelog
+  ) WHERE rn = 1 AND op <> 'd'
+)
+SELECT COALESCE(s0.key, s2.key) AS key,
+       CASE WHEN s0.key IS NULL THEN '+I'
+            WHEN s2.key IS NULL THEN '-D'
+            WHEN s0.op <> s2.op OR s0.totalprice <> s2.totalprice
+                 OR s0.orderstatus <> s2.orderstatus OR s0.ts_ms <> s2.ts_ms
+              THEN 'U' END AS kind
+FROM s0 FULL OUTER JOIN s2 ON s0.key = s2.key
+WHERE (CASE WHEN s0.key IS NULL THEN '+I'
+            WHEN s2.key IS NULL THEN '-D'
+            WHEN s0.op <> s2.op OR s0.totalprice <> s2.totalprice
+                 OR s0.orderstatus <> s2.orderstatus OR s0.ts_ms <> s2.ts_ms
+              THEN 'U' END) IS NOT NULL
+"""
+
+
+@register("lake_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE, section="S3,S4,S7")
+def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-OUT: the row-level changes between lake snapshots v0 and v2,
+    read ONLY from the manifests' symmetric-difference files (carried
+    files are byte-identical — they cannot contribute a change, so the
+    diff cost scales with what the merges touched, not table size).
+    Oracle: independent DuckDB diff of batch-0 state vs full state."""
+    t = _build_lake(spark, sf_dir)
+    return snapshot_diff(t, spark, 0, t.latest_version())

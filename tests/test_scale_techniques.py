@@ -419,3 +419,40 @@ def test_lakehouse_first_commit_wins(spark):
     # the winner's state is intact
     got = {r["key"]: r["totalprice"] for r in t.read(spark).collect()}
     assert got[5] == 99.0 and len(got) == 100
+
+
+def test_lakehouse_compact_and_snapshot_diff(spark):
+    """OPTIMIZE commit preserves content and history; snapshot_diff
+    reads only the manifests' symmetric difference and reports exactly
+    the keys a merge inserted/updated/deleted — carried-by-reference
+    files contribute nothing (pruned diff)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from flink_realtime_2024_spark.plans.lakehouse import (
+        LakeTable,
+        compact_table,
+        snapshot_diff,
+    )
+
+    base = spark.range(0, 800).select(
+        F.col("id").alias("key"), F.lit("c").alias("op"),
+        (F.col("id") * 1.0).alias("totalprice"),
+        F.lit("O").alias("orderstatus"), F.lit(1).cast("bigint").alias("ts_ms"),
+    )
+    t = LakeTable.create(base, tempfile.mkdtemp(prefix="lake_diff_"), "key", n_files=8)
+    batch = spark.createDataFrame(
+        [(5, "u", 999.0, "F", 2), (801, "c", 1.0, "O", 2), (7, "d", None, None, 2)],
+        "key bigint, op string, totalprice double, orderstatus string, ts_ms bigint",
+    )
+    v1 = t.merge(spark, batch)
+
+    diff = {(r["key"], r["kind"]) for r in snapshot_diff(t, spark, 0, v1).collect()}
+    assert diff == {(5, "U"), (801, "+I"), (7, "-D")}, diff
+
+    before = {tuple(r) for r in t.read(spark).collect()}
+    v2 = compact_table(t, spark, n_files=2)
+    assert {tuple(r) for r in t.read(spark, v2).collect()} == before
+    assert {tuple(r) for r in t.read(spark, v1).collect()} == before  # history intact
+    assert len(t.manifest(v2)["files"]) == 2
