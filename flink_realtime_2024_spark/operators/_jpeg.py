@@ -152,15 +152,21 @@ class _HuffEncoder:
 
 
 class _HuffDecoder:
-    """Canonical-code decoder: (length, code) → symbol."""
+    """Table-driven canonical-code decoder: one 2^16 lookup maps a
+    16-bit peek window straight to (symbol, code length) — the classic
+    fast-Huffman technique (JPEG codes are ≤16 bits by spec), replacing
+    a bit-at-a-time tree walk with a single indexed load per symbol."""
 
     def __init__(self, bits, huffval):
-        self.lookup = {}
+        self.lut = np.full(1 << 16, -1, dtype=np.int32)
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
-                self.lookup[(length, code)] = huffval[k]
+                base = code << (16 - length)
+                self.lut[base : base + (1 << (16 - length))] = (
+                    huffval[k] << 8
+                ) | length
                 code += 1
                 k += 1
             code <<= 1
@@ -201,30 +207,44 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
+    def _fill(self) -> bool:
+        """Pull one entropy byte into the accumulator; False at the end
+        of the entropy segment (data exhausted or a marker reached)."""
         if self.pos >= len(self.data):
-            raise EOFError("entropy stream exhausted")
+            return False
         b = self.data[self.pos]
-        self.pos += 1
         if b == 0xFF:
-            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
-                self.pos += 1  # unstuff
+            if self.pos + 1 < len(self.data) and self.data[self.pos + 1] == 0x00:
+                self.pos += 2  # unstuff
             else:
-                raise EOFError("marker inside entropy stream")
+                return False  # marker terminates the entropy stream
+        else:
+            self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
-
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        return True
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        while self.nbits < n and self._fill():
+            pass
+        if self.nbits < n:
+            raise EOFError("entropy stream exhausted")
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        while self.nbits < 16 and self._fill():
+            pass
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        # stream tail: left-align what remains, zero-pad (the padded
+        # bits are never consumed when block counts line up)
+        return (self.acc << (16 - self.nbits)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits:
+            raise EOFError("entropy stream exhausted")
+        self.nbits -= n
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -573,10 +593,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _read_symbol(reader: _BitReader, dec: _HuffDecoder) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.bit()
-        sym = dec.lookup.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+    entry = int(dec.lut[reader.peek16()])
+    if entry < 0:
+        raise ValueError("invalid Huffman code")
+    reader.consume(entry & 0xFF)
+    return entry >> 8
