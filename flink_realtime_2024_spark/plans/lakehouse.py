@@ -205,9 +205,13 @@ def _changelog_thirds(spark: SparkSession, sf_dir: str):
 def _build_lake(spark: SparkSession, sf_dir: str) -> LakeTable:
     """Create the table from batch 0's state, then MERGE batches 1-2 —
     one table dir per (sf_dir, pid), built once per process."""
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"lake_orders_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    from ..operators._util import register_tmp_dir
+
+    root = register_tmp_dir(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"lake_orders_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        )
     )
     if os.path.exists(os.path.join(root, "manifest-v2.json")):
         return LakeTable(root, "key")

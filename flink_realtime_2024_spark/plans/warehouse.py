@@ -356,9 +356,13 @@ def warehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.maintenance import compact_parquet
 
-    frag = os.path.join(
-        tempfile.gettempdir(),
-        f"frag_orders_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    from ..operators._util import register_tmp_dir
+
+    frag = register_tmp_dir(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"frag_orders_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        )
     )
     if os.path.exists(frag):
         shutil.rmtree(frag)
