@@ -596,3 +596,112 @@ def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import run_cep_funnel
 
     return run_cep_funnel(spark, sf_dir)
+
+
+_RETENTION_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS BIGINT) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_week, e.week - c.cohort_week AS week_offset
+  FROM e JOIN cohort c USING (user_id)
+)
+SELECT cohort_week, week_offset,
+       COUNT(*) AS n_active,
+       CAST(ROUND(COUNT(*) * 1.0 / MAX(COUNT(*)) OVER (PARTITION BY cohort_week), 4)
+            AS DOUBLE) AS retention
+FROM activity GROUP BY cohort_week, week_offset
+"""
+
+
+@register("analytics_retention_cohorts", oracle=_RETENTION_ORACLE, section="A1,J1,W4")
+def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the canonical product-analytics rollup every
+    event warehouse serves: users grouped by first-seen epoch week,
+    then for each (cohort, week-offset) the count and fraction of the
+    cohort still active (weekly grain — the fixture feed spans one
+    month). Two shuffles (per-user min, per-cohort-cell count); the
+    cohort size for the retention denominator comes from a window MAX
+    (every cohort's offset-0 cell is its full size), avoiding a third
+    shuffle for a separate size join. At 100 TB the DISTINCT
+    (user, week) projection — not raw events — is what shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_micros("ts") / F.lit(604_800_000_000)).cast("bigint")
+    e = ev.select("user_id", week.alias("week"))
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    cell = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    w = Window.partitionBy("cohort_week")
+    return cell.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active") / F.max("n_active").over(w), 4)
+        .cast("double")
+        .alias("retention"),
+    )
+
+
+_RFM_ORACLE = """
+WITH maxd AS (
+  SELECT MAX(o_orderdate) AS d0 FROM orders
+), per_cust AS (
+  SELECT o_custkey AS custkey,
+         MIN(date_diff('day', o_orderdate, (SELECT d0 FROM maxd))) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, recency_days, frequency, monetary,
+       5 - NTILE(4) OVER (ORDER BY recency_days, custkey) AS r_score,
+       NTILE(4) OVER (ORDER BY frequency, custkey) AS f_score,
+       NTILE(4) OVER (ORDER BY monetary, custkey) AS m_score
+FROM per_cust
+"""
+
+
+@register("analytics_rfm_segments", oracle=_RFM_ORACLE, section="A1,W5")
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency/frequency/monetary quartiles)
+    — the marketing-warehouse staple: one per-customer aggregate, then
+    NTILE(4) scores per dimension. Every NTILE carries the custkey
+    tiebreaker so quartile boundaries are deterministic cross-engine
+    (the SURVEY §5.2 unique-tiebreaker rule); recency is measured from
+    the corpus max date so the query is reproducible, not wall-clock
+    dependent. DECIMAL money sums. One shuffle for the aggregate; the
+    three global NTILEs are single-partition windows over O(customers)
+    rows — at 100 TB you'd NTILE within segment partitions instead
+    (same shape as the documented global-sort caveat on O1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d0 = orders.agg(F.max("o_orderdate").alias("d0"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(d0))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.min(F.datediff(F.col("d0"), F.col("o_orderdate"))).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+        )
+    )
+    return per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (5 - F.ntile(4).over(Window.orderBy("recency_days", "custkey"))).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "custkey")).alias("m_score"),
+    )
