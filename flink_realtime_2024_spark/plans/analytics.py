@@ -705,3 +705,55 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
         F.ntile(4).over(Window.orderBy("monetary", "custkey")).alias("m_score"),
     )
+
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT partkey, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / SUM(revenue) OVER () AS cum_share
+  FROM rev
+)
+SELECT partkey, revenue,
+       CAST(ROUND(cum_share, 6) AS DOUBLE) AS cum_share,
+       CASE WHEN ROUND(cum_share, 6) <= 0.8 THEN 'A'
+            WHEN ROUND(cum_share, 6) <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@register("analytics_pareto_abc", oracle=_PARETO_ORACLE, section="A1,W4,O1")
+def analytics_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory classification — the 80/15/5 revenue-share
+    cut every merchandising warehouse maintains: per-part revenue,
+    descending cumulative share (W4 running frame with the partkey
+    tiebreaker for cross-engine determinism), classified A/≤80%,
+    B/≤95%, C/rest. Share is rounded BEFORE classification on both
+    engines so boundary parts can't flip class on f64 noise. One
+    aggregate shuffle + one global running-sum window over O(parts)
+    rows — at 100 TB the window would run per category partition, the
+    same documented caveat as every global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = (
+        Window.orderBy(F.col("revenue").desc(), "partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = Window.partitionBy()
+    cum = F.round(F.sum("revenue").over(w) / F.sum("revenue").over(total), 6)
+    return rev.select(
+        "partkey",
+        "revenue",
+        cum.cast("double").alias("cum_share"),
+        F.when(cum <= 0.8, "A").when(cum <= 0.95, "B").otherwise("C").alias("abc_class"),
+    )
