@@ -681,17 +681,19 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaker so quartile boundaries are deterministic cross-engine
     (the SURVEY §5.2 unique-tiebreaker rule); recency is measured from
     the corpus max date so the query is reproducible, not wall-clock
-    dependent. DECIMAL money sums. One shuffle for the aggregate; the
+    dependent (the max-date anchor is a single-row bounded collect —
+    the same discipline as every fixed-size driver lookup in the repo,
+    and it keeps the no-broadcast-of-scaling-tables sweep strict).
+    DECIMAL money sums. One shuffle for the aggregate; the
     three global NTILEs are single-partition windows over O(customers)
     rows — at 100 TB you'd NTILE within segment partitions instead
     (same shape as the documented global-sort caveat on O1)."""
     orders = load_table(spark, sf_dir, "orders")
-    d0 = orders.agg(F.max("o_orderdate").alias("d0"))
+    d0 = orders.agg(F.max("o_orderdate").alias("d0")).first()["d0"]
     per_cust = (
-        orders.crossJoin(F.broadcast(d0))
-        .groupBy(F.col("o_custkey").alias("custkey"))
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
-            F.min(F.datediff(F.col("d0"), F.col("o_orderdate"))).alias("recency_days"),
+            F.min(F.datediff(F.lit(d0), F.col("o_orderdate"))).alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
             F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
         )
