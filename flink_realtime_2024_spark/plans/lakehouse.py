@@ -111,6 +111,12 @@ class LakeTable:
         for f in sorted(os.listdir(staging)):
             if not f.endswith(".parquet"):
                 continue
+            # a batch can net to nothing (e.g. all deletes) — zero-row
+            # part files carry no stats and no data; never manifest them
+            # (caught by the hypothesis dict-state model, single-delete
+            # create batch)
+            if pq.read_metadata(os.path.join(staging, f)).num_rows == 0:
+                continue
             dst_name = f"{uuid.uuid4().hex}.parquet"
             dst = os.path.join(self.data_dir, dst_name)
             os.rename(os.path.join(staging, f), dst)

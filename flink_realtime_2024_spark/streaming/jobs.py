@@ -744,6 +744,11 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("total_value").cast("decimal(18,4)").alias("total_value"),
                 "bucket",
             )
+            # one file per touched bucket (not shuffle-width × buckets):
+            # the serving store's file count stays O(buckets), and each
+            # bucket dir is a single sorted run for point lookups
+            .repartition("bucket")
+            .sortWithinPartitions("user_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(out)
