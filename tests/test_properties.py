@@ -396,3 +396,87 @@ def test_lakehouse_merge_matches_dict_state(spark, batches):
             assert table.read(spark).count() == 0
         except ValueError:
             pass  # empty-snapshot read rejects loudly — also correct
+
+
+@given(merge_batches())
+@settings(**_SETTINGS)
+def test_lakehouse_snapshot_diff_matches_dict_diff(spark, batches):
+    """snapshot_diff(v0, latest) must equal the dict-state diff of the
+    replayed batches: +I for keys absent at v0, -D for keys gone, U for
+    changed images — and nothing for keys merely rewritten unchanged."""
+    import tempfile
+
+    from flink_realtime_2024_spark.plans.lakehouse import LakeTable, snapshot_diff
+    from flink_realtime_2024_spark.sources.cdc import latest_per_key
+
+    schema = "key bigint, op string, totalprice double, orderstatus string, ts_ms bigint"
+
+    def replay(state, rows):
+        for key, op, price, status, ts in sorted(rows, key=lambda r: r[4]):
+            if op == "d":
+                state.pop(key, None)
+            else:
+                state[key] = (op, price, status, ts)
+        return state
+
+    s0 = replay({}, batches[0])
+    if not s0:
+        return  # empty creation snapshot: read() rejects, nothing to diff
+    table = LakeTable.create(
+        latest_per_key(spark.createDataFrame(batches[0], schema)),
+        tempfile.mkdtemp(prefix="lake_dprop_"),
+        "key",
+        n_files=3,
+    )
+    s_end = dict(s0)
+    for rows in batches[1:]:
+        table.merge(spark, spark.createDataFrame(rows, schema))
+        replay(s_end, rows)
+
+    want = {}
+    for k in set(s0) | set(s_end):
+        if k not in s0:
+            want[k] = "+I"
+        elif k not in s_end:
+            want[k] = "-D"
+        elif s0[k] != s_end[k]:
+            want[k] = "U"
+    v = table.latest_version()
+    if v == 0 or not want:
+        return  # identical snapshots: diff() rejects loudly by design
+    got = {r["key"]: r["kind"] for r in snapshot_diff(spark=spark, table=table, v_from=0, v_to=v).collect()}
+    assert got == want, (got, want)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_bounded_error(h, w, seed, subsample):
+    """Any dimensions (including 1×1 and non-multiples of 8/16), any
+    content, either sampling mode: decode(encode(px)) must return the
+    exact input shape with bounded error (q95 quant steps are small;
+    4:2:0 adds chroma-averaging loss). Guards padding/crop/MCU
+    arithmetic across the whole size space, not just picked shapes."""
+    import numpy as np
+
+    from flink_realtime_2024_spark.operators._jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    # smooth-ish content: random low-res upsampled (JPEG's design target)
+    base = rng.randint(0, 256, size=((h + 3) // 4, (w + 3) // 4, 3))
+    px = np.clip(
+        np.kron(base, np.ones((4, 4, 1)))[:h, :w].astype(np.float64)
+        + rng.normal(scale=3, size=(h, w, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(px, 95, subsample=subsample))
+    assert dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(np.int64) - px.astype(np.int64))
+    bound = 48 if subsample else 32  # chroma averaging adds local error
+    assert err.max() <= bound, (h, w, subsample, int(err.max()))
+    assert err.mean() <= 8, (h, w, subsample, float(err.mean()))
