@@ -3287,3 +3287,71 @@ def llm_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dup").cast("int")) / F.count(F.lit(1)), 4
         ).cast("double").alias("dup_frac"),
     )
+
+
+# =============================================================================
+# L5 mixture interleave schedule (stride scheduling over domain weights)
+# =============================================================================
+
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.2, "ja": 0.1}
+_MIX_WEIGHT_SQL = "CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.2 ELSE 0.1 END"
+
+_MIX_SCHEDULE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         CAST({_MIX_WEIGHT_SQL} AS DOUBLE) AS w
+  FROM documents
+), striped AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY shuffle_key, doc_id) AS rn,
+         w
+  FROM d
+)
+SELECT doc_id, lang,
+       ROW_NUMBER() OVER (ORDER BY rn / w, lang, rn) AS position
+FROM striped
+"""
+
+
+@register("llm_mix_schedule", oracle=_MIX_SCHEDULE_ORACLE, section="L5,W1,O1")
+def llm_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 training-order construction: interleave domains at target
+    mixture weights via STRIDE SCHEDULING — domain d's k-th document
+    is placed at virtual time k/w_d, and the global order sorts by
+    that virtual time (ties broken by domain then stride), so EVERY
+    prefix of the schedule holds ≈ w_d·L documents of each domain.
+    That prefix property is what distinguishes this from sampling: a
+    training run stopped at any step has seen the target mixture.
+    Within-domain order is a deterministic md5 shuffle (seeded, not
+    RNG), so the whole schedule is a pure function of the corpus —
+    full oracle. One per-domain window + one global rank; at 100 TB
+    the global sort runs per output shard (rank within
+    range-partitioned virtual time), the same caveat as every global
+    ORDER BY. Prefix-mixture property is pytest-asserted."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_expr = (
+        F.when(F.col("lang") == "en", 0.5)
+        .when(F.col("lang") == "de", 0.2)
+        .when(F.col("lang") == "fr", 0.2)
+        .otherwise(0.1)
+        .cast("double")
+    )
+    striped = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rn"),
+        w_expr.alias("w"),
+    )
+    return striped.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(Window.orderBy(F.col("rn") / F.col("w"), "lang", "rn"))
+        .alias("position"),
+    )

