@@ -759,3 +759,106 @@ def analytics_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.cast("double").alias("cum_share"),
         F.when(cum <= 0.8, "A").when(cum <= 0.95, "B").otherwise("C").alias("abc_class"),
     )
+
+
+_PR_ITERS = 8
+_PR_SCALE = 10**12  # rank mass in integer micro-units (exact cross-engine)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power-iteration SQL (DuckDB's recursive CTEs forbid
+    aggregates in the recursive member, so the fixed iteration count is
+    emitted as a CTE chain). All rank math is BIGINT floor-division in
+    micro-units — bit-identical in any engine; see the operator
+    docstring."""
+    head = f"""
+WITH lines AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), n AS (
+  SELECT COUNT(*) AS n FROM deg
+), pr0 AS (
+  SELECT src AS node, {_PR_SCALE} // (SELECT n FROM n) AS pr FROM deg
+)"""
+    body = ""
+    for i in range(_PR_ITERS):
+        body += f""", pr{i + 1} AS (
+  SELECT e.dst AS node,
+         (15 * ({_PR_SCALE} // (SELECT n FROM n))) // 100
+           + (85 * SUM(p.pr // g.d)) // 100 AS pr
+  FROM edges e
+  JOIN pr{i} p ON p.node = e.src
+  JOIN deg g ON g.src = e.src
+  GROUP BY e.dst
+)"""
+    return (
+        head
+        + body
+        + f"""
+SELECT node AS partkey, CAST(pr AS BIGINT) AS pagerank_micro
+FROM pr{_PR_ITERS}"""
+    )
+
+
+@register("analytics_pagerank", oracle=_pagerank_oracle(), section="A1,J1")
+def analytics_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (parts sharing an order, the
+    undirected basket graph) — iterative graph analytics on warehouse
+    data, the second fixpoint algorithm next to connected_components.
+
+    Distributed shape: the rank vector lives as a DataFrame; each power
+    iteration is contribution-join (rank/degree along edges) + sum per
+    destination + damping — two shuffles per round over O(edges), with
+    ``localCheckpoint`` pinning the lineage flat. Nothing collects:
+    driver state is zero (fixed iteration count). Every node in the
+    undirected graph has out-degree ≥ 1, so there is no dangling-mass
+    term. Cross-engine exactness: rank mass is BIGINT micro-units
+    (scale 10^12) and every step is integer floor-division — the whole
+    fixpoint is bit-identical on any engine, no float rounding
+    negotiations (a 10-dp-round double variant was tried first and hit
+    a half-way boundary on one node; integers make the class of bug
+    impossible). Output stays in micro-units for the same reason."""
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lines.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = lines.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.count()
+    base = _PR_SCALE // n
+    teleport = (15 * base) // 100
+    pr = deg.select("src", F.lit(base).cast("bigint").alias("pr")).localCheckpoint()
+    g = edges.join(deg, "src").localCheckpoint()  # (src, dst, d) — static
+    for _ in range(_PR_ITERS):
+        pr = (
+            g.join(pr.withColumnRenamed("src", "node"), F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(teleport)
+                    + (F.lit(85) * F.sum(F.expr("pr DIV d"))).cast("bigint") / F.lit(100)
+                )
+                .cast("bigint")
+                .alias("pr")
+            )
+            .withColumnRenamed("dst", "src")
+            .localCheckpoint()
+        )
+    return pr.select(
+        F.col("src").alias("partkey"), F.col("pr").alias("pagerank_micro")
+    )
