@@ -456,3 +456,40 @@ def test_lakehouse_compact_and_snapshot_diff(spark):
     assert {tuple(r) for r in t.read(spark, v2).collect()} == before
     assert {tuple(r) for r in t.read(spark, v1).collect()} == before  # history intact
     assert len(t.manifest(v2)["files"]) == 2
+
+
+def test_lakehouse_compact_then_expire(spark):
+    """Lifecycle interaction: after OPTIMIZE + VACUUM(keep_last=1) the
+    table holds exactly the compacted snapshot's files — merge- and
+    pre-compaction files are reclaimed, content is intact."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from flink_realtime_2024_spark.plans.lakehouse import (
+        LakeTable,
+        compact_table,
+        expire_snapshots,
+    )
+
+    base = spark.range(0, 300).select(
+        F.col("id").alias("key"), F.lit("c").alias("op"),
+        (F.col("id") * 1.0).alias("totalprice"),
+        F.lit("O").alias("orderstatus"), F.lit(1).cast("bigint").alias("ts_ms"),
+    )
+    t = LakeTable.create(base, tempfile.mkdtemp(prefix="lake_ce_"), "key", n_files=6)
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(3, "u", 7.0, "F", 2)],
+            "key bigint, op string, totalprice double, orderstatus string, ts_ms bigint",
+        ),
+    )
+    before = {tuple(r) for r in t.read(spark).collect()}
+    v = compact_table(t, spark, n_files=2)
+    stats = expire_snapshots(t, keep_last=1)
+    assert stats["removed_manifests"] == 2
+    assert {tuple(r) for r in t.read(spark).collect()} == before
+    assert t.latest_version() == v
+    assert len(os.listdir(t.data_dir)) == 2  # only the compacted files remain
