@@ -480,3 +480,82 @@ def test_jpeg_roundtrip_bounded_error(h, w, seed, subsample):
     bound = 48 if subsample else 32  # chroma averaging adds local error
     assert err.max() <= bound, (h, w, subsample, int(err.max()))
     assert err.mean() <= 8, (h, w, subsample, float(err.mean()))
+
+
+@given(st.lists(st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+                min_size=1, max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_zorder_interleave_bijective(pairs):
+    """The Morton key must be a bijection on 16-bit pairs (no two cells
+    collide) and preserve the quadrant hierarchy: equal high bits of
+    (a, b) ⇒ equal high bits of z — the property file-level pruning
+    relies on (a z-range maps to a bounded rectangle)."""
+
+    def z_py(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    seen = {}
+    for a, b in pairs:
+        z = z_py(a, b)
+        assert seen.setdefault(z, (a, b)) == (a, b), "collision"
+        # quadrant property: top k bit-pairs of z == interleave of top k bits
+        for k in (1, 4, 8):
+            hi = z >> (2 * (16 - k))
+            assert hi == z_py(a >> (16 - k), b >> (16 - k)), (a, b, k)
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=256))
+@settings(max_examples=50, deadline=None)
+def test_mulaw_roundtrip_error_bound(samples):
+    """G.711 μ-law: expand(compress(x)) must stay within the segment's
+    quantization step (≤ 2^(seg+3) ≈ |x|/16 + constant) and preserve
+    sign — the codec's spec guarantee, on arbitrary int16 input."""
+    import numpy as np
+
+    from flink_realtime_2024_spark.operators.multimodal import (
+        _mulaw_compress,
+        _mulaw_expand,
+    )
+
+    x = np.array(samples, dtype=np.int16)
+    y = _mulaw_expand(_mulaw_compress(x))
+    err = np.abs(y.astype(np.int64) - np.clip(x.astype(np.int64), -32635, 32635))
+    bound = np.abs(x.astype(np.int64)) / 16 + 132
+    assert (err <= bound).all(), int(err.max())
+    nz = np.abs(x) > 132  # below the bias the codec may flush toward 0
+    assert (np.sign(y[nz]) == np.sign(x[nz])).all()
+
+
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=6), min_size=2,
+                max_size=12, unique=True))
+@settings(**_SETTINGS)
+def test_fuzzy_pairs_matches_brute_levenshtein(spark, names):
+    """Deletion-neighborhood blocking on ARBITRARY short strings must
+    equal the O(n²) levenshtein scan at distance ≤ 1 — exactness is a
+    construction guarantee, not fixture luck."""
+    from flink_realtime_2024_spark.operators.llm import fuzzy_pairs_dist1
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    truth = set()
+    ns = sorted(names)
+    for i, a in enumerate(ns):
+        for b in ns[i + 1 :]:
+            d = lev(a, b)
+            if d <= 1:
+                truth.add((a, b, d))
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r["name_a"], r["name_b"], r["dist"]) for r in fuzzy_pairs_dist1(df).collect()
+    }
+    assert got == truth, (sorted(got - truth)[:5], sorted(truth - got)[:5])
