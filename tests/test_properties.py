@@ -559,3 +559,59 @@ def test_fuzzy_pairs_matches_brute_levenshtein(spark, names):
         (r["name_a"], r["name_b"], r["dist"]) for r in fuzzy_pairs_dist1(df).collect()
     }
     assert got == truth, (sorted(got - truth)[:5], sorted(truth - got)[:5])
+
+
+@given(
+    st.lists(st.text(alphabet="abz", min_size=1, max_size=5), min_size=2, max_size=10),
+)
+@settings(max_examples=6, deadline=None)
+def test_bpe_train_fuzzed_vs_reference(spark, words):
+    """Batched distributed BPE on RANDOM tiny corpora must equal the
+    sequential pure-Python reference — fuzzes the non-interacting-batch
+    acceptance bound over adversarial tie/conflict structures the
+    fixture corpora don't produce."""
+    from flink_realtime_2024_spark.operators.llm import bpe_train
+    from .test_semantics import _bpe_reference
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string"
+    )
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    ref, _ = _bpe_reference(counts, n_merges=5)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=5).orderBy("merge_rank").collect()
+    ]
+    assert got == ref
+
+
+@given(changelogs(), st.integers(0, 10))
+@settings(**_SETTINGS)
+def test_merge_upsert_split_equivalence(spark, rows, split_ts):
+    """Applying a changelog in two EVENT-TIME-ORDERED batches through
+    merge_upsert must equal the one-shot latest-per-key materialization
+    for ANY split point — the invariant dim_upsert and the lakehouse
+    MERGE path rely on."""
+    from flink_realtime_2024_spark.sources.cdc import latest_per_key, merge_upsert
+
+    schema = "key bigint, op string, totalprice double, orderstatus string, ts_ms bigint"
+    df = spark.createDataFrame(rows, schema)
+    one_shot = {
+        (r["key"], r["totalprice"], r["orderstatus"])
+        for r in latest_per_key(df).collect()
+    }
+    b0 = df.filter(df.ts_ms < split_ts)
+    b1 = df.filter(df.ts_ms >= split_ts)
+    dim = None
+    for batch in (b0, b1):
+        if batch.isEmpty():
+            continue
+        dim = merge_upsert(dim, batch)
+    got = (
+        {(r["key"], r["totalprice"], r["orderstatus"]) for r in dim.collect()}
+        if dim is not None
+        else set()
+    )
+    assert got == one_shot
