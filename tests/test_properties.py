@@ -615,3 +615,54 @@ def test_merge_upsert_split_equivalence(spark, rows, split_ts):
         else set()
     )
     assert got == one_shot
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=3,
+        max_size=30,
+    ).filter(lambda es: any(a != b for a, b in es)),
+)
+@settings(max_examples=6, deadline=None)
+def test_pagerank_micro_units_close_to_float(spark, raw_edges):
+    """The BIGINT micro-unit fixpoint is an APPROXIMATION of float
+    PageRank (floor-division sheds ≤1 micro-unit per term) — assert
+    the drift stays ≤ iters · max_degree micro-units of the float
+    reference on random small graphs, so the exact-oracle trick can't
+    silently diverge from the real algorithm."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+
+    # undirected, deduped, no self-loops — the operator's edge shape
+    edges = sorted({(a, b) for a, b in raw_edges if a != b} | {
+        (b, a) for a, b in raw_edges if a != b
+    })
+    nodes = sorted({a for a, _ in edges})
+    n = len(nodes)
+    deg = {a: sum(1 for x, _ in edges if x == a) for a in nodes}
+
+    # float reference
+    pr = {a: 1.0 / n for a in nodes}
+    for _ in range(8):
+        nxt = {a: 0.15 / n for a in nodes}
+        for a, b in edges:
+            nxt[b] += 0.85 * pr[a] / deg[a]
+        pr = nxt
+
+    # integer micro-unit replay (the operator's arithmetic, in python)
+    scale = 10**12
+    base = scale // n
+    tele = (15 * base) // 100
+    pri = {a: base for a in nodes}
+    for _ in range(8):
+        nxt = {a: 0 for a in nodes}
+        for a, b in edges:
+            nxt[b] += pri[a] // deg[a]
+        pri = {a: tele + (85 * v) // 100 for a, v in nxt.items()}
+
+    max_deg = max(deg.values())
+    for a in nodes:
+        drift_units = abs(pri[a] - pr[a] * scale)
+        assert drift_units <= 8 * (max_deg + 2) * 2, (a, drift_units)
