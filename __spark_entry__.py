@@ -30,8 +30,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered by ``registry.driver_order()``: the verification driver
-    samples the first 50 ids, so the rotation that spreads coverage
-    across rounds lives in ``DRIVER_PRIORITY``, not here.
+    samples the first 50 ids; the rotation that spreads coverage across
+    rounds self-computes from the committed CORRECTNESS_r*.json
+    recordings (``registry._auto_rotation``), with ``DRIVER_PRIORITY``
+    as the fallback.
     """
     return {name: q.builder for name, q in driver_order().items()}
 

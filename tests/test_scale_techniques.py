@@ -493,3 +493,20 @@ def test_lakehouse_compact_then_expire(spark):
     assert {tuple(r) for r in t.read(spark).collect()} == before
     assert t.latest_version() == v
     assert len(os.listdir(t.data_dir)) == 2  # only the compacted files remain
+
+
+def test_span_dedup_stays_jvm_side(spark):
+    """llm_dedup_spans claims zero Python: window generation, md5, and
+    both aggregates must all be JVM operators (no Arrow/Python eval
+    nodes), and the shuffle must carry digests — the executed plan is
+    the proof."""
+    from flink_realtime_2024_spark.operators.llm import llm_dedup_spans
+
+    plan = (
+        llm_dedup_spans(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for python_node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert python_node not in plan, python_node
