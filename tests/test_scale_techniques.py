@@ -510,3 +510,29 @@ def test_span_dedup_stays_jvm_side(spark):
     )
     for python_node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
         assert python_node not in plan, python_node
+
+
+def test_driver_prefix_matches_committed_log():
+    """The 50-id prefix recorded green in DRIVER_SIM_r05.log must be
+    byte-stable until the driver samples it: any registry change that
+    reorders driver_order()'s first 50 invalidates the committed
+    pre-verification, and this guard turns that into a test failure
+    instead of a silent CORRECTNESS surprise."""
+    import os
+    import re
+
+    from flink_realtime_2024_spark.plans.registry import driver_order
+
+    log = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "DRIVER_SIM_r05.log")
+    with open(log) as fh:
+        text = fh.read()
+    prefix_section = text.split("## FINAL exact 50-id sampling prefix")[1]
+    prefix_section = prefix_section.split("## ")[0]
+    logged = re.findall(r"^  (\w+) +\d", prefix_section, flags=re.M)
+    assert len(logged) == 50, len(logged)
+    live = list(driver_order())[:50]
+    assert live == logged, (
+        "registry changed the sampling prefix after it was pre-verified: "
+        f"first divergence at {next((i, a, b) for i, (a, b) in enumerate(zip(live, logged)) if a != b)}"
+    )
