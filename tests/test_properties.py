@@ -666,3 +666,29 @@ def test_pagerank_micro_units_close_to_float(spark, raw_edges):
     for a in nodes:
         drift_units = abs(pri[a] - pr[a] * scale)
         assert drift_units <= 8 * (max_deg + 2) * 2, (a, drift_units)
+
+
+@given(
+    st.text(alphabet="abcd ", min_size=60, max_size=200),
+    st.integers(0, 40),
+    st.integers(0, 40),
+)
+@settings(max_examples=40, deadline=None)
+def test_winnow_shared_substring_guarantee(shared, pre_n, post_n):
+    """Schleimer et al.'s winnowing theorem, fuzzed: two documents
+    sharing ANY substring of length ≥ k + w − 1 must share at least one
+    selected fingerprint — here the shared block is embedded at random
+    offsets inside different noise prefixes/suffixes."""
+    from flink_realtime_2024_spark.operators.llm import (
+        _WINNOW_K,
+        _WINNOW_W,
+        _winnow_fingerprints,
+    )
+
+    if len(shared) < _WINNOW_K + _WINNOW_W - 1:
+        return
+    doc_a = "x" * pre_n + shared + "y" * post_n
+    doc_b = "z" * post_n + shared + "w" * pre_n
+    fa = set(_winnow_fingerprints(doc_a).tolist())
+    fb = set(_winnow_fingerprints(doc_b).tolist())
+    assert fa & fb, (shared[:30], pre_n, post_n)
