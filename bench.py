@@ -135,15 +135,29 @@ def main() -> None:
     }
     r1_subset = round(sum(t for n, t in timings.items() if n in r1_set), 3)
 
+    # probes run over ALL registered builders (not just benched ones)
+    from flink_realtime_2024_spark.plans.registry import all_queries as _aq
+
+    builders = {n: q.builder for n, q in _aq().items()}
     sf1 = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1_PROBE"):
         try:
-            # probe over ALL registered builders (not just benched ones)
-            from flink_realtime_2024_spark.plans.registry import all_queries as _aq
-
-            sf1 = _sf1_probe(spark, {n: q.builder for n, q in _aq().items()}, timings)
+            sf1 = _scale_probe(
+                spark, builders, timings, _SF1_REPLICATION, _SF1_QUERIES, reps=2
+            )
         except Exception as e:  # the probe is evidence, not a gate
             sf1 = {"error": f"{type(e).__name__}: {e}"[:200]}
+    sf3 = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SF3_PROBE"):
+        try:
+            # the second scaling point (30× = sf3-equivalent): turns the
+            # one-off manual 30× record in PLANS.md into a regenerated
+            # artifact. One rep — at this size wall time IS the signal.
+            sf3 = _scale_probe(
+                spark, builders, timings, _SF3_REPLICATION, _SF3_QUERIES, reps=1
+            )
+        except Exception as e:
+            sf3 = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     streaming = None
     if not os.environ.get("SPARK_GRAFT_SKIP_STREAMING_PROBE"):
@@ -165,6 +179,8 @@ def main() -> None:
     }
     if sf1:
         out["sf1_probe"] = sf1
+    if sf3:
+        out["sf3_probe"] = sf3
     if streaming:
         out["streaming_probe"] = streaming
     deltas = _deltas_vs_previous(timings, _sf_from_dir(SF_DIR))
@@ -174,7 +190,69 @@ def main() -> None:
         out["stage_errors"] = stage_errors
     if query_errors:
         out["query_errors"] = query_errors
-    print(json.dumps(out))
+
+    # Full-fidelity record → a file; stdout gets a COMPACT (<1.8 KB)
+    # final line. The driver captures only the last ~2 KB of stdout and
+    # JSON-parses it — the full record overflowed that every round
+    # (BENCH_r* "parsed": null), so the machine-readable contract is:
+    # compact summary on the LAST line, details in bench_detail.json.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(_compact_summary(out)))
+
+
+def _compact_summary(out: dict) -> dict:
+    """≤1.8 KB single-line view of the bench record: totals, subset
+    trend lines, per-query seconds at 10 ms granularity, probe ratios
+    compressed to their extremes. Anything bigger lives in
+    bench_detail.json."""
+    c = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_ok": out["n_ok"],
+        "n_err": out["n_err"],
+        "r1_comparable_subset_sec": out["r1_comparable_subset_sec"],
+        "table_staging_seconds": out["table_staging_seconds"],
+        "detail": "bench_detail.json",
+        "queries": {n: round(t, 2) for n, t in out["queries"].items()},
+    }
+    for probe_key in ("sf1_probe", "sf3_probe"):
+        p = out.get(probe_key)
+        if not p or "queries" not in p:
+            continue
+        ratios = [
+            q["ratio_vs_base"]
+            for q in p["queries"].values()
+            if isinstance(q, dict) and "ratio_vs_base" in q
+        ]
+        secs = [q["sec"] for q in p["queries"].values() if isinstance(q, dict) and "sec" in q]
+        c[probe_key] = {
+            "replication": p.get("replication"),
+            "n": len(secs),
+            "total_sec": round(sum(secs), 1),
+            "max_ratio": max(ratios) if ratios else None,
+            "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
+        }
+    sp = out.get("streaming_probe")
+    if sp and "queries" in sp:
+        eps = [
+            q["events_per_sec"]
+            for q in sp["queries"].values()
+            if isinstance(q, dict) and "events_per_sec" in q
+        ]
+        c["streaming_events_per_sec"] = [min(eps), max(eps)] if eps else None
+    if out.get("query_errors"):
+        c["query_errors"] = sorted(out["query_errors"])
+    # hard guarantee: stay inside the driver's tail capture. Per-query
+    # timings are the biggest block — drop them before anything else
+    # (they're in the detail file).
+    if len(json.dumps(c)) > 1800:
+        c.pop("queries", None)
+    return c
 
 
 _SF1_QUERIES = (
@@ -195,22 +273,44 @@ _SF1_QUERIES = (
     "llm_dedup_spans",
 )
 _SF1_REPLICATION = 10
+_SF3_REPLICATION = 30
+# sf3 set: the five LLM showcases + the relational core (the PLANS.md
+# manual 30× record, now regenerated per-round instead of transcribed)
+_SF3_QUERIES = (
+    "llm_dedup_minhash",
+    "llm_knn_ivf_partitioned",
+    "llm_decontaminate",
+    "llm_fuzzy_pairs",
+    "llm_wordcount",
+    "warehouse_order_wide",
+    "agg_hash_groupby",
+    "join_inner_hash",
+    "window_session",
+)
 
 
-def _sf1_probe(spark, builders, timings: dict[str, float]) -> dict:
-    """Scaling probe (sf1.0-equivalent): replicate the three tables the
-    LLM showcases read (documents, embeddings, part) 10× with perturbed
-    keys/content into a staged parquet dir, then time each showcase at
-    10× data and report the wall-time ratio vs the sf0.1 run. The 100 TB
-    claims are argued from plan shape; this records the cheap hard
-    datapoint that the shapes actually scale ~linearly on real 10×
-    input. Replicas perturb text/names (not just ids) so dedup-family
-    workloads see realistic near-dup structure rather than 10-way exact
-    duplicate groups."""
+def _scale_probe(
+    spark,
+    builders,
+    timings: dict[str, float],
+    replication: int,
+    query_names,
+    reps: int = 2,
+) -> dict:
+    """Scaling probe (replication× the base SF): replicate the scaling
+    tables with perturbed keys/content into a staged parquet dir, then
+    time each probe query at replication× data and report the wall-time
+    ratio vs the base run. The 100 TB claims are argued from plan
+    shape; this records the cheap hard datapoint that the shapes
+    actually scale ~linearly on real 10×/30× input — two points, so
+    super-linear blowup can't hide between them. Replicas perturb
+    text/names (not just ids) so dedup-family workloads see realistic
+    near-dup structure rather than N-way exact duplicate groups."""
     import pyspark.sql.functions as F
 
     probe_dir = os.path.join(
-        tempfile.gettempdir(), f"sf1_probe_{os.path.basename(SF_DIR.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"sfx{replication}_probe_{os.path.basename(SF_DIR.rstrip('/'))}",
     )
     marker = os.path.join(probe_dir, "_STAGED_OK_V2")
     t0 = time.perf_counter()
@@ -219,7 +319,7 @@ def _sf1_probe(spark, builders, timings: dict[str, float]) -> dict:
 
         def replicas(df, keys, perturb=None):
             outs = []
-            for i in range(_SF1_REPLICATION):
+            for i in range(replication):
                 r = df
                 for key in keys:
                     r = r.withColumn(key, F.col(key) + F.lit(i * key_off))
@@ -261,12 +361,12 @@ def _sf1_probe(spark, builders, timings: dict[str, float]) -> dict:
     staging_s = round(time.perf_counter() - t0, 3)
 
     probe: dict[str, dict] = {}
-    for name in _SF1_QUERIES:
+    for name in query_names:
         if name not in builders:
             continue
         try:
             best = float("inf")
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 materialize(builders[name](spark, probe_dir))
                 best = min(best, time.perf_counter() - t0)
@@ -277,7 +377,7 @@ def _sf1_probe(spark, builders, timings: dict[str, float]) -> dict:
         except Exception as e:
             probe[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
     return {
-        "replication": _SF1_REPLICATION,
+        "replication": replication,
         "base_sf": _sf_from_dir(SF_DIR),
         "staging_seconds": staging_s,
         "queries": probe,

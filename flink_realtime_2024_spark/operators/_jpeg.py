@@ -18,6 +18,7 @@ libjpeg ``jpeg_quality_scaling``.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -170,6 +171,15 @@ class _HuffDecoder:
                 code += 1
                 k += 1
             code <<= 1
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_huff_decoder(bits: tuple, huffval: tuple) -> _HuffDecoder:
+    """The four 2^16-entry LUTs (~1 MB) depend only on the (bits,
+    huffval) table bytes, and the default JFIF tables never change —
+    memoizing per process removes a pure per-image rebuild from the
+    mapInPandas decode hot loop."""
+    return _HuffDecoder(list(bits), list(huffval))
 
 
 class _BitWriter:
@@ -483,7 +493,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[off + 1 : off + 17])
                 n = sum(bits)
                 vals = list(seg[off + 17 : off + 17 + n])
-                huff_dec[(tc, th)] = _HuffDecoder(bits, vals)
+                huff_dec[(tc, th)] = _cached_huff_decoder(
+                    tuple(bits), tuple(vals)
+                )
                 off += 17 + n
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from ..sources.io import load_table
 from ..plans.registry import register
-from ._util import widen
+from ._util import distributed_row_number, widen
 
 # =============================================================================
 # L1 exact dedup
@@ -194,6 +194,53 @@ def shingle_hash_array(text: pd.Series) -> pd.Series:
     return pd.Series(
         [_shingle_hashes(t or "").astype(np.int64).tolist() for t in text]
     )
+
+
+def shingle_str_expr(col) -> "F.Column":
+    """Pure-JVM 3-token word shingles: sorted distinct array of
+    space-joined trigrams of the lowercased whitespace tokens (the
+    string twin of ``_shingle_hashes`` — same tokenization, no hashing,
+    no Python). Documents shorter than 3 tokens shingle to the single
+    joined-token string, mirroring the kernel's fallback.
+
+    The token array is BOUND AS A LAMBDA VARIABLE (transform over a
+    1-element array) before any indexing: Catalyst inlines plain
+    subexpression references, so writing element_at(split(...), i)
+    directly would re-run the regex split for every one of the ~3·|sh|
+    element_at calls per row — measured 20× slower on real documents.
+    A lambda variable is evaluated once per row by construction."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+    def build(toks):
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+        return F.when(n >= 3, grams).otherwise(F.array(F.array_join(toks, " ")))
+
+    sh = F.element_at(F.transform(F.array(raw), build), 1)
+    return F.array_sort(F.array_distinct(sh))
+
+
+def jaccard_prefix_len(set_size, threshold: float = 0.5) -> "F.Column":
+    """Prefix-filter length for Jaccard ≥ t (Chaudhuri et al. SSJoin /
+    Bayardo et al. WWW'07): p(X) = |X| − ⌈t·|X|⌉ + 1. Two sets with
+    J(A,B) ≥ t share ≥ ⌈t·max(|A|,|B|)⌉ elements, so under ANY shared
+    total order of tokens they MUST collide within their first p
+    elements — exact recall, unlike LSH banding. For t = 0.5 this is
+    ⌊|X|/2⌋ + 1."""
+    t_num, t_den = (int(threshold * 1000), 1000)
+    # ceil(t*s) with integer math: (s*t_num + t_den - 1) div t_den
+    s = set_size.cast("bigint")
+    ceil_ts = F.floor((s * t_num + (t_den - 1)) / t_den).cast("bigint")
+    return (s - ceil_ts + 1).cast("int")
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -2596,7 +2643,13 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipelines train their own tokenizers on the corpus they curate)
 # =============================================================================
 
-_BPE_MERGES = 24  # merges to learn (vocab = chars + this many)
+# Merges learned by the REGISTERED query / default call: a demo-sized
+# vocab (the driver samples this id at sf0.01 — each extra merge round
+# is a full candidate aggregate, and 24 rounds cost ~15 s of the 50-id
+# sampling-prefix wall for no extra evidence; r5 advice item 7). The
+# equivalence/property tests train 5–12 merges EXPLICITLY against the
+# pure-Python reference, so the algorithmic contract is untouched.
+_BPE_MERGES = 8
 _BPE_CAND_WINDOW = 128  # pair-count rows collected per round (batch mode)
 _BPE_EOW = "</w>"  # end-of-word marker (Sennrich et al. 2016 convention)
 
@@ -3324,10 +3377,19 @@ def llm_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     training run stopped at any step has seen the target mixture.
     Within-domain order is a deterministic md5 shuffle (seeded, not
     RNG), so the whole schedule is a pure function of the corpus —
-    full oracle. One per-domain window + one global rank; at 100 TB
-    the global sort runs per output shard (rank within
-    range-partitioned virtual time), the same caveat as every global
-    ORDER BY. Prefix-mixture property is pytest-asserted."""
+    full oracle. Prefix-mixture property is pytest-asserted.
+
+    SCALE (the round-5 fix — this was the worst of the perf-weak trio
+    because the frame is the RAW CORPUS): both ranks are two-pass
+    distributed row_numbers (`distributed_row_number`): the per-domain
+    stripe rank buckets on a numeric prefix of the md5 shuffle key
+    (monotone in the string order, ties stay in one bucket) and ranks
+    within (lang, bucket); the global position rank buckets on virtual
+    time rn/w. Every task holds ~1/32 of its frame; the only global
+    structures are the ≤32×|langs|-row offset frames — constant-
+    bounded, broadcast. The stripe stage is localCheckpoint-pinned so
+    the three jobs of the second pass (boundaries, counts, rank) reuse
+    it instead of recomputing the first pass."""
     docs = load_table(spark, sf_dir, "documents")
     w_expr = (
         F.when(F.col("lang") == "en", 0.5)
@@ -3336,22 +3398,140 @@ def llm_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.1)
         .cast("double")
     )
-    striped = docs.select(
+    keyed = docs.select(
         "doc_id",
         "lang",
-        F.row_number()
-        .over(
-            Window.partitionBy("lang").orderBy(
-                F.md5(F.col("doc_id").cast("string")), "doc_id"
-            )
-        )
-        .alias("rn"),
+        F.md5(F.col("doc_id").cast("string")).alias("_sk"),
         w_expr.alias("w"),
     )
-    return striped.select(
+    # numeric bucketing proxy for the hex shuffle key: the first 15 hex
+    # chars as a BIGINT — monotone (non-strict) in the string order, so
+    # bucket ranges respect it; exact order within buckets still uses
+    # the full (_sk, doc_id) total order
+    striped = distributed_row_number(
+        keyed.withColumn("_skn", F.conv(F.substring("_sk", 1, 15), 16, 10).cast("bigint")),
+        key=F.col("_skn"),
+        order_by=[F.col("_sk"), F.col("doc_id")],
+        partition_by=("lang",),
+        out="rn",
+    ).select("doc_id", "lang", "rn", "w").localCheckpoint()
+    return distributed_row_number(
+        striped,
+        key=F.col("rn") / F.col("w"),
+        order_by=[F.col("rn") / F.col("w"), F.col("lang"), F.col("rn")],
+        out="position",
+    ).select("doc_id", "lang", "position")
+
+
+# =============================================================================
+# L2 EXACT set-similarity self-join (prefix filtering, PPJoin-shaped)
+# =============================================================================
+
+_PREFIX_FILTER_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_sort(list_distinct(list_transform(
+                     range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+              ELSE [array_to_string(toks, ' ')]
+         END AS sh
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents
+  )
+), pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, CAST(ROUND(j, 4) AS DOUBLE) AS jaccard
+FROM pairs WHERE j >= 0.5
+"""
+
+
+@register(
+    "llm_dedup_prefix_filter", oracle=_PREFIX_FILTER_ORACLE, section="L2", bench=True
+)
+def llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 EXACT near-dup pair detection at Jaccard ≥ 0.5 — the
+    recall-guaranteed counterpart to `llm_dedup_minhash`: PREFIX
+    FILTERING (SSJoin, Chaudhuri et al. ICDE'06; PPJoin, Xiao et al.
+    WWW'08). Every J≥0.5 pair must share a token within the first
+    ⌊s/2⌋+1 elements of each document's shingle set under ANY shared
+    total token order (`jaccard_prefix_len`), so an equi-join on
+    prefix tokens + an exact JVM Jaccard verify returns the exact
+    all-pairs answer — which is precisely what the DuckDB oracle
+    brute-forces. The first dedup id in the family with a FULL value
+    oracle (minhash/simhash are probabilistic, rows-only).
+
+    Scale shape (the part PPJoin adds over naive prefix filter):
+    tokens are globally ordered by ASCENDING DOCUMENT FREQUENCY — one
+    aggregate over the exploded shingles — so each document's prefix
+    holds its RAREST shingles and hot-token buckets are structurally
+    tiny (stop-word-grade shingles never reach a prefix). Candidate
+    generation is Σ_token df_prefix(token)², bounded by rare tokens,
+    never the n² cross join; the verify is array_intersect/union on
+    pre-shingled arrays. The df order is a pure function of the corpus
+    (ties broken by token string), so the plan is deterministic.
+    Everything is JVM expressions — zero Python crossings. widen():
+    the fixture is one parquet file = one scan task, which would
+    serialize the (JVM but CPU-heavy) shingling; real tables get this
+    parallelism from their file count."""
+    docs = (
+        widen(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", shingle_str_expr("text").alias("sh"))
+        # pin: the ordered-reassembly job consumes the shingles on BOTH
+        # sides of the df join (probe + aggregate) — shingle once
+        .localCheckpoint()
+    )
+    toks = docs.select("doc_id", F.explode("sh").alias("tok"))
+    df_order = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # re-assemble each doc's shingles ordered by (df asc, tok) — the
+    # global rarity order both prefixes must share
+    ordered = (
+        toks.join(df_order, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("sh")
+        )
+    )
+    ordered = ordered.localCheckpoint()  # consumed 4× below — scan once
+    # prefix rows carry ONLY (doc_id, tok): exploding the full shingle
+    # array alongside would multiply every row by ~prefix_len × |sh|;
+    # the arrays re-join AFTER the candidate pairs are deduped (~few
+    # rows), from the pinned `ordered`
+    pref = ordered.select(
         "doc_id",
-        "lang",
-        F.row_number()
-        .over(Window.orderBy(F.col("rn") / F.col("w"), "lang", "rn"))
-        .alias("position"),
+        F.explode(
+            F.slice("sh", F.lit(1), jaccard_prefix_len(F.size("sh")))
+        ).alias("tok"),
+    )
+    pa = pref.select(F.col("doc_id").alias("doc_id_a"), "tok")
+    pb = pref.select(F.col("doc_id").alias("doc_id_b"), "tok")
+    cands = (
+        pa.join(pb, "tok")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+        .join(ordered.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sha")), "doc_id_a")
+        .join(ordered.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("shb")), "doc_id_b")
+    )
+    j = (
+        F.size(F.array_intersect("sha", "shb")).cast("double")
+        / F.size(F.array_union("sha", "shb")).cast("double")
+    )
+    return (
+        cands.withColumn("j", j)
+        .where(F.col("j") >= 0.5)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round("j", 4).cast("double").alias("jaccard"),
+        )
     )

@@ -16,7 +16,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.io import load_table
-from ..operators._util import dec
+from ..operators._util import (
+    dec,
+    distributed_row_number,
+    distributed_running_sum,
+    ntile_from_rank,
+)
 from .registry import register
 
 _TOP_UNSHIPPED_ORACLE = """
@@ -681,13 +686,18 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaker so quartile boundaries are deterministic cross-engine
     (the SURVEY §5.2 unique-tiebreaker rule); recency is measured from
     the corpus max date so the query is reproducible, not wall-clock
-    dependent (the max-date anchor is a single-row bounded collect —
-    the same discipline as every fixed-size driver lookup in the repo,
-    and it keeps the no-broadcast-of-scaling-tables sweep strict).
-    DECIMAL money sums. One shuffle for the aggregate; the
-    three global NTILEs are single-partition windows over O(customers)
-    rows — at 100 TB you'd NTILE within segment partitions instead
-    (same shape as the documented global-sort caveat on O1)."""
+    dependent (the max-date anchor is a single-row bounded collect).
+    DECIMAL money sums.
+
+    SCALE (the round-5 fix): the naive form is three global NTILE
+    windows — each a SINGLE task holding all O(customers) rows. Here
+    each score is a two-pass distributed rank (percentile-bucketed
+    ranks + broadcast per-bucket offsets, `distributed_row_number`)
+    and NTILE is reconstructed from the exact global rank in closed
+    form (`ntile_from_rank` — same first-n%k-tiles-get-ceil contract),
+    so every task holds ~1/32 of the frame and the plan survives a
+    100× customer count. n (one scalar) is a bounded collect like the
+    d0 anchor. Oracle unchanged — the rank algebra is exact."""
     orders = load_table(spark, sf_dir, "orders")
     d0 = orders.agg(F.max("o_orderdate").alias("d0")).first()["d0"]
     per_cust = (
@@ -697,29 +707,48 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
         )
+        .localCheckpoint()  # consumed by 3 rank passes + n — scan once
     )
-    return per_cust.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        (5 - F.ntile(4).over(Window.orderBy("recency_days", "custkey"))).alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
-        F.ntile(4).over(Window.orderBy("monetary", "custkey")).alias("m_score"),
+    n = per_cust.count()
+
+    def score(key_col: str, out: str) -> DataFrame:
+        ranked = distributed_row_number(
+            per_cust.select("custkey", key_col),
+            key=F.col(key_col),
+            order_by=[key_col, "custkey"],
+            out="_r",
+        )
+        return ranked.select(
+            "custkey", ntile_from_rank(F.col("_r"), n, 4).alias(out)
+        )
+
+    return (
+        per_cust.join(score("recency_days", "_rq"), "custkey")
+        .join(score("frequency", "f_score"), "custkey")
+        .join(score("monetary", "m_score"), "custkey")
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            (F.lit(5) - F.col("_rq")).cast("int").alias("r_score"),
+            "f_score",
+            "m_score",
+        )
     )
 
 
 _PARETO_ORACLE = """
 WITH rev AS (
   SELECT l_partkey AS partkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev_dec
   FROM lineitem GROUP BY l_partkey
 ), ranked AS (
-  SELECT partkey, revenue,
-         SUM(revenue) OVER (ORDER BY revenue DESC, partkey
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           / SUM(revenue) OVER () AS cum_share
+  SELECT partkey, CAST(rev_dec AS DOUBLE) AS revenue,
+         CAST(SUM(rev_dec) OVER (ORDER BY CAST(rev_dec AS DOUBLE) DESC, partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS cum_share
   FROM rev
 )
 SELECT partkey, revenue,
@@ -737,23 +766,37 @@ def analytics_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     descending cumulative share (W4 running frame with the partkey
     tiebreaker for cross-engine determinism), classified A/≤80%,
     B/≤95%, C/rest. Share is rounded BEFORE classification on both
-    engines so boundary parts can't flip class on f64 noise. One
-    aggregate shuffle + one global running-sum window over O(parts)
-    rows — at 100 TB the window would run per category partition, the
-    same documented caveat as every global sort."""
+    engines so boundary parts can't flip class on f64 noise.
+
+    SCALE (the round-5 fix): the running sum is the classic TWO-PASS
+    DISTRIBUTED PREFIX SUM (`distributed_running_sum`) — per-bucket
+    sequential sums in parallel tasks + broadcast cumulative bucket
+    offsets from a constant-size (≤32-row) summary frame — replacing
+    the single-task global window over O(parts) rows. Cross-engine
+    exactness survives the reordering because the prefix sums run in
+    DECIMAL (exact, order-independent — bucket-total addition order
+    can't perturb them); both engines then cast the identical decimals
+    to DOUBLE and do one IEEE division, so the 6-dp rounding sees
+    bit-identical inputs. The oracle computes the same decimal algebra
+    sequentially."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-        .cast("double")
-        .alias("revenue")
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+            "rev_dec"
+        )
+    ).withColumn("revenue", F.col("rev_dec").cast("double"))
+    cummed = distributed_running_sum(
+        rev,
+        key=-F.col("revenue"),
+        order_by=[F.col("revenue").desc(), F.col("partkey")],
+        val=F.col("rev_dec"),
+        out="_cum_dec",
+        total_out="_tot_dec",
     )
-    w = (
-        Window.orderBy(F.col("revenue").desc(), "partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.round(
+        F.col("_cum_dec").cast("double") / F.col("_tot_dec").cast("double"), 6
     )
-    total = Window.partitionBy()
-    cum = F.round(F.sum("revenue").over(w) / F.sum("revenue").over(total), 6)
-    return rev.select(
+    return cummed.select(
         "partkey",
         "revenue",
         cum.cast("double").alias("cum_share"),
@@ -849,9 +892,12 @@ def analytics_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             g.join(pr.withColumnRenamed("src", "node"), F.col("src") == F.col("node"))
             .groupBy("dst")
             .agg(
+                # integer DIV end to end (matches the oracle's `//`):
+                # a double `/ 100` would be exact only while
+                # 85 * mass < 2^53 and silently break if _PR_SCALE grew
                 (
-                    F.lit(teleport)
-                    + (F.lit(85) * F.sum(F.expr("pr DIV d"))).cast("bigint") / F.lit(100)
+                    F.lit(teleport).cast("bigint")
+                    + F.expr("(85 * sum(pr DIV d)) DIV 100")
                 )
                 .cast("bigint")
                 .alias("pr")

@@ -22,13 +22,20 @@ first principles on stdlib + parquet:
 At 100 TB: data files are the unit of both pruning and rewrite, so
 MERGE cost is O(batch + overlapping files), and the manifest (one JSON
 row per file) is the only metadata a planner must list — no directory
-walks. The deliberate gap vs a real format: no schema evolution, no
-concurrent-writer conflict resolution beyond first-commit-wins, one
-merge key. Those are documented seams, not hidden assumptions.
+walks. Round 6 closed the two seams a real CDC user hits first:
+ADD-COLUMN SCHEMA EVOLUTION (batches may carry new columns; old files
+are never rewritten, readers surface NULL via mergeSchema — the
+``lake_schema_evolve`` oracle) and CONCURRENT-WRITER RETRY (a lost
+manifest race re-derives the merge against the new head — racing
+disjoint-key writers both land; tests/test_streaming.py). The
+remaining deliberate gap vs a real format: one merge key, no
+column rename/drop or type widening. Documented seams, not hidden
+assumptions.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
@@ -45,6 +52,52 @@ from ..sources.cdc import (
     merge_upsert,
 )
 from ..plans.registry import register
+
+
+# fixed Bloom size: 8192 bits = 1 KiB per data file in the manifest. One
+# xxhash64 probe per key (k=1). Intersection of two same-seed bitmaps is
+# a sound may-intersect test: a key present in both sets sets the same
+# bit in both, so AND == 0 proves the key sets disjoint.
+_BLOOM_BITS = 8192
+
+
+def _bloom_hex(positions) -> str:
+    """Fold collect_set bit positions (ints in [0, _BLOOM_BITS)) into a
+    hex-encoded bitmap for the JSON manifest."""
+    bits = bytearray(_BLOOM_BITS // 8)
+    for p in positions:
+        bits[p >> 3] |= 1 << (p & 7)
+    return bits.hex()
+
+
+def _bloom_intersects(a_hex: str, b_hex: str) -> bool:
+    return any(x & y for x, y in zip(bytes.fromhex(a_hex), bytes.fromhex(b_hex)))
+
+
+def _latest_image(changelog: DataFrame) -> DataFrame:
+    """Schema-generic twin of ``sources.cdc.latest_per_key``: the SAME
+    (ts_ms, op-precedence, image) MAX_BY ordering — bit-identical
+    results on the standard changelog schema — but the winning image
+    struct carries EVERY column of the input, so add-column batches
+    flow through the merge reduction without being projected away.
+    Same scale shape: an aggregate with map-side partial combining,
+    shuffling O(keys) not O(events)."""
+    prec = F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
+    others = [c for c in changelog.columns if c != "key"]
+    latest = changelog.groupBy("key").agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in others]),
+            F.struct(
+                F.col("ts_ms"),
+                prec,
+                F.coalesce(F.col("totalprice"), F.lit(-1.0)),
+                F.coalesce(F.col("orderstatus"), F.lit("")),
+            ),
+        ).alias("last")
+    )
+    return latest.select(
+        "key", *[F.col(f"last.{c}").alias(c) for c in others]
+    ).filter(F.col("op") != "d")
 
 
 class LakeTable:
@@ -74,17 +127,27 @@ class LakeTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
-    def _commit(self, version: int, files: list[dict], operation: str) -> None:
+    def _commit(
+        self,
+        version: int,
+        files: list[dict],
+        operation: str,
+        columns: list[str] | None = None,
+    ) -> None:
         """First-commit-wins atomic manifest write: O_EXCL create fails
-        if another writer took this version (optimistic concurrency —
-        a real format would then retry the merge against the new head;
-        here it raises, the documented single-writer contract)."""
+        if another writer took this version. ``merge()`` catches that
+        and re-derives against the new head (optimistic concurrency
+        with retry — the Delta commit loop); direct ``_commit`` callers
+        keep the raise-loudly contract. ``columns`` records the commit's
+        schema so readers order mixed-generation files consistently."""
         manifest = {
             "version": version,
             "key": self.key,
             "operation": operation,
             "files": files,
         }
+        if columns:
+            manifest["columns"] = columns
         path = self._manifest_path(version)
         fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
         with os.fdopen(fd, "w") as fh:
@@ -95,10 +158,12 @@ class LakeTable:
     def _write_files(self, df: DataFrame, n_files: int) -> list[dict]:
         """Write ``df`` as ``n_files`` immutable data files range-sorted
         by the merge key (tight per-file stats ⇒ effective pruning) and
-        return manifest entries with min/max key stats from the parquet
-        footers."""
-        import pyarrow.parquet as pq
-
+        return manifest entries with per-file min/max key stats plus an
+        xxhash64 key Bloom bitmap. Stats come from ONE executor-side
+        aggregation over the staged files (grouped by
+        ``input_file_name``) — the shape a real format computes during
+        the write itself; the driver holds only n_files × (2 scalars +
+        a fixed 8192-bit bitmap)."""
         os.makedirs(self.data_dir, exist_ok=True)
         staging = tempfile.mkdtemp(prefix="lake_stage_")
         (
@@ -107,31 +172,41 @@ class LakeTable:
             .write.mode("overwrite")
             .parquet(staging)
         )
+        spark = df.sparkSession
+        stats = (
+            spark.read.parquet(staging)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(
+                F.min(self.key).alias("lo"),
+                F.max(self.key).alias("hi"),
+                F.collect_set(
+                    F.pmod(F.xxhash64(F.col(self.key)), F.lit(_BLOOM_BITS)).cast(
+                        "int"
+                    )
+                ).alias("bits"),
+            )
+            .collect()
+        )
+        from urllib.parse import unquote, urlparse
+
+        by_name = {os.path.basename(urlparse(unquote(r["_f"])).path): r for r in stats}
         entries = []
         for f in sorted(os.listdir(staging)):
-            if not f.endswith(".parquet"):
+            # zero-row part files (a batch can net to nothing, e.g. all
+            # deletes) form no stats group — never manifested (caught by
+            # the hypothesis dict-state model, single-delete create batch)
+            if not f.endswith(".parquet") or f not in by_name:
                 continue
-            # a batch can net to nothing (e.g. all deletes) — zero-row
-            # part files carry no stats and no data; never manifest them
-            # (caught by the hypothesis dict-state model, single-delete
-            # create batch)
-            if pq.read_metadata(os.path.join(staging, f)).num_rows == 0:
-                continue
+            r = by_name[f]
             dst_name = f"{uuid.uuid4().hex}.parquet"
-            dst = os.path.join(self.data_dir, dst_name)
-            os.rename(os.path.join(staging, f), dst)
-            md = pq.read_metadata(dst)
-            idx = md.schema.names.index(self.key)
-            lo = min(
-                md.row_group(i).column(idx).statistics.min
-                for i in range(md.num_row_groups)
-            )
-            hi = max(
-                md.row_group(i).column(idx).statistics.max
-                for i in range(md.num_row_groups)
-            )
+            os.rename(os.path.join(staging, f), os.path.join(self.data_dir, dst_name))
             entries.append(
-                {"path": os.path.join("data", dst_name), "min": lo, "max": hi}
+                {
+                    "path": os.path.join("data", dst_name),
+                    "min": r["lo"],
+                    "max": r["hi"],
+                    "bloom": _bloom_hex(r["bits"]),
+                }
             )
         return entries
 
@@ -143,49 +218,118 @@ class LakeTable:
     ) -> "LakeTable":
         os.makedirs(root, exist_ok=True)
         t = cls(root, key)
-        t._commit(0, t._write_files(df, n_files), "create")
+        t._commit(0, t._write_files(df, n_files), "create", columns=df.columns)
         return t
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: exactly the manifest's file list — a reader of
         version N never sees later commits (snapshot isolation by
-        construction: data files are immutable, manifests append-only)."""
+        construction: data files are immutable, manifests append-only).
+        ``mergeSchema`` unions mixed-generation file schemas — files
+        written before an add-column commit surface NULL for the new
+        column (Delta/Iceberg read-time evolution semantics); column
+        order follows the newest committed schema when recorded."""
         m = self.manifest(self.latest_version() if version is None else version)
         if not m["files"]:
             raise ValueError("empty table snapshot")
-        return spark.read.parquet(
+        df = spark.read.option("mergeSchema", "true").parquet(
             *(os.path.join(self.root, e["path"]) for e in m["files"])
         )
+        cols = m.get("columns")
+        return df.select(*cols) if cols else df
 
-    def merge(self, spark: SparkSession, batch: DataFrame, n_files: int = 2) -> int:
+    def merge(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        n_files: int = 2,
+        max_retries: int = 3,
+    ) -> int:
         """MERGE INTO: upsert/delete the changelog ``batch`` into the
         table. File-level pruning via manifest stats — only data files
-        whose [min,max] key range contains some batch key are read and
-        rewritten; disjoint files carry over BY REFERENCE into the new
-        snapshot. Returns the new version."""
-        import bisect
+        whose [min,max] key range AND key Bloom bitmap both intersect
+        the batch's are read and rewritten; disjoint files carry over
+        BY REFERENCE into the new snapshot. Returns the new version.
 
+        Driver state is O(1): the batch reduces to ONE aggregate row —
+        min key, max key, and a fixed 8192-bit xxhash64 Bloom bitmap
+        (≤8192 ints from collect_set, constant regardless of batch
+        size). The round-5 form collected the batch's DISTINCT KEYS for
+        exact pruning — fine for CDC micro-batches but O(batch) driver
+        memory at the 100 TB bar; min/max + Bloom is the stats shape
+        Delta/Iceberg actually use (a false Bloom collision only costs
+        an unnecessary rewrite, never correctness).
+
+        CONCURRENCY (round-6): losing a manifest race no longer fails
+        the writer — the attempt's uncommitted files are removed and
+        the whole merge is RE-DERIVED against the new head (optimistic
+        concurrency with serialized retry, the Delta commit-loop
+        shape). Re-derivation is unconditionally sound — the retry
+        re-reads whatever the winner committed — so concurrent writers
+        with ANY key ranges serialize correctly; disjoint-key writers
+        just never rewrite each other's files.
+
+        SCHEMA EVOLUTION (round-6): the batch may carry columns the
+        table has never seen (add-column); current and batch are
+        aligned by name with NULL fill, the latest-image reduction
+        carries the superset image, and the commit records the new
+        column list. Files from older snapshots are never rewritten —
+        readers surface NULL via mergeSchema."""
+        b = batch.agg(
+            F.min(self.key).alias("lo"),
+            F.max(self.key).alias("hi"),
+            F.collect_set(
+                F.pmod(F.xxhash64(F.col(self.key)), F.lit(_BLOOM_BITS)).cast("int")
+            ).alias("bits"),
+        ).first()
+        batch_bloom = _bloom_hex(b["bits"] or [])
+        last_err: Exception | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return self._merge_attempt(spark, batch, n_files, b, batch_bloom)
+            except FileExistsError as e:
+                last_err = e  # lost the race — re-derive against new head
+        raise RuntimeError(
+            f"merge gave up after {max_retries + 1} commit attempts"
+        ) from last_err
+
+    def _merge_attempt(
+        self, spark: SparkSession, batch: DataFrame, n_files: int, b, batch_bloom: str
+    ) -> int:
         parent = self.latest_version()
         m = self.manifest(parent)
-        keys = sorted(
-            r[0] for r in batch.select(self.key).distinct().collect()
-        )
 
         def overlaps(entry: dict) -> bool:
-            i = bisect.bisect_left(keys, entry["min"])
-            return i < len(keys) and keys[i] <= entry["max"]
+            if b["lo"] is None:  # empty batch touches nothing
+                return False
+            if entry["min"] > b["hi"] or entry["max"] < b["lo"]:
+                return False
+            file_bloom = entry.get("bloom")  # pre-bloom manifests: range only
+            return file_bloom is None or _bloom_intersects(file_bloom, batch_bloom)
 
         touched = [e for e in m["files"] if overlaps(e)]
         carried = [e for e in m["files"] if not overlaps(e)]
         if touched:
-            current = spark.read.parquet(
+            current = spark.read.option("mergeSchema", "true").parquet(
                 *(os.path.join(self.root, e["path"]) for e in touched)
             )
-            merged = merge_upsert(current, batch)
+            merged = _latest_image(
+                current.unionByName(batch, allowMissingColumns=True)
+            )
         else:
-            merged = latest_per_key(batch)
+            merged = _latest_image(batch)
         new_files = self._write_files(merged, n_files)
-        self._commit(parent + 1, carried + new_files, "merge")
+        try:
+            self._commit(
+                parent + 1, carried + new_files, "merge", columns=merged.columns
+            )
+        except FileExistsError:
+            # uncommitted files are invisible to readers; tidy them up
+            # before the caller retries against the new head
+            for e in new_files:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.root, e["path"]))
+            raise
         return parent + 1
 
 
@@ -276,6 +420,143 @@ def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCHEMA_EVOLVE_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+bounds AS (
+  SELECT MIN(ts_ms) AS lo, (MAX(ts_ms) - MIN(ts_ms)) // 3 + 1 AS step FROM changelog
+),
+latest AS (
+  SELECT key, op, totalprice, orderstatus, ts_ms
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY key
+      ORDER BY ts_ms DESC, CASE op WHEN 'd' THEN 2 WHEN 'u' THEN 1 ELSE 0 END DESC,
+               COALESCE(totalprice, -1) DESC, COALESCE(orderstatus, '') DESC
+    ) AS rn
+    FROM changelog
+  )
+  WHERE rn = 1 AND op <> 'd'
+)
+SELECT l.key, l.op, l.totalprice, l.orderstatus, l.ts_ms,
+       CASE WHEN l.ts_ms >= b.lo + 2 * b.step THEN l.ts_ms % 1000 END AS audit_seq
+FROM latest l, bounds b
+"""
+
+
+@register("lake_schema_evolve", oracle=_SCHEMA_EVOLVE_ORACLE, section="S4,S7")
+def lake_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-COLUMN schema evolution through MERGE: the table is created
+    from the changelog's first two thirds on the base schema, then the
+    final third arrives carrying a NEW ``audit_seq`` column (the
+    classic CDC upstream-ALTER-TABLE event). The merge aligns schemas
+    by name (NULL fill), records the widened column list in the commit,
+    and never rewrites pre-evolution files — carried files surface
+    NULL for the new column at read time via mergeSchema. The oracle
+    recomputes the full latest-per-key state in DuckDB with
+    audit_seq = ts_ms % 1000 exactly for rows whose WINNING image came
+    from the evolved batch — so both the merge algebra and the
+    NULL-for-old-files read semantics are value-checked."""
+    from ..operators._util import register_tmp_dir
+
+    root = register_tmp_dir(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"lake_evo_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        )
+    )
+    if os.path.exists(os.path.join(root, "manifest-v1.json")):
+        t = LakeTable(root, "key")
+    else:
+        log, parts = _changelog_thirds(spark, sf_dir)
+        try:
+            t = LakeTable.create(
+                latest_per_key(parts[0].unionByName(parts[1])), root, "key"
+            )
+            evolved = parts[2].withColumn(
+                "audit_seq", (F.col("ts_ms") % 1000).cast("bigint")
+            )
+            t.merge(spark, evolved)
+        finally:
+            log.unpersist()
+    return t.read(spark).select(
+        "key", "op", "totalprice", "orderstatus", "ts_ms", "audit_seq"
+    )
+
+
+_POINT_LOOKUP_ORACLE = f"""
+WITH {CHANGELOG_SQL},
+latest AS (
+  SELECT key, op, totalprice, orderstatus, ts_ms
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY key
+      ORDER BY ts_ms DESC, CASE op WHEN 'd' THEN 2 WHEN 'u' THEN 1 ELSE 0 END DESC,
+               COALESCE(totalprice, -1) DESC, COALESCE(orderstatus, '') DESC
+    ) AS rn
+    FROM changelog
+  )
+  WHERE rn = 1 AND op <> 'd'
+)
+SELECT key, op, totalprice, orderstatus, ts_ms
+FROM latest
+WHERE key IN (SELECT key FROM latest ORDER BY key LIMIT 4)
+   OR key IN (SELECT key FROM latest ORDER BY key DESC LIMIT 4)
+"""
+
+
+@register("lake_point_lookup", oracle=_POINT_LOOKUP_ORACLE, section="S5,S7")
+def lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-store POINT LOOKUP (the HBase get-by-rowkey / Doris
+    point-query analogue, S5): fetch a bounded key set from the merged
+    lake table by pruning the MANIFEST, not scanning the table — a file
+    is read only if every probe key test passes: key inside the file's
+    [min,max] AND the key's xxhash64 bit set in the file's 8192-bit
+    Bloom. The pruning decision runs on stats already in the manifest
+    (one JSON read — zero data I/O for pruned files); the probe keys'
+    Bloom bits come from one tiny Spark job over the literal key list.
+    Effectiveness (files actually skipped) is pytest-asserted; the
+    value contract is the full latest-per-key oracle filtered to the
+    probe keys."""
+    t = _build_lake(spark, sf_dir)
+    m = t.manifest(t.latest_version())
+    # the bounded probe set: the 4 smallest + 4 largest current keys
+    # (deterministic, hits both ends of the range-sorted file layout;
+    # TPC-H orderkeys are residue-sparse so a mod-N probe can be empty)
+    cur = t.read(spark).select("key")
+    lo = [r["key"] for r in cur.orderBy("key").limit(4).collect()]
+    hi = [r["key"] for r in cur.orderBy(F.desc("key")).limit(4).collect()]
+    probe_keys = sorted(set(lo + hi))
+    kdf = spark.createDataFrame([(k,) for k in probe_keys], "key bigint")
+    bits = {
+        r["key"]: r["bit"]
+        for r in kdf.select(
+            "key", F.pmod(F.xxhash64(F.col("key")), F.lit(_BLOOM_BITS)).cast("int").alias("bit")
+        ).collect()
+    }
+
+    def file_may_contain(entry: dict, key: int) -> bool:
+        if not (entry["min"] <= key <= entry["max"]):
+            return False
+        bloom = entry.get("bloom")
+        if bloom is None:
+            return True
+        b = bits[key]
+        return bool(bytes.fromhex(bloom)[b >> 3] & (1 << (b & 7)))
+
+    hit_files = [
+        e["path"]
+        for e in m["files"]
+        if any(file_may_contain(e, k) for k in probe_keys)
+    ]
+    assert hit_files, "probe keys exist, so some file must match"
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *(os.path.join(t.root, p) for p in hit_files)
+    )
+    return df.where(F.col("key").isin(probe_keys)).select(
+        "key", "op", "totalprice", "orderstatus", "ts_ms"
+    )
+
+
 @register("stream_lake_merge", oracle=_LATEST_ORACLE, section="S4,S7,S11,T5")
 def stream_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production serving path end to end: the CDC binlog topic
@@ -355,7 +636,10 @@ def compact_table(table: LakeTable, spark: SparkSession, n_files: int = 4) -> in
     survives until expire_snapshots reclaims them."""
     parent = table.latest_version()
     merged = table.read(spark, parent)
-    table._commit(parent + 1, table._write_files(merged, n_files), "compact")
+    table._commit(
+        parent + 1, table._write_files(merged, n_files), "compact",
+        columns=merged.columns,
+    )
     return parent + 1
 
 

@@ -32,9 +32,11 @@ class Query:
     section: str  # SURVEY.md §2 row id(s), e.g. "J4"
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
-    reverify: bool = False  # verification contract changed (e.g. a new
-    # oracle replaced a rows-only check) — jump the rotation queue right
-    # after failing ids until the driver re-records it
+    reverify: int = 0  # round at which the verification contract changed
+    # (e.g. a new oracle replaced a rows-only check) — the id jumps the
+    # rotation queue right after failing ids until the driver re-records
+    # it AT OR AFTER that round (last_seen >= reverify drops it out of
+    # the bucket automatically; no manual flag removal needed)
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -45,7 +47,7 @@ def register(
     oracle: str | None = None,
     section: str = "",
     bench: bool = False,
-    reverify: bool = False,
+    reverify: int = 0,
 ) -> Callable[[Builder], Builder]:
     def deco(fn: Builder) -> Builder:
         if name in _REGISTRY:
@@ -209,10 +211,18 @@ def _auto_rotation(corrections_dir: str | None = None) -> list[str] | None:
         if n != flagship and last_failed.get(n, False)
     ]
     # ids whose verification contract changed since their last recording
-    # (rows-only -> full oracle): must re-prove under the new contract
+    # (rows-only -> full oracle): must re-prove under the new contract.
+    # Once the driver re-records AT OR AFTER the flag's round
+    # (last_seen >= reverify) the id falls back into the stale pool —
+    # otherwise a permanently-flagged id would jump the queue forever
+    # and starve genuinely stale ids.
     reverify = [
         n for n, q in _REGISTRY.items()
-        if q.reverify and n in last_seen and n != flagship and n not in red
+        if q.reverify
+        and n in last_seen
+        and last_seen[n] < q.reverify
+        and n != flagship
+        and n not in red
     ]
     never = [n for n in names if n not in last_seen and n != flagship]
     stale = sorted(

@@ -433,9 +433,18 @@ def warehouse_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH predicates) is pytest-asserted from the parquet footers."""
     import os
 
-    clustered = os.path.join(
-        tempfile.gettempdir(),
-        f"zorder_lineitem_{os.path.basename(os.path.normpath(sf_dir))}",
+    from ..operators._util import register_tmp_dir
+
+    # pid-suffixed like the bucketed_/frag_/lake_ staging dirs: a shared
+    # path with a marker-written-after-data protocol lets concurrent
+    # first-time staging (pytest + driver) interleave overwrite writes
+    # and leave a mixed dir with duplicate part files
+    clustered = register_tmp_dir(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"zorder_lineitem_{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{os.getpid()}",
+        )
     )
     marker = os.path.join(clustered, "_STAGED_OK")
     if not os.path.exists(marker):

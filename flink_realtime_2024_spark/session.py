@@ -123,6 +123,10 @@ def get_spark(
         .master(master)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # console progress bars share stdout with bench.py's one-line
+        # JSON contract and truncated the driver's tail capture
+        # (BENCH_r* "parsed": null every round) — never useful headless
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in _RUNTIME_CONFS.items():
         b = b.config(k, v)

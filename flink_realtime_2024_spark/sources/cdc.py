@@ -194,7 +194,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dim_upsert", oracle=_LATEST_ORACLE, section="S4", reverify=True)
+@register("dim_upsert", oracle=_LATEST_ORACLE, section="S4", reverify=5)
 def dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 HBase-style dim sink: apply the changelog in ts-ordered
     micro-batches, each merged into a keyed parquet dim store

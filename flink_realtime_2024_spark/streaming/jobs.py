@@ -90,7 +90,7 @@ def _staged_events_dir_keyed(spark: SparkSession, sf_dir: str, n_files: int = 4)
 
     staged = os.path.join(
         tempfile.gettempdir(),
-        f"events_topic_keyed_{os.path.basename(sf_dir)}_{n_files}",
+        f"events_topic_keyed_{os.path.basename(os.path.normpath(sf_dir))}_{n_files}",
     )
     marker = os.path.join(staged, "_STAGED_OK")
     if not os.path.exists(marker):
@@ -333,7 +333,7 @@ LEFT JOIN (SELECT branch, COUNT(*) AS n FROM tagged GROUP BY branch) t USING (br
 """
 
 
-@register("stream_late_split", oracle=_LATE_SPLIT_ORACLE, section="T7,F4", reverify=True)
+@register("stream_late_split", oracle=_LATE_SPLIT_ORACLE, section="T7,F4", reverify=5)
 def stream_late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 allowed-lateness SIDE OUTPUT — the real thing, not just the
     drop metric. Flink's ``.sideOutputLateData(tag)`` reroutes late
@@ -573,39 +573,126 @@ def config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_neardup_admit", oracle=None, section="L2,T6,S1")
+_NEARDUP_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_sort(list_distinct(list_transform(
+                     range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+              ELSE [array_to_string(toks, ' ')]
+         END AS sh
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents
+  )
+), probe AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+pairs AS (
+  SELECT p.doc_id,
+         CAST(len(list_intersect(p.sh, c.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(p.sh, c.sh))) AS DOUBLE) AS j
+  FROM probe p, corpus c
+), dups AS (
+  SELECT doc_id, COUNT(*) AS n_dups, MAX(j) AS best
+  FROM pairs WHERE j >= 0.5 GROUP BY doc_id
+)
+SELECT p.doc_id,
+       COALESCE(d.n_dups, 0) AS n_dups,
+       CAST(ROUND(COALESCE(d.best, 0.0), 4) AS DOUBLE) AS best_dup_jaccard,
+       CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS admitted
+FROM probe p LEFT JOIN dups d USING (doc_id)
+"""
+
+
+def neardup_admit_batch(probe: DataFrame, index: DataFrame) -> DataFrame:
+    """Score a probe slice against the static corpus prefix index:
+    equi-join on shared prefix tokens (the recall-exact candidate set),
+    verify exact Jaccard JVM-side, reduce to the admission verdict."""
+    from ..operators.llm import jaccard_prefix_len
+
+    cands = (
+        probe.select(
+            "doc_id",
+            "sh",
+            F.explode(
+                F.slice("sh", F.lit(1), jaccard_prefix_len(F.size("sh")))
+            ).alias("tok"),
+        )
+        .join(index, "tok")
+        .select("doc_id", "sh", "corpus_id", "sh_c")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh", "sh_c")).cast("double")
+    union = F.size(F.array_union("sh", "sh_c")).cast("double")
+    dups = (
+        cands.select("doc_id", (inter / union).alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.max("j").alias("best"))
+    )
+    return (
+        probe.select("doc_id")
+        .join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+            F.round(F.coalesce("best", F.lit(0.0)), 4)
+            .cast("double")
+            .alias("best_dup_jaccard"),
+            F.col("best").isNull().cast("int").alias("admitted"),
+        )
+    )
+
+
+@register("stream_neardup_admit", oracle=_NEARDUP_ORACLE, section="L2,T6,S1", reverify=6)
 def stream_neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup ADMISSION: incoming documents (a micro-batched
     stream — the ingest topic of a training-data pipeline) are checked
-    against a static MinHash-LSH index of the existing corpus; a doc is
+    against a static similarity index of the existing corpus; a doc is
     admitted iff no indexed doc reaches Jaccard ≥ 0.5. This is the
     incremental form of `llm_dedup_minhash` — at 100 TB you don't
     re-dedup the corpus per delivery, you probe its signature store.
 
-    Scale shape: the corpus index (shingle arrays + band hashes) is
-    built ONCE and persisted; each micro-batch computes signatures for
-    its own (small) slice, equi-joins the index on (band, band_hash) —
-    bucket co-location, no cross join — and verifies exact Jaccard
-    JVM-side. Per-doc results are independent of batch boundaries, so
-    the streamed output equals the batch twin exactly
-    (tests/test_streaming.py).
+    Round-6 upgrade (rows-only → FULL oracle): blocking switched from
+    MinHash-LSH banding (probabilistic recall, not SQL-expressible) to
+    PREFIX FILTERING over sorted shingle sets (SSJoin / Bayardo et al.
+    WWW'07, `jaccard_prefix_len`): J(A,B) ≥ 0.5 pairs are GUARANTEED
+    to share a token in their ⌊|X|/2⌋+1-element prefixes, so after the
+    exact-Jaccard verify the verdicts equal the all-pairs ground truth
+    — which is exactly what the DuckDB oracle brute-forces. Everything
+    is JVM expressions (shingle_str_expr) — zero Python crossings,
+    down from two pandas_udfs.
 
-    Rows-only: MinHash is not SQL-expressible; determinism and
-    batch-equivalence are pytest-asserted."""
-    from ..operators.llm import minhash_bands_from_hashes, shingle_hash_array
+    Scale shape: the corpus index (shingles + exploded prefix tokens)
+    is built ONCE and persisted; each micro-batch computes shingles for
+    its own (small) slice and equi-joins the index on the prefix token
+    — bucket co-location, no cross join. The prefix bounds candidate
+    generation to ~half of each set's tokens; ordering tokens by
+    ascending document frequency (the classic PPJoin refinement) would
+    shrink hot buckets further — lexicographic order is kept here for
+    cross-engine determinism. Per-doc results are independent of batch
+    boundaries, so the streamed output equals the batch twin exactly
+    (tests/test_streaming.py)."""
     from ..operators._util import widen
+    from ..operators.llm import jaccard_prefix_len, shingle_str_expr
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     incoming = docs.where(F.col("doc_id") % 10 == 0)
 
-    store = (
-        widen(corpus).select("doc_id", shingle_hash_array("text").alias("sh")).persist()
-    )
+    # widen: the single-file fixture scans as ONE task, which would
+    # serialize the corpus-wide shingling; real stores have file counts
+    store = widen(corpus).select(
+        "doc_id", shingle_str_expr("text").alias("sh")
+    ).persist()
     index = store.select(
         F.col("doc_id").alias("corpus_id"),
         F.col("sh").alias("sh_c"),
-        F.posexplode(minhash_bands_from_hashes("sh")).alias("band", "band_hash"),
+        F.explode(
+            F.slice("sh", F.lit(1), jaccard_prefix_len(F.size("sh")))
+        ).alias("tok"),
     ).persist()
 
     staged = tempfile.mkdtemp(prefix="neardup_ingest_")
@@ -620,38 +707,9 @@ def stream_neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         probe = batch_df.select(
-            "doc_id", shingle_hash_array("text").alias("sh")
-        ).persist()
-        cand = (
-            probe.select(
-                "doc_id",
-                "sh",
-                F.posexplode(minhash_bands_from_hashes("sh")).alias("band", "band_hash"),
-            )
-            .join(index, ["band", "band_hash"])
-            .select("doc_id", "sh", "corpus_id", "sh_c")
-            .distinct()
+            "doc_id", shingle_str_expr("text").alias("sh")
         )
-        inter = F.size(F.array_intersect("sh", "sh_c")).cast("double")
-        union = F.size(F.array_union("sh", "sh_c")).cast("double")
-        scored = cand.select(
-            "doc_id", F.round(inter / union, 4).alias("jaccard")
-        ).groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.max("jaccard").alias("best_jaccard"),
-        )
-        result = (
-            probe.select("doc_id")
-            .join(scored, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
-                F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
-                (F.coalesce("best_jaccard", F.lit(0.0)) < 0.5).cast("int").alias("admitted"),
-            )
-        )
-        result.write.mode("append").parquet(out)
-        probe.unpersist()
+        neardup_admit_batch(probe, index).write.mode("append").parquet(out)
 
     run_stream(stream.writeStream.foreachBatch(sink), "neardup_admit")
     store.unpersist()

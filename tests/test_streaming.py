@@ -335,67 +335,90 @@ def test_streaming_sliding_window_equals_batch(spark):
 def test_neardup_admit_equals_batch_twin(spark):
     """stream_neardup_admit's per-doc verdicts depend only on the static
     index, never on micro-batch boundaries — the streamed output must
-    equal a batch computation of the same probe-vs-index check."""
-    from flink_realtime_2024_spark.operators._util import widen
+    equal a one-shot batch run of the SAME scorer over the whole probe
+    slice. (Value correctness vs all-pairs ground truth is the driver's
+    DuckDB oracle; prefix-filter recall is test_semantics.py's job.)"""
     from flink_realtime_2024_spark.operators.llm import (
-        minhash_bands_from_hashes,
-        shingle_hash_array,
+        jaccard_prefix_len,
+        shingle_str_expr,
     )
     from flink_realtime_2024_spark.sources.io import load_table
-    from flink_realtime_2024_spark.streaming.jobs import stream_neardup_admit
+    from flink_realtime_2024_spark.streaming.jobs import (
+        neardup_admit_batch,
+        stream_neardup_admit,
+    )
 
     streamed = {
-        (r["doc_id"], r["n_candidates"], r["best_jaccard"], r["admitted"])
+        (r["doc_id"], r["n_dups"], r["best_dup_jaccard"], r["admitted"])
         for r in stream_neardup_admit(spark, SF_DIR).collect()
     }
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    store = (
-        widen(docs.where(F.col("doc_id") % 10 != 0))
-        .select("doc_id", shingle_hash_array("text").alias("sh"))
-        .persist()
+    store = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", shingle_str_expr("text").alias("sh")
     )
     index = store.select(
         F.col("doc_id").alias("corpus_id"),
         F.col("sh").alias("sh_c"),
-        F.posexplode(minhash_bands_from_hashes("sh")).alias("band", "band_hash"),
+        F.explode(
+            F.slice("sh", F.lit(1), jaccard_prefix_len(F.size("sh")))
+        ).alias("tok"),
     )
     probe = docs.where(F.col("doc_id") % 10 == 0).select(
-        "doc_id", shingle_hash_array("text").alias("sh")
-    )
-    cand = (
-        probe.select(
-            "doc_id",
-            "sh",
-            F.posexplode(minhash_bands_from_hashes("sh")).alias("band", "band_hash"),
-        )
-        .join(index, ["band", "band_hash"])
-        .select("doc_id", "sh", "corpus_id", "sh_c")
-        .distinct()
-    )
-    inter = F.size(F.array_intersect("sh", "sh_c")).cast("double")
-    union = F.size(F.array_union("sh", "sh_c")).cast("double")
-    scored = (
-        cand.select("doc_id", F.round(inter / union, 4).alias("jaccard"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.max("jaccard").alias("best_jaccard"),
-        )
+        "doc_id", shingle_str_expr("text").alias("sh")
     )
     batch = {
-        (
-            r["doc_id"],
-            r["n_candidates"] or 0,
-            r["best_jaccard"] if r["best_jaccard"] is not None else 0.0,
-            int((r["best_jaccard"] or 0.0) < 0.5),
-        )
-        for r in probe.select("doc_id")
-        .join(scored, "doc_id", "left")
+        (r["doc_id"], r["n_dups"], r["best_dup_jaccard"], r["admitted"])
+        for r in neardup_admit_batch(probe, index).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_prefix_filter_recall_exact(spark):
+    """Prefix filtering must be recall-EXACT at J ≥ 0.5: the candidate
+    set produced by joining ⌊s/2⌋+1-element prefixes contains EVERY
+    pair the brute-force cross join scores at ≥ 0.5 (the property the
+    stream_neardup_admit oracle relies on)."""
+    from flink_realtime_2024_spark.operators.llm import (
+        jaccard_prefix_len,
+        shingle_str_expr,
+    )
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", shingle_str_expr("text").alias("sh"))
+        .limit(200)
+        .persist()
+    )
+    a = docs.select(F.col("doc_id").alias("ida"), F.col("sh").alias("sha"))
+    b = docs.select(F.col("doc_id").alias("idb"), F.col("sh").alias("shb"))
+    j = (
+        F.size(F.array_intersect("sha", "shb")).cast("double")
+        / F.size(F.array_union("sha", "shb")).cast("double")
+    )
+    truth = {
+        (r["ida"], r["idb"])
+        for r in a.crossJoin(b)
+        .where(F.col("ida") < F.col("idb"))
+        .where(j >= 0.5)
         .collect()
     }
-    store.unpersist()
-    assert streamed == batch and len(streamed) > 0
+    pref = docs.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.slice("sh", F.lit(1), jaccard_prefix_len(F.size("sh")))
+        ).alias("tok"),
+    )
+    pa = pref.select(F.col("doc_id").alias("ida"), "tok")
+    pb = pref.select(F.col("doc_id").alias("idb"), "tok")
+    cands = {
+        (r["ida"], r["idb"])
+        for r in pa.join(pb, "tok").where(F.col("ida") < F.col("idb")).collect()
+    }
+    docs.unpersist()
+    assert truth <= cands, truth - cands
 
 
 def test_checkpoint_resume_exactly_once(spark):
