@@ -3501,11 +3501,21 @@ def llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh")
         )
     )
-    ordered = ordered.localCheckpoint()  # consumed 4× below — scan once
+    # hashed twin of the shingle set: candidate verification compares
+    # array<long> (one word per shingle) instead of array<string> —
+    # measured 3.5× cheaper through the two re-joins + intersect/union.
+    # The ≥0.5 FILTER runs on hashes; survivors (a few hundred rows)
+    # re-verify on the exact strings, so a 64-bit collision can at
+    # worst promote a candidate into the exact re-check, never corrupt
+    # the output
+    ordered = ordered.withColumn(
+        "shh", F.array_sort(F.transform("sh", lambda x: F.xxhash64(x)))
+    ).localCheckpoint()  # consumed 5× below — scan once
     # prefix rows carry ONLY (doc_id, tok): exploding the full shingle
     # array alongside would multiply every row by ~prefix_len × |sh|;
-    # the arrays re-join AFTER the candidate pairs are deduped (~few
-    # rows), from the pinned `ordered`
+    # arrays re-join from the pinned `ordered`. No distinct() on raw
+    # candidates either — multi-token collisions are ~5% here, cheaper
+    # to verify twice than to shuffle the whole candidate set again
     pref = ordered.select(
         "doc_id",
         F.explode(
@@ -3514,20 +3524,34 @@ def llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = pref.select(F.col("doc_id").alias("doc_id_a"), "tok")
     pb = pref.select(F.col("doc_id").alias("doc_id_b"), "tok")
-    cands = (
+    jh = (
+        F.size(F.array_intersect("ha", "hb")).cast("double")
+        / F.size(F.array_union("ha", "hb")).cast("double")
+    )
+    survivors = (
         pa.join(pb, "tok")
         .where(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
-        .distinct()
-        .join(ordered.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sha")), "doc_id_a")
-        .join(ordered.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("shb")), "doc_id_b")
+        .join(ordered.select(F.col("doc_id").alias("doc_id_a"), F.col("shh").alias("ha")), "doc_id_a")
+        .join(ordered.select(F.col("doc_id").alias("doc_id_b"), F.col("shh").alias("hb")), "doc_id_b")
+        .where(jh >= 0.5)
+        .select("doc_id_a", "doc_id_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
     j = (
         F.size(F.array_intersect("sha", "shb")).cast("double")
         / F.size(F.array_union("sha", "shb")).cast("double")
     )
     return (
-        cands.withColumn("j", j)
+        survivors.join(
+            ordered.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sha")),
+            "doc_id_a",
+        )
+        .join(
+            ordered.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("shb")),
+            "doc_id_b",
+        )
+        .withColumn("j", j)
         .where(F.col("j") >= 0.5)
         .select(
             "doc_id_a",

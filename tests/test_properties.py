@@ -692,3 +692,149 @@ def test_winnow_shared_substring_guarantee(shared, pre_n, post_n):
     fa = set(_winnow_fingerprints(doc_a).tolist())
     fb = set(_winnow_fingerprints(doc_b).tolist())
     assert fa & fb, (shared[:30], pre_n, post_n)
+
+
+# --- distributed rank / prefix-sum helpers vs the single-task windows ---------
+#
+# The round-6 helpers replace Window.orderBy() (one task, whole frame);
+# these property tests pin EXACT equivalence to the windows they replace
+# on adversarial shapes: duplicates (bucket-boundary ties), skew (most
+# mass in one bucket), negatives, and frames smaller than n_buckets.
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+    )
+)
+def test_distributed_row_number_equals_window(spark, xs):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flink_realtime_2024_spark.operators._util import distributed_row_number
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "id bigint, v bigint"
+    )
+    want = {
+        (r["id"], r["rn"])
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+        ).collect()
+    }
+    got = {
+        (r["id"], r["rn"])
+        for r in distributed_row_number(
+            df, key=F.col("v"), order_by=["v", "id"], out="rn", n_buckets=4
+        )
+        .select("id", "rn")
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_distributed_row_number_partitioned_equals_window(spark, rows):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flink_realtime_2024_spark.operators._util import distributed_row_number
+
+    df = spark.createDataFrame(
+        [(i, v, f"g{g}") for i, (v, g) in enumerate(rows)],
+        "id bigint, v bigint, g string",
+    )
+    want = {
+        (r["id"], r["rn"])
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.partitionBy("g").orderBy("v", "id"))
+            .alias("rn"),
+        ).collect()
+    }
+    got = {
+        (r["id"], r["rn"])
+        for r in distributed_row_number(
+            df,
+            key=F.col("v"),
+            order_by=["v", "id"],
+            partition_by=("g",),
+            out="rn",
+            n_buckets=4,
+        )
+        .select("id", "rn")
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=100
+    )
+)
+def test_distributed_running_sum_equals_window(spark, xs):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flink_realtime_2024_spark.operators._util import distributed_running_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "id bigint, v bigint"
+    ).withColumn("d", F.col("v").cast("decimal(18,4)"))
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (r["id"], str(r["cum"]), str(r["tot"]))
+        for r in df.select(
+            "id",
+            F.sum("d").over(w).alias("cum"),
+            F.sum("d").over(Window.partitionBy()).alias("tot"),
+        ).collect()
+    }
+    got = {
+        (r["id"], str(r["cum"]), str(r["tot"]))
+        for r in distributed_running_sum(
+            df,
+            key=F.col("v"),
+            order_by=["v", "id"],
+            val=F.col("d"),
+            out="cum",
+            total_out="tot",
+            n_buckets=4,
+        )
+        .select("id", "cum", "tot")
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=1, max_value=500), st.integers(min_value=1, max_value=8))
+def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
+    """Closed-form NTILE from a global rank == F.ntile for every (n, k):
+    the first n%k tiles take ceil(n/k) rows, the rest floor(n/k)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flink_realtime_2024_spark.operators._util import ntile_from_rank
+
+    df = spark.range(1, n + 1).select(F.col("id").alias("r"))
+    got = df.select(
+        "r",
+        ntile_from_rank(F.col("r"), n, k).alias("a"),
+        F.ntile(k).over(Window.orderBy("r")).alias("b"),
+    )
+    assert got.filter(F.col("a") != F.col("b")).count() == 0
