@@ -272,6 +272,10 @@ _SF1_QUERIES = (
     "cdc_latest_row",
     "cdc_retract_aggregate",
     "llm_dedup_spans",
+    # round-6 de-single-partitioned trio (distributed rank/prefix-sum)
+    "analytics_rfm_segments",
+    "analytics_pareto_abc",
+    "llm_mix_schedule",
 )
 _SF1_REPLICATION = 10
 _SF3_REPLICATION = 30
@@ -287,6 +291,15 @@ _SF3_QUERIES = (
     "agg_hash_groupby",
     "join_inner_hash",
     "window_session",
+    # the round-6 de-single-partitioned trio: the probe IS the evidence
+    # that the distributed rank/prefix-sum forms scale (each was a
+    # one-task window before)
+    "analytics_rfm_segments",
+    "analytics_pareto_abc",
+    "llm_mix_schedule",
+    # NOT llm_dedup_prefix_filter: the replicated probe corpus has
+    # ~n_replica² true near-dup pairs per original doc, so the EXACT
+    # pair output itself is quadratic there — see its docstring
 )
 
 
@@ -366,14 +379,22 @@ def _scale_probe(
         if name not in builders:
             continue
         try:
+            base = timings.get(name)
+            if not base:
+                # non-headline probe id (e.g. the de-single-partitioned
+                # trio): measure its own 1× base so the ratio — the
+                # entire point of the probe — is still recorded (kept
+                # LOCAL: the headline queries/total must not grow)
+                t0 = time.perf_counter()
+                materialize(builders[name](spark, SF_DIR))
+                base = round(time.perf_counter() - t0, 3)
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
                 materialize(builders[name](spark, probe_dir))
                 best = min(best, time.perf_counter() - t0)
-            entry = {"sec": round(best, 3)}
-            if timings.get(name):
-                entry["ratio_vs_base"] = round(best / timings[name], 2)
+            entry = {"sec": round(best, 3), "base_sec": base}
+            entry["ratio_vs_base"] = round(best / base, 2)
             probe[name] = entry
         except Exception as e:
             probe[name] = {"error": f"{type(e).__name__}: {e}"[:200]}

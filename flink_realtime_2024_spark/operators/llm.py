@@ -3479,7 +3479,17 @@ def llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is JVM expressions — zero Python crossings. widen():
     the fixture is one parquet file = one scan task, which would
     serialize the (JVM but CPU-heavy) shingling; real tables get this
-    parallelism from their file count."""
+    parallelism from their file count.
+
+    HONEST BOUND (why this is not in the replicated scaling probe):
+    exact pair ENUMERATION is Ω(output) = Ω(Σ_group |group|²) — a
+    corpus where whole documents recur k times contains k²/2 true
+    pairs per original, and NO exact algorithm can emit fewer rows.
+    Prefix filtering bounds the candidate overhead, not that output.
+    The 100 TB recipe is therefore: llm_dedup_exact (hash) first to
+    collapse identical replicas, this operator for the near-dup tail;
+    or accept capped recall via llm_dedup_minhash's 64-doc buckets
+    when group sizes are unbounded."""
     docs = (
         widen(load_table(spark, sf_dir, "documents"))
         .select("doc_id", shingle_str_expr("text").alias("sh"))

@@ -15,10 +15,12 @@ The decode step is REAL across both container classes:
 - COMPRESSED, no external libraries: PNG (zlib inflate + full
   scanline unfiltering incl. Paeth — interoperable 8-bit truecolor),
   G.711 μ-law WAV (log-companded 8-bit telephony audio expanded to
-  PCM16), and baseline JFIF JPEG (operators/_jpeg.py: full Huffman
+  PCM16), baseline JFIF JPEG (operators/_jpeg.py: full Huffman
   entropy coding + quant + 2-D DCT per ITU-T T.81, Annex-K tables,
   4:4:4) — encoder AND decoder, so the lossy path is
-  PSNR/structure-tested end to end.
+  PSNR/structure-tested end to end — and GIF89a (operators/_gif.py:
+  palette + variable-code-width LZW per the spec's Appendix F,
+  encoder AND decoder, lossless round-trip-tested).
 
 All are asserted against hand-built fixtures and round-trips in
 tests/test_semantics.py. Codecs still needing external libraries
@@ -233,6 +235,12 @@ def decode_image(payload: bytes) -> dict:
         px = decode_jpeg(payload)
         h, w = px.shape[:2]
         return {"width": int(w), "height": int(h), "mean_value": float(px.mean())}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ._gif import decode_gif
+
+        px = decode_gif(payload)
+        h, w = px.shape[:2]
+        return {"width": int(w), "height": int(h), "mean_value": float(px.mean())}
     if payload[:2] == b"BM":
         data_off = struct.unpack_from("<I", payload, 10)[0]
         w, h = struct.unpack_from("<ii", payload, 18)
@@ -417,8 +425,17 @@ def synthesize_assets(batches):
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             seed = hashlib.md5((text or "").encode("utf-8")).digest()
             rng = np.random.RandomState(np.frombuffer(seed[:4], dtype=np.uint32)[0])
-            kind = int(doc_id) % 7
-            if kind == 6:
+            kind = int(doc_id) % 8
+            if kind == 7:
+                from ._gif import encode_gif
+
+                w, h = 8 + int(seed[0]) % 24, 8 + int(seed[1]) % 24
+                payload = encode_gif(
+                    rng.randint(0, 256, size=(h, w), dtype=np.uint8),
+                    rng.randint(0, 256, size=(256, 3)).astype(np.uint8),
+                )
+                mime = "image/gif"
+            elif kind == 6:
                 from ._jpeg import encode_jpeg
 
                 w, h = 8 + int(seed[15]) % 24, 8 + int(seed[3]) % 24
@@ -538,6 +555,10 @@ def resize_stats(batches):
                     from ._jpeg import decode_jpeg
 
                     px = decode_jpeg(payload)
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    from ._gif import decode_gif
+
+                    px = decode_gif(payload)
                 elif payload[:2] == b"BM":
                     data_off = struct.unpack_from("<I", payload, 10)[0]
                     w, h = struct.unpack_from("<ii", payload, 18)
@@ -618,24 +639,27 @@ def _md5_byte_sql(k: int) -> str:
 
 _DECODE_DIMS_ORACLE = f"""
 WITH h AS (
-  SELECT doc_id, md5(COALESCE(text, '')) AS hx, doc_id % 7 AS kind FROM documents
+  SELECT doc_id, md5(COALESCE(text, '')) AS hx, doc_id % 8 AS kind FROM documents
 )
 SELECT doc_id AS asset_id,
        CASE kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
                  WHEN 2 THEN 'image/x-portable-pixmap' WHEN 3 THEN 'video/x-yuv4mpeg'
                  WHEN 4 THEN 'image/png' WHEN 6 THEN 'image/jpeg'
+                 WHEN 7 THEN 'image/gif'
                  ELSE 'audio/basic+wav' END AS mime,
        CAST(CASE kind WHEN 4 THEN 8 + {_md5_byte_sql(12)} % 24
                       WHEN 0 THEN 8 + {_md5_byte_sql(4)} % 24
                       WHEN 2 THEN 8 + {_md5_byte_sql(7)} % 24
                       WHEN 3 THEN 8 + 2 * ({_md5_byte_sql(9)} % 8)
                       WHEN 6 THEN 8 + {_md5_byte_sql(15)} % 24
+                      WHEN 7 THEN 8 + {_md5_byte_sql(0)} % 24
                       ELSE NULL END AS INTEGER) AS width,
        CAST(CASE kind WHEN 4 THEN 8 + {_md5_byte_sql(13)} % 24
                       WHEN 0 THEN 8 + {_md5_byte_sql(5)} % 24
                       WHEN 2 THEN 8 + {_md5_byte_sql(8)} % 24
                       WHEN 3 THEN 8 + 2 * ({_md5_byte_sql(10)} % 8)
                       WHEN 6 THEN 8 + {_md5_byte_sql(3)} % 24
+                      WHEN 7 THEN 8 + {_md5_byte_sql(1)} % 24
                       ELSE NULL END AS INTEGER) AS height,
        CAST(CASE kind WHEN 5 THEN 1000.0 * (256 + {_md5_byte_sql(14)} * 8) / 8000
                       WHEN 1 THEN 1000.0 * (256 + {_md5_byte_sql(6)} * 8) / 8000

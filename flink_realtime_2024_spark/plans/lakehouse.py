@@ -189,7 +189,9 @@ class LakeTable:
         )
         from urllib.parse import unquote, urlparse
 
-        by_name = {os.path.basename(urlparse(unquote(r["_f"])).path): r for r in stats}
+        # input_file_name() yields a URI (file:/...%-escaped): parse the
+        # path component first, THEN percent-decode it
+        by_name = {os.path.basename(unquote(urlparse(r["_f"]).path)): r for r in stats}
         entries = []
         for f in sorted(os.listdir(staging)):
             # zero-row part files (a batch can net to nothing, e.g. all

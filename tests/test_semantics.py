@@ -401,7 +401,7 @@ def test_multimodal_resize_and_frame_sample(spark):
     agg = {r["mime"]: r for r in mm_resize_stats(spark, SF_DIR).collect()}
     assert set(agg) == {
         "image/bmp", "image/x-portable-pixmap", "image/png", "image/jpeg",
-        "audio/wav", "audio/basic+wav", "video/x-yuv4mpeg"
+        "image/gif", "audio/wav", "audio/basic+wav", "video/x-yuv4mpeg"
     }
     for r in agg.values():
         assert r["n_assets"] > 0 and r["avg_feature"] > 0
@@ -423,7 +423,7 @@ def test_multimodal_pipeline_decodes_real_bytes(spark):
     agg = {r["mime"]: r for r in mm_decode_stats(spark, SF_DIR).collect()}
     assert set(agg) == {
         "image/bmp", "image/x-portable-pixmap", "image/png", "image/jpeg",
-        "audio/wav", "audio/basic+wav", "video/x-yuv4mpeg"
+        "image/gif", "audio/wav", "audio/basic+wav", "video/x-yuv4mpeg"
     }
     for mime, r in agg.items():
         assert r["n_assets"] > 0 and r["total_bytes"] > 0
@@ -1240,3 +1240,47 @@ def test_mix_schedule_prefix_property(spark):
     # positions are a permutation
     pos = [r["position"] for r in rows]
     assert sorted(pos) == list(range(1, n + 1))
+
+
+def test_gif_roundtrip_and_structure():
+    """GIF89a codec (operators/_gif.py): lossless LZW round-trip on
+    random palettes/indices including the hard paths — KwKwK
+    self-reference, constant-run dictionary growth, and the 4096-entry
+    table reset — plus container structure (magic, screen descriptor
+    dims, trailer)."""
+    import numpy as np
+
+    from flink_realtime_2024_spark.operators._gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    for h, w in ((1, 1), (5, 3), (24, 31)):
+        idx = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        g = encode_gif(idx, pal)
+        assert g[:6] == b"GIF89a" and g[-1:] == b"\x3b"
+        import struct
+
+        sw, sh = struct.unpack_from("<HH", g, 6)
+        assert (sw, sh) == (w, h)
+        assert (decode_gif(g) == pal[idx]).all()
+    # constant image: long runs grow single-prefix chains
+    idx = np.zeros((64, 64), dtype=np.uint8)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+    # large random image: forces ≥1 dictionary reset at code 4095
+    idx = rng.randint(0, 256, size=(300, 300)).astype(np.uint8)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+
+def test_gif_rejects_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_realtime_2024_spark.operators._gif import decode_gif, encode_gif
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    g = encode_gif(np.zeros((4, 4), dtype=np.uint8), pal)
+    # truncate inside the LZW stream → loud failure, not garbage pixels
+    with _pytest.raises(ValueError):
+        decode_gif(g[: len(g) // 2])
