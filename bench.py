@@ -276,6 +276,10 @@ _SF1_QUERIES = (
     "analytics_rfm_segments",
     "analytics_pareto_abc",
     "llm_mix_schedule",
+    # streaming path at 10× events: micro-batch overhead amortizes, so
+    # wall is ~flat (measured ~1.2×) — the streaming-scale evidence
+    "stream_agg_merge",
+    "stream_dedup",
 )
 _SF1_REPLICATION = 10
 _SF3_REPLICATION = 30
@@ -297,9 +301,14 @@ _SF3_QUERIES = (
     "analytics_rfm_segments",
     "analytics_pareto_abc",
     "llm_mix_schedule",
+    # streaming serving path at 3M events (measured ~384k events/s)
+    "stream_agg_merge",
     # NOT llm_dedup_prefix_filter: the replicated probe corpus has
     # ~n_replica² true near-dup pairs per original doc, so the EXACT
-    # pair output itself is quadratic there — see its docstring
+    # pair output itself is quadratic there — see its docstring.
+    # NOT stream_dedup at 30×: dropDuplicatesWithinWatermark state over
+    # 3M events needs the 8g driver but sits at the edge locally —
+    # its 10× point in sf1_probe carries the evidence
 )
 
 
