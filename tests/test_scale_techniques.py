@@ -756,3 +756,55 @@ def test_lake_point_lookup_prunes_files(spark):
         .collect()
     )
     assert len(got) == 1 and got[0]["totalprice"] == 311.0
+
+
+def test_lakehouse_compact_after_schema_evolution(spark):
+    """OPTIMIZE after an add-column commit must preserve the evolved
+    read exactly: pre-evolution rows keep NULL in the new column
+    through the rewrite, and the compacted manifest records the
+    widened column list (so read order stays stable)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from flink_realtime_2024_spark.plans.lakehouse import LakeTable, compact_table
+
+    base = spark.range(0, 60).select(
+        F.col("id").alias("key"), F.lit("c").alias("op"),
+        (F.col("id") * 1.0).alias("totalprice"),
+        F.lit("O").alias("orderstatus"), F.lit(1).cast("bigint").alias("ts_ms"),
+    )
+    t = LakeTable.create(base, tempfile.mkdtemp(prefix="lake_evo_cmp_"), "key", n_files=3)
+    evolved = spark.createDataFrame(
+        [(7, "u", 70.5, "F", 2, 99)],
+        "key bigint, op string, totalprice double, orderstatus string,"
+        " ts_ms bigint, audit_seq bigint",
+    )
+    t.merge(spark, evolved)
+    before = {tuple(r) for r in t.read(spark).collect()}
+    assert ("audit_seq" in t.read(spark).columns)
+    v = compact_table(t, spark, n_files=2)
+    after = {tuple(r) for r in t.read(spark, v).collect()}
+    assert after == before
+    rows = {r["key"]: r["audit_seq"] for r in t.read(spark).collect()}
+    assert rows[7] == 99 and rows[8] is None
+    assert t.manifest(v)["columns"][-1] == "audit_seq"
+
+
+def test_latest_image_equals_latest_per_key(spark):
+    """The schema-generic `_latest_image` reduction must be
+    bit-identical to `sources.cdc.latest_per_key` on the standard
+    changelog schema — same (ts, op-precedence, image) MAX_BY ordering,
+    including same-timestamp tie-breaks."""
+    from flink_realtime_2024_spark.plans.lakehouse import _latest_image
+    from flink_realtime_2024_spark.sources.cdc import build_changelog, latest_per_key
+
+    log = build_changelog(spark, SF_DIR)
+    a = {tuple(r) for r in latest_per_key(log).collect()}
+    b = {
+        tuple(r)
+        for r in _latest_image(log)
+        .select("key", "op", "totalprice", "orderstatus", "ts_ms")
+        .collect()
+    }
+    assert a == b and len(a) > 0
