@@ -80,19 +80,32 @@ def _latest_image(changelog: DataFrame) -> DataFrame:
     results on the standard changelog schema — but the winning image
     struct carries EVERY column of the input, so add-column batches
     flow through the merge reduction without being projected away.
-    Same scale shape: an aggregate with map-side partial combining,
-    shuffling O(keys) not O(events)."""
+
+    GENERIC TIEBREAK (round-7, was hardcoded totalprice/orderstatus):
+    after (ts_ms, op-precedence) the ordering struct appends every
+    remaining ORDERABLE column in input-column order — so a table
+    without the orders columns no longer raises AnalysisException, and
+    rows tying on the first fields resolve deterministically even when
+    they differ only in an evolved column. Spark's struct ordering
+    ranks NULL below any value, which on the standard schema matches
+    the oracle's COALESCE(totalprice,-1)/COALESCE(orderstatus,'')
+    DESC (prices are positive, statuses non-empty). Requires only
+    ``key``/``op``/``ts_ms``. Same scale shape: an aggregate with
+    map-side partial combining, shuffling O(keys) not O(events)."""
+    from pyspark.sql.types import AtomicType
+
     prec = F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
     others = [c for c in changelog.columns if c != "key"]
+    tiebreak = [
+        F.col(f.name)
+        for f in changelog.schema.fields
+        if f.name not in ("key", "op", "ts_ms")
+        and isinstance(f.dataType, AtomicType)
+    ]
     latest = changelog.groupBy("key").agg(
         F.max_by(
             F.struct(*[F.col(c) for c in others]),
-            F.struct(
-                F.col("ts_ms"),
-                prec,
-                F.coalesce(F.col("totalprice"), F.lit(-1.0)),
-                F.coalesce(F.col("orderstatus"), F.lit("")),
-            ),
+            F.struct(F.col("ts_ms"), prec, *tiebreak),
         ).alias("last")
     )
     return latest.select(
@@ -133,13 +146,16 @@ class LakeTable:
         files: list[dict],
         operation: str,
         columns: list[str] | None = None,
+        types: dict[str, str] | None = None,
     ) -> None:
         """First-commit-wins atomic manifest write: O_EXCL create fails
         if another writer took this version. ``merge()`` catches that
         and re-derives against the new head (optimistic concurrency
         with retry — the Delta commit loop); direct ``_commit`` callers
         keep the raise-loudly contract. ``columns`` records the commit's
-        schema so readers order mixed-generation files consistently."""
+        schema so readers order mixed-generation files consistently;
+        ``types`` (column → Spark simpleString) lets ``read()`` NULL-
+        fill a logged column no surviving data file physically holds."""
         manifest = {
             "version": version,
             "key": self.key,
@@ -148,6 +164,8 @@ class LakeTable:
         }
         if columns:
             manifest["columns"] = columns
+        if types:
+            manifest["types"] = types
         path = self._manifest_path(version)
         fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
         with os.fdopen(fd, "w") as fh:
@@ -220,7 +238,13 @@ class LakeTable:
     ) -> "LakeTable":
         os.makedirs(root, exist_ok=True)
         t = cls(root, key)
-        t._commit(0, t._write_files(df, n_files), "create", columns=df.columns)
+        t._commit(
+            0,
+            t._write_files(df, n_files),
+            "create",
+            columns=df.columns,
+            types={f.name: f.dataType.simpleString() for f in df.schema.fields},
+        )
         return t
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -230,7 +254,12 @@ class LakeTable:
         ``mergeSchema`` unions mixed-generation file schemas — files
         written before an add-column commit surface NULL for the new
         column (Delta/Iceberg read-time evolution semantics); column
-        order follows the newest committed schema when recorded."""
+        order follows the newest committed schema when recorded. The
+        manifest schema is MONOTONE (a merge never narrows it — see
+        ``_merge_attempt``), so a logged column can be absent from
+        every surviving file (all its values were NULL); such columns
+        are NULL-filled at the manifest-recorded type, exactly Delta's
+        log-schema-wins read semantics."""
         m = self.manifest(self.latest_version() if version is None else version)
         if not m["files"]:
             raise ValueError("empty table snapshot")
@@ -238,7 +267,18 @@ class LakeTable:
             *(os.path.join(self.root, e["path"]) for e in m["files"])
         )
         cols = m.get("columns")
-        return df.select(*cols) if cols else df
+        if not cols:
+            return df
+        types = m.get("types") or {}
+        have = set(df.columns)
+        return df.select(
+            *(
+                F.col(c)
+                if c in have
+                else F.lit(None).cast(types.get(c, "string")).alias(c)
+                for c in cols
+            )
+        )
 
     def merge(
         self,
@@ -321,9 +361,29 @@ class LakeTable:
         else:
             merged = _latest_image(batch)
         new_files = self._write_files(merged, n_files)
+        # MONOTONE log schema (the Delta rule): the commit's column list
+        # is the parent manifest's columns plus any the batch added —
+        # never merged.columns alone. Otherwise a later merge whose
+        # batch lacks an evolved column and whose pruning touches only
+        # pre-evolution files would record a narrower list, and read()
+        # would silently drop the evolved column still held by carried
+        # files. Types accumulate the same way (parent's win for
+        # carried-only columns; merged's for columns it carries).
+        parent_cols = m.get("columns") or []
+        commit_cols = list(parent_cols) + [
+            c for c in merged.columns if c not in parent_cols
+        ]
+        commit_types = {
+            **(m.get("types") or {}),
+            **{f.name: f.dataType.simpleString() for f in merged.schema.fields},
+        }
         try:
             self._commit(
-                parent + 1, carried + new_files, "merge", columns=merged.columns
+                parent + 1,
+                carried + new_files,
+                "merge",
+                columns=commit_cols,
+                types=commit_types,
             )
         except FileExistsError:
             # uncommitted files are invisible to readers; tidy them up
@@ -466,14 +526,22 @@ def lake_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"lake_evo_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
         )
     )
+    # resumable build (round-7, was keyed on v1 alone): a failure
+    # between create (commits v0) and the evolve merge must not wedge
+    # the pid-scoped dir — re-running create would die forever on the
+    # O_EXCL FileExistsError for manifest-v0. Each stage is gated on
+    # its own manifest, so a partial build resumes at the merge.
     if os.path.exists(os.path.join(root, "manifest-v1.json")):
         t = LakeTable(root, "key")
     else:
         log, parts = _changelog_thirds(spark, sf_dir)
         try:
-            t = LakeTable.create(
-                latest_per_key(parts[0].unionByName(parts[1])), root, "key"
-            )
+            if os.path.exists(os.path.join(root, "manifest-v0.json")):
+                t = LakeTable(root, "key")  # create already committed
+            else:
+                t = LakeTable.create(
+                    latest_per_key(parts[0].unionByName(parts[1])), root, "key"
+                )
             evolved = parts[2].withColumn(
                 "audit_seq", (F.col("ts_ms") % 1000).cast("bigint")
             )
@@ -641,6 +709,7 @@ def compact_table(table: LakeTable, spark: SparkSession, n_files: int = 4) -> in
     table._commit(
         parent + 1, table._write_files(merged, n_files), "compact",
         columns=merged.columns,
+        types={f.name: f.dataType.simpleString() for f in merged.schema.fields},
     )
     return parent + 1
 

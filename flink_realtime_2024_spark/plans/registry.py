@@ -153,7 +153,10 @@ def all_queries() -> dict[str, Query]:
     return dict(_REGISTRY)
 
 
-def _auto_rotation(corrections_dir: str | None = None) -> list[str] | None:
+def _auto_rotation(
+    corrections_dir: str | None = None,
+    exclude_round: int | None = None,
+) -> list[str] | None:
     """Compute the sampling prefix from the committed CORRECTNESS_r*.json
     recordings: flagship first, then ids whose LATEST recording shows a
     failure (they must re-prove a fix immediately — the 'last round's
@@ -163,7 +166,13 @@ def _auto_rotation(corrections_dir: str | None = None) -> list[str] | None:
     rows-only check, not a failure. Returns None — caller falls back to
     DRIVER_PRIORITY — until a round-4 recording exists (the round-4
     prefix was hand-verified before commit and must stay byte-stable)
-    or if the files are unreadable."""
+    or if the files are unreadable.
+
+    ``exclude_round`` replays the rotation AS IT WAS before that
+    round's recording landed — the CI prefix guard uses this to verify
+    that a committed DRIVER_SIM_r{N}.log matches the rotation that
+    generated it even after the driver drops CORRECTNESS_r{N}.json
+    into the judged tree (a pure-registry computation, no Spark)."""
     import glob
     import json
     import os
@@ -180,6 +189,8 @@ def _auto_rotation(corrections_dir: str | None = None) -> list[str] | None:
         if not m:
             continue
         rnd = int(m.group(1))
+        if exclude_round is not None and rnd == exclude_round:
+            continue
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -253,6 +264,27 @@ def driver_order() -> dict[str, Query]:
         if name not in ordered:
             ordered[name] = q
     return ordered
+
+
+def rotation_prefix(
+    n: int = 50,
+    corrections_dir: str | None = None,
+    exclude_round: int | None = None,
+) -> list[str]:
+    """First ``n`` ids of the driver sampling order — the exact prefix
+    CORRECTNESS_r{next} will contain. Pure registry + JSON computation
+    (no Spark). ``exclude_round`` replays the rotation as it stood
+    before that round's recording landed (see ``_auto_rotation``)."""
+    priority = (
+        _auto_rotation(corrections_dir, exclude_round=exclude_round)
+        or DRIVER_PRIORITY
+    )
+    ordered: list[str] = [name for name in priority if name in _REGISTRY]
+    seen = set(ordered)
+    for name in _REGISTRY:
+        if name not in seen:
+            ordered.append(name)
+    return ordered[:n]
 
 
 def get(name: str) -> Query:
