@@ -147,12 +147,79 @@ def winnow_pipeline(docs: DataFrame, min_overlap: float = 0.5) -> DataFrame:
     )
 
 
-@register("llm_winnow_fingerprint", oracle=None, section="L1,L2")
+# Full-oracle recomputation of the winnowing pipeline in DuckDB SQL.
+# Two facts make this expressible (round-7; was rows-only):
+# 1. The per-doc FINGERPRINT VALUE SET equals the distinct set of
+#    w-window minima: robust winnowing's rightmost-argmin rule only
+#    picks WHICH position carries each minimum, and the final
+#    np.unique(hashes[pos]) dedups by VALUE — so the position rule
+#    cancels out of the registered result.
+# 2. The corpus is ASCII (asserted below), so DuckDB's per-character
+#    ord(substr(...)) equals the kernel's per-utf-8-byte values and
+#    regexp [^a-z0-9] equals Python str.isalnum after lower().
+# The polynomial powers 257^0..257^6 are written as exact BIGINT
+# literals (257^6·122 ≈ 3.5e16 overflows double's 53-bit mantissa —
+# integer arithmetic is mandatory, same reason the kernel uses uint64).
+_WINNOW_POWS = [257**p for p in range(_WINNOW_K - 1, -1, -1)]
+_WINNOW_ORACLE = f"""
+WITH cleaned AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents
+),
+docs AS (
+  SELECT doc_id, s, length(s) - {_WINNOW_K - 1} AS n
+  FROM cleaned WHERE length(s) >= {_WINNOW_K}
+),
+positions AS (
+  SELECT doc_id, n, s, unnest(range(1, n + 1)) AS i FROM docs
+),
+grams AS (
+  SELECT doc_id, n, i - 1 AS pos,
+         ({" + ".join(f"ord(substr(s, i + {j}, 1)) * {p}" for j, p in enumerate(_WINNOW_POWS))})::BIGINT AS h
+  FROM positions
+),
+fps AS (
+  -- short docs (n <= w): single global minimum
+  SELECT doc_id, MIN(h) AS fp FROM grams WHERE n <= {_WINNOW_W} GROUP BY doc_id
+  UNION
+  -- long docs: distinct minima of every complete w-window
+  SELECT DISTINCT doc_id, m AS fp FROM (
+    SELECT doc_id, pos, n,
+           MIN(h) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+           ) AS m
+    FROM grams WHERE n > {_WINNOW_W}
+  ) WHERE pos <= n - {_WINNOW_W}
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_fps FROM fps GROUP BY doc_id),
+keys AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 1 AND COUNT(*) <= 256
+),
+cand AS (SELECT f.doc_id, f.fp FROM fps f JOIN keys USING (fp)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM cand a JOIN cand b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       ROUND(p.n_shared::DOUBLE / LEAST(ta.n_fps, tb.n_fps), 6) AS overlap
+FROM pairs p
+JOIN tot ta ON ta.doc_id = p.doc_a
+JOIN tot tb ON tb.doc_id = p.doc_b
+WHERE p.n_shared::DOUBLE / LEAST(ta.n_fps, tb.n_fps) >= 0.5
+"""
+
+
+@register("llm_winnow_fingerprint", oracle=_WINNOW_ORACLE, section="L1,L2", reverify=7)
 def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1/L2 rolling-hash document fingerprinting (winnowing): near-dup
-    pairs whose selected-fingerprint overlap ≥ 0.5. Rows-only (the
-    kernel is not SQL-expressible); the winnowing substring-match
-    guarantee and a no-false-positive bound are pytest-asserted."""
+    pairs whose selected-fingerprint overlap ≥ 0.5. FULL ORACLE
+    (round-7, was rows-only): the value-set-equals-window-minima
+    identity makes the whole pipeline SQL-expressible — see
+    _WINNOW_ORACLE. Precondition for byte/char hash equality: ASCII
+    corpus (holds for every /root/testdata documents table; the
+    kernel itself handles unicode via utf-8 bytes)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return winnow_pipeline(docs, min_overlap=0.5)
 
