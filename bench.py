@@ -46,10 +46,21 @@ def main() -> None:
 
     queries = {name: q for name, q in all_queries().items() if q.bench}
 
+    # First-job JVM warmup (executor spin-up + codegen for the scan /
+    # shuffle shapes) is ~3 s regardless of what the first job does —
+    # bill it to its own line so table_staging_seconds measures staging
+    # WORK (round-7: staging is content-addressed and shared across
+    # processes, so the warm number must not be masked by JVM cost).
+    t_warm = time.perf_counter()
+    spark.range(1000).repartition(4).count()
+    spark.read.parquet(os.path.join("/root/testdata/sf0.001", "nation.parquet")).count()
+    jvm_warmup_s = round(time.perf_counter() - t_warm, 3)
+
     # Hot table layout: the fixtures are single-row-group files (1-task
     # scans); a production table is thousands of files. Stage each table
-    # once as a repartitioned cached copy — the layout a real warehouse
-    # would already have — and bill the staging separately.
+    # once as a repartitioned copy in a shared content-addressed tmp dir
+    # (reused by every later bench/driver process — warm staging only
+    # re-caches), and bill the staging separately.
     t_stage = time.perf_counter()
     enable_hot_cache(True)
     from concurrent.futures import ThreadPoolExecutor
@@ -174,6 +185,7 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "table_staging_seconds": staging_s,
+        "jvm_warmup_seconds": jvm_warmup_s,
         "n_ok": len(timings),
         "n_err": len(query_errors),
         "r1_comparable_subset_sec": r1_subset,
@@ -218,6 +230,7 @@ def _compact_summary(out: dict) -> dict:
         "n_err": out["n_err"],
         "r1_comparable_subset_sec": out["r1_comparable_subset_sec"],
         "table_staging_seconds": out["table_staging_seconds"],
+        "jvm_warmup_seconds": out["jvm_warmup_seconds"],
         "detail": "bench_detail.json",
         "queries": {n: round(t, 2) for n, t in out["queries"].items()},
     }
@@ -393,10 +406,16 @@ def _scale_probe(
                 # non-headline probe id (e.g. the de-single-partitioned
                 # trio): measure its own 1× base so the ratio — the
                 # entire point of the probe — is still recorded (kept
-                # LOCAL: the headline queries/total must not grow)
-                t0 = time.perf_counter()
-                materialize(builders[name](spark, SF_DIR))
-                base = round(time.perf_counter() - t0, 3)
+                # LOCAL: the headline queries/total must not grow).
+                # Same min-of-reps loop as the scaled side — a single
+                # cold base systematically overstated ratio_vs_base by
+                # the cold-start cost (r6 advice item).
+                b = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    materialize(builders[name](spark, SF_DIR))
+                    b = min(b, time.perf_counter() - t0)
+                base = round(b, 3)
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()

@@ -20,6 +20,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import schemas
 from ..sources.io import load_table, csv_roundtrip
 from ..operators._util import dec
 from .registry import register
@@ -246,28 +247,30 @@ GROUP BY o.o_orderkey, o.o_orderstatus
 
 _N_BUCKETS = 8
 
-# bucket dirs staged this process, removed at interpreter exit so
-# repeated pytest/bench/driver runs don't accumulate /tmp garbage
-_BUCKET_TMP_DIRS: list[str] = []
-
-
-def _cleanup_bucket_dirs() -> None:
-    import shutil
-
-    for d in _BUCKET_TMP_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
-
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders and lineitem ONCE as bucketed+sorted tables
-    (bucketBy/sortBy on the order key, explicit /tmp locations, session
-    catalog). This is the physical layout a production warehouse keeps
-    its co-joined facts in: bucket files pre-hash the join key, so every
-    subsequent join or aggregate on that key runs with ZERO exchanges —
-    the bucketing/`repartition` co-location technique, made durable.
-    Returns the two table names."""
-    import atexit
+    (bucketBy/sortBy on the order key, session catalog). This is the
+    physical layout a production warehouse keeps its co-joined facts
+    in: bucket files pre-hash the join key, so every subsequent join or
+    aggregate on that key runs with ZERO exchanges — the
+    bucketing/`repartition` co-location technique, made durable.
+    Returns the two table names.
+
+    CONTENT-ADDRESSED + SHARED (round-7, was pid-scoped): the bucket
+    dirs live at a digest of (fixture path, size, mtime, n_buckets), so
+    a later process ADOPTS an existing layout by registering external-
+    table DDL over it (CLUSTERED BY ... LOCATION) instead of rewriting
+    — bucketing is one-time physical layout work, and the warm bench
+    now pays only the catalog registration. Commit protocol: the
+    writer saves through a throwaway pid-scoped external table, drops
+    it (files survive — external), and os.rename()s the dir into the
+    content address; rename is atomic, so adopters only ever see
+    complete bucket sets, and a lost race discards the loser's copy."""
     import os
+    import shutil
+
+    from ..sources.io import stage_digest
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     t_orders, t_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
@@ -275,34 +278,48 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         (t_orders, "orders", "o_orderkey"),
         (t_lineitem, "lineitem", "l_orderkey"),
     ):
-        # path is per-process: the catalog guard below is per-session,
-        # so a shared fixed /tmp path would let two concurrent processes
-        # (pytest + driver) overwrite each other's bucket files.
         # The tableExists guard is sound ONLY because the catalog is
         # in-memory and dies with the session — with a persistent (hive)
-        # metastore a prior pid's table entry would resolve to an
-        # already-cleaned /tmp path; assert the assumption so enabling
-        # hive support surfaces here instead of as a missing-file read.
+        # metastore a prior pid's table entry could resolve to a pruned
+        # digest dir; assert the assumption so enabling hive support
+        # surfaces here instead of as a missing-file read.
         assert (
             spark.conf.get("spark.sql.catalogImplementation", "in-memory")
             == "in-memory"
         ), "bucketed staging assumes a per-session in-memory catalog"
-        path = os.path.join(
-            tempfile.gettempdir(), f"bucketed_{name}_{os.getpid()}"
+        if spark.catalog.tableExists(name):
+            continue
+        st = os.stat(os.path.join(sf_dir, f"{src}.parquet"))
+        digest = stage_digest(
+            os.path.normpath(sf_dir), src, st.st_size, st.st_mtime_ns, _N_BUCKETS
         )
-        if not spark.catalog.tableExists(name):
-            if not _BUCKET_TMP_DIRS:
-                atexit.register(_cleanup_bucket_dirs)
-            _BUCKET_TMP_DIRS.append(path)
+        dst = os.path.join(tempfile.gettempdir(), f"bucketed_{name}_{digest}")
+        if not os.path.isdir(dst):
+            tmp = f"{dst}.tmp.{os.getpid()}"
+            scratch = f"_stage_{name}_{os.getpid()}"
             (
                 load_table(spark, sf_dir, src)
                 .write.mode("overwrite")
                 .bucketBy(_N_BUCKETS, key)
                 .sortBy(key)
-                .option("path", path)
+                .option("path", tmp)
                 .format("parquet")
-                .saveAsTable(name)
+                .saveAsTable(scratch)
             )
+            spark.sql(f"DROP TABLE {scratch}")  # external: files survive
+            try:
+                os.rename(tmp, dst)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in schemas.TABLES[src].fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {_N_BUCKETS} BUCKETS LOCATION '{dst}'"
+        )
     return t_orders, t_lineitem
 
 

@@ -17,6 +17,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import tempfile
 
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
@@ -42,6 +43,61 @@ def enable_hot_cache(enabled: bool = True) -> None:
     _HOT_ENABLED = enabled
     if not enabled:
         _HOT.clear()
+
+
+# Content-addressed staged layouts (round-7): the repartitioned hot
+# copy is written ONCE per (fixture content, parallelism) to a shared
+# tmp dir and REUSED by every later process — warm bench staging drops
+# from ~6 s (a full shuffle per table) to the cost of re-caching
+# already-well-partitioned parquet (~1.5 s for all ten tables).
+# Commit protocol: write to a pid-suffixed dir, os.rename() into the
+# final content-addressed path — atomic on POSIX, so readers only ever
+# see complete copies; a lost race just discards the loser's dir.
+_HOT_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_hotstage")
+
+
+def stage_digest(*parts) -> str:
+    """16-hex content digest used to address staged layouts."""
+    import hashlib
+
+    return hashlib.sha1("|".join(str(p) for p in parts).encode()).hexdigest()[:16]
+
+
+def _prune_stale(root: str, prefix: str, keep: str) -> None:
+    """Best-effort removal of same-prefix dirs with a different digest
+    (fixtures were regenerated / parallelism changed) so /tmp growth is
+    bounded by one live copy per table."""
+    import shutil
+
+    try:
+        for d in os.listdir(root):
+            if d.startswith(prefix) and d != keep and ".tmp." not in d:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    except OSError:
+        pass
+
+
+def _hot_staged_copy(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
+    """Return ``df`` rewritten as (or re-read from) the shared
+    content-addressed repartitioned copy."""
+    import shutil
+
+    par = spark.sparkContext.defaultParallelism
+    st = os.stat(table_path(sf_dir, name))
+    digest = stage_digest(
+        os.path.normpath(sf_dir), name, st.st_size, st.st_mtime_ns, par
+    )
+    dst = os.path.join(_HOT_STAGE_ROOT, f"{name}_{digest}")
+    if not os.path.isdir(dst):
+        os.makedirs(_HOT_STAGE_ROOT, exist_ok=True)
+        tmp = f"{dst}.tmp.{os.getpid()}"
+        df.repartition(par).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dst)
+            _prune_stale(_HOT_STAGE_ROOT, f"{name}_", f"{name}_{digest}")
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return spark.read.parquet(dst)
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -100,7 +156,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.schema(schemas.TABLES[name]).parquet(path)
     if _HOT_ENABLED:
-        df = df.repartition(spark.sparkContext.defaultParallelism).cache()
+        try:
+            df = _hot_staged_copy(spark, sf_dir, name, df)
+        except OSError:  # unwritable tmp: fall back to per-session shuffle
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+        df = df.cache()
         df.count()  # materialize the cached, well-partitioned copy
         _HOT[key] = df
     return df

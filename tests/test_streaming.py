@@ -149,6 +149,37 @@ def test_stateful_first_visits_tws_path(spark):
     assert set(got) == want and len(got) > 0
 
 
+def test_stateful_first_visits_fallback_forced(spark, monkeypatch):
+    """T5 BOTH-BACKENDS guarantee (round-7): the applyInPandasWithState
+    fallback is exercised END TO END in every environment, protobuf or
+    not — the import probe is monkeypatched to report unavailable, so
+    auto-selection must build the FlatMapGroupsInPandasWithState plan
+    and the full first-visits invariant must hold through it. Paired
+    with test_stateful_first_visits_tws_path (which executes the TWS
+    path wherever protobuf exists), one CI run on a protobuf-present
+    host now proves the shared kernel green on BOTH backends."""
+    import flink_realtime_2024_spark.streaming.stateful as st
+    from flink_realtime_2024_spark.streaming.jobs import events_stream
+    from flink_realtime_2024_spark.streaming.event_time import state_first_visit
+
+    monkeypatch.setattr(st, "transform_with_state_available", lambda: False)
+    plan = (
+        st.first_visits_stream(events_stream(spark, SF_DIR), use_tws=None)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandasWithState" in plan
+    emitted = st.run_first_visits(spark, SF_DIR).collect()
+    got = [(r["user_id"], r["day"]) for r in emitted]
+    assert len(got) == len(set(got)), "a (user, day) was emitted twice"
+    want = {
+        (r["user_id"], r["day"])
+        for r in state_first_visit(spark, SF_DIR).select("user_id", "day").collect()
+    }
+    assert set(got) == want and len(got) > 0
+
+
 def test_tws_plan_compiles_without_protobuf(spark):
     """The TWS DataFrame must at least BUILD on any environment (the
     protobuf dependency is runtime-only) — guards against API drift in
