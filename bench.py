@@ -316,12 +316,14 @@ _SF3_QUERIES = (
     "llm_mix_schedule",
     # streaming serving path at 3M events (measured ~384k events/s)
     "stream_agg_merge",
+    # stream_dedup BACK at 30× (round-7): the r6 'needs 8g driver' was
+    # probe-cache stacking, not dedup state — each probe now drops its
+    # hot caches on exit, and streaming state lives in RocksDB
+    # (session.py); measured standalone: 3M-entry state in a 2 GiB JVM
+    "stream_dedup",
     # NOT llm_dedup_prefix_filter: the replicated probe corpus has
     # ~n_replica² true near-dup pairs per original doc, so the EXACT
     # pair output itself is quadratic there — see its docstring.
-    # NOT stream_dedup at 30×: dropDuplicatesWithinWatermark state over
-    # 3M events needs the 8g driver but sits at the edge locally —
-    # its 10× point in sf1_probe carries the evidence
 )
 
 
@@ -397,6 +399,25 @@ def _scale_probe(
     staging_s = round(time.perf_counter() - t0, 3)
 
     probe: dict[str, dict] = {}
+    try:
+        _probe_queries(spark, builders, timings, query_names, probe_dir, probe, reps)
+    finally:
+        # the replica tables stay on DISK (probe_dir is reused across
+        # rounds); their in-memory hot caches must not outlive the
+        # probe — stacking 10× + 30× cached copies in one JVM was the
+        # r6 'stream_dedup needs 8g driver' memory pressure
+        from flink_realtime_2024_spark.sources.io import drop_hot_cache
+
+        drop_hot_cache(probe_dir)
+    return {
+        "replication": replication,
+        "base_sf": _sf_from_dir(SF_DIR),
+        "staging_seconds": staging_s,
+        "queries": probe,
+    }
+
+
+def _probe_queries(spark, builders, timings, query_names, probe_dir, probe, reps):
     for name in query_names:
         if name not in builders:
             continue
@@ -426,12 +447,6 @@ def _scale_probe(
             probe[name] = entry
         except Exception as e:
             probe[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
-    return {
-        "replication": replication,
-        "base_sf": _sf_from_dir(SF_DIR),
-        "staging_seconds": staging_s,
-        "queries": probe,
-    }
 
 
 _STREAMING_PROBE_IDS = (

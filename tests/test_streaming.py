@@ -512,3 +512,88 @@ def test_checkpoint_resume_exactly_once(spark):
     # exact multiset equality (event_id is unique → set equality suffices)
     assert final.select("event_id").exceptAll(batch.select("event_id")).count() == 0
     assert batch.select("event_id").exceptAll(final.select("event_id")).count() == 0
+
+
+def test_late_event_refires_window_update_mode(spark):
+    """T7 allowed-lateness RE-EMISSION parity (the Flink contract, now
+    tested rather than documented): in update output mode, a window
+    result already emitted in an earlier micro-batch must be RE-EMITTED
+    with its updated aggregate when a late-but-within-watermark event
+    arrives — and must NOT re-fire once the watermark has closed the
+    window. Flink: window fires at wm >= end, re-fires per late element
+    until wm >= end + allowedLateness; Spark carries the same semantics
+    with delay = out-of-orderness + allowed lateness and update mode.
+
+    Topic replay (one file per micro-batch, mtime-ordered; 2 h delay):
+      b0  10:05, 10:20        -> [10:00,11:00) count=2 emitted; wm 08:20
+      b1  12:30               -> wm 10:30; [12:00,13:00) emitted
+      b2  10:40 (late, > wm)  -> RE-FIRE: [10:00,11:00) count=3
+      b3  15:00               -> wm 13:00 > 11:00: window state evicted
+      b4  18:00               -> spacer: Spark's late-INPUT filter uses
+                                 the previous batch's wm (eviction uses
+                                 the current one — measured), so the
+                                 drop needs wm(b4)=13:00 committed
+      b5  10:45 (too late)    -> dropped, NO re-fire
+    """
+    import os
+    import time
+
+    from flink_realtime_2024_spark.streaming.jobs import run_stream
+
+    topic = tempfile.mkdtemp(prefix="refire_topic_")
+    batches = [
+        ["2024-03-01 10:05:00", "2024-03-01 10:20:00"],
+        ["2024-03-01 12:30:00"],
+        ["2024-03-01 10:40:00"],  # late, inside allowed lateness
+        ["2024-03-01 15:00:00"],  # advances wm past window end
+        ["2024-03-01 18:00:00"],  # spacer: commits that wm for filtering
+        ["2024-03-01 10:45:00"],  # too late: beyond allowed lateness
+    ]
+    base = int(time.time()) - 1000
+    for i, ts_list in enumerate(batches):
+        p = os.path.join(topic, f"b{i}.parquet")
+        spark.createDataFrame(
+            [(ts,) for ts in ts_list], "ts_str string"
+        ).select(F.to_timestamp("ts_str").alias("ts")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        os.utime(p, (base + i, base + i))
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(topic, "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "HH:mm").alias("w"),
+            "n",
+        )
+    )
+    out = tempfile.mkdtemp(prefix="refire_out_")
+    emissions: list[tuple[int, str, int]] = []
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            emissions.append((batch_id, r["w"], r["n"]))
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
+
+    run_stream(agg.writeStream.outputMode("update").foreachBatch(sink), "refire")
+
+    w10 = [(b, n) for b, w, n in emissions if w == "10:00"]
+    # fired once with the on-time result, re-fired ONCE with the late
+    # update — and never again after the watermark closed the window
+    # (the too-late b5 event neither re-fires nor resurrects the
+    # evicted window as a fresh count-1 result)
+    assert [n for _, n in w10] == [2, 3], emissions
+    assert w10[0][0] < w10[1][0], "re-fire must come in a later batch"
+    # update-mode emissions only ever carry changed windows: the 12:00
+    # window fires exactly once
+    assert [n for b, w, n in emissions if w == "12:00"] == [1]
