@@ -1,19 +1,26 @@
-"""Baseline JFIF (JPEG) codec — stdlib + numpy, no external libraries.
+"""JFIF (JPEG) codec — stdlib + numpy, no external libraries.
 
-Implements the interoperable subset every camera/browser produces and
-reads: baseline sequential DCT, 8-bit YCbCr in 4:4:4 or 4:2:0, with
-the ITU-T T.81 Annex-K default quantization and Huffman tables
-(quality-scaled per the IJG convention). Grayscale payloads are
-encoded as 1-component JFIF; 4:2:0 chroma subsampling (2×2-mean
-downsample, 16×16 MCUs) is supported on both sides. Progressive,
-arithmetic coding, restart markers, and other sampling layouts are out
-of scope and rejected loudly.
+Implements the interoperable subset cameras/browsers produce and read:
+baseline sequential DCT (SOF0) AND progressive DCT (SOF2, round-7),
+8-bit YCbCr in 4:4:4 or 4:2:0, with the ITU-T T.81 Annex-K default
+quantization and Huffman tables (quality-scaled per the IJG
+convention). Grayscale payloads are encoded as 1-component JFIF; 4:2:0
+chroma subsampling (2×2-mean downsample, 16×16 MCUs) is supported on
+both sides. The progressive decoder covers the full Annex-G scan
+algebra — spectral selection, successive approximation (DC/AC first
+and refinement scans), EOB runs — and the progressive encoder emits a
+six-scan successive-approximation progression (libjpeg's default scan
+script, simplified to one AC band). Arithmetic coding, restart
+markers, hierarchical mode, and other sampling layouts remain out of
+scope and rejected loudly.
 
 Spec references (all public): ITU-T Recommendation T.81 (1992) —
-sections A.3.3 (FDCT/IDCT), F.1.2 (Huffman entropy coding), Annex K
-(example tables); JFIF 1.02 (ECMA TR/98) for the APP0 wrapper; the
-quality→scale-factor mapping follows the Independent JPEG Group's
-libjpeg ``jpeg_quality_scaling``.
+sections A.3.3 (FDCT/IDCT), F.1.2 (Huffman entropy coding), Annex G
+(progressive: §G.1.2.1 DC point transform, §G.1.2.2 EOBn, §G.1.2.3
+AC successive approximation — control flow mirrors the reference
+libjpeg jdphuff.c), Annex K (example tables); JFIF 1.02 (ECMA TR/98)
+for the APP0 wrapper; the quality→scale-factor mapping follows the
+Independent JPEG Group's libjpeg ``jpeg_quality_scaling``.
 """
 
 from __future__ import annotations
@@ -352,19 +359,18 @@ def _pad_to(plane: np.ndarray, m: int) -> np.ndarray:
     return np.pad(plane, ((0, -h % m), (0, -w % m)), mode="edge")
 
 
-def encode_jpeg(
-    pixels: np.ndarray, quality: int = 85, subsample: bool = False
-) -> bytes:
-    """(h, w, 3) RGB uint8 or (h, w) grayscale → baseline JFIF bytes.
-    ``subsample=True`` emits 4:2:0 (2×2-mean chroma downsample, 2x2/1x1
-    sampling factors, 16×16 MCUs) — the layout cameras and browsers
-    produce by default; False emits 4:4:4."""
+def _quantized_components(pixels: np.ndarray, quality: int, subsample: bool):
+    """Shared front half of both encoders: color transform, padding,
+    optional 4:2:0 downsample, FDCT+quant. Returns (gray, coeffs,
+    samplings, luma padded dims, q_luma, q_chroma); ``coeffs[i]`` is
+    (n_blocks, 8, 8) int32 in plane-raster block order."""
     gray = pixels.ndim == 2
-    h, w = pixels.shape[:2]
     q_luma, q_chroma = _quality_tables(quality)
     if gray:
-        coeffs = [_fdct_quant(_pad_to_8(pixels.astype(np.float64)) - 128.0, q_luma)]
+        plane = _pad_to_8(pixels.astype(np.float64))
+        coeffs = [_fdct_quant(plane - 128.0, q_luma)]
         samplings = [0x11]
+        pdims = plane.shape
     elif subsample:
         ycc = _rgb_to_ycbcr(pixels)
         y16 = _pad_to(ycc[..., 0], 16)
@@ -380,24 +386,34 @@ def encode_jpeg(
             _fdct_quant(down(cr) - 128.0, q_chroma),
         ]
         samplings = [0x22, 0x11, 0x11]
+        pdims = y16.shape
     else:
         ycc = _rgb_to_ycbcr(pixels)
+        y8 = _pad_to_8(ycc[..., 0])
         coeffs = [
-            _fdct_quant(_pad_to_8(ycc[..., 0]) - 128.0, q_luma),
+            _fdct_quant(y8 - 128.0, q_luma),
             _fdct_quant(_pad_to_8(ycc[..., 1]) - 128.0, q_chroma),
             _fdct_quant(_pad_to_8(ycc[..., 2]) - 128.0, q_chroma),
         ]
         samplings = [0x11, 0x11, 0x11]
+        pdims = y8.shape
+    return gray, coeffs, samplings, pdims, q_luma, q_chroma
 
-    out = bytearray()
+
+def _write_headers(
+    out: bytearray, gray: bool, h: int, w: int, samplings, q_luma, q_chroma,
+    sof_marker: int,
+) -> None:
+    """SOI / APP0 / DQT / SOF / DHT — identical for baseline (SOF0) and
+    progressive (SOF2) apart from the frame marker."""
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     for tid, tab in ([(0, q_luma)] if gray else [(0, q_luma), (1, q_chroma)]):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
             int(tab.reshape(64)[_ZIGZAG][k]) for k in range(64)
         )
-    ncomp = len(coeffs)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    ncomp = 1 if gray else 3
+    out += bytes([0xFF, sof_marker]) + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
         qid = 0 if cid == 1 else 1
         out += struct.pack("BBB", cid, samplings[cid - 1], qid)
@@ -407,6 +423,22 @@ def encode_jpeg(
     for (bits, vals), tc_th in tables:
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(h, w, 3) RGB uint8 or (h, w) grayscale → baseline JFIF bytes.
+    ``subsample=True`` emits 4:2:0 (2×2-mean chroma downsample, 2x2/1x1
+    sampling factors, 16×16 MCUs) — the layout cameras and browsers
+    produce by default; False emits 4:4:4."""
+    h, w = pixels.shape[:2]
+    gray, coeffs, samplings, pdims, q_luma, q_chroma = _quantized_components(
+        pixels, quality, subsample
+    )
+    out = bytearray()
+    _write_headers(out, gray, h, w, samplings, q_luma, q_chroma, 0xC0)
+    ncomp = len(coeffs)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for cid in range(1, ncomp + 1):
         td_ta = 0x00 if cid == 1 else 0x11
@@ -430,7 +462,7 @@ def encode_jpeg(
                 )
     else:
         # 4:2:0 MCU = 4 luma blocks (2×2 raster) + 1 Cb + 1 Cr
-        ph, pw = y16.shape
+        ph, pw = pdims
         nbw = pw // 8
         mcw = pw // 16
         mch = ph // 16
@@ -453,19 +485,43 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index just past the entropy-coded segment beginning at ``start``:
+    the first 0xFF followed by a real marker (not 0x00 byte-stuffing,
+    not an RST)."""
+    i = start
+    n = len(payload)
+    while True:
+        i = payload.find(b"\xff", i, n - 1)
+        if i < 0:
+            return n
+        nxt = payload[i + 1]
+        if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+            return i
+        i += 2
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) RGB uint8 (grayscale replicated
-    if 1-component). Supports 4:4:4 and 4:2:0 sampling (the two layouts
-    encoders actually emit); raises on progressive/restart/other
-    sampling inputs."""
+    """JFIF bytes → (h, w, 3) RGB uint8 (grayscale replicated if
+    1-component). Supports baseline sequential (SOF0) AND progressive
+    DCT (SOF2, T.81 Annex G: spectral selection + successive
+    approximation, all four scan kinds — DC first/refine, AC
+    first/refine with EOB runs), in 4:4:4 / 4:2:0 / grayscale.
+    Arithmetic coding, restart intervals, hierarchical, and other
+    sampling layouts are rejected loudly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff_dec: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
-    scan_comps = None
-    data_start = None
+    progressive = False
+    blocks_per_comp: list[np.ndarray] | None = None
+    comp_dims = None
+    mch = mcw = max_h = max_v = 0
+    h = w = 0
+    comps: list = []
+    baseline_decoded = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -497,10 +553,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     tuple(bits), tuple(vals)
                 )
                 off += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit precision supported")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
@@ -514,33 +571,79 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "unsupported sampling (4:4:4, 4:2:0, or grayscale only)"
                 )
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("non-baseline JPEG unsupported")
+            max_h = max(c[1] for c in comps)
+            max_v = max(c[2] for c in comps)
+            # frame grid padded to whole MCUs (8·max per axis); per-
+            # component plane dims scale by its sampling factors
+            ph, pw = h + (-h % (8 * max_v)), w + (-w % (8 * max_h))
+            mch, mcw = ph // (8 * max_v), pw // (8 * max_h)
+            comp_dims = [(ph * c[2] // max_v, pw * c[1] // max_h) for c in comps]
+            blocks_per_comp = [
+                np.zeros(((ch // 8) * (cw // 8), 64), np.int32)
+                for ch, cw in comp_dims
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline/non-progressive JPEG unsupported")
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_comps = []
             for i in range(ns):
                 cs, tdta = struct.unpack_from("BB", seg, 1 + 2 * i)
                 scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
             data_start = pos + seglen
-            break
+            end = _entropy_end(payload, data_start)
+            reader = _BitReader(payload[data_start:end])
+            if progressive:
+                _decode_progressive_scan(
+                    reader, scan_comps, ss, se, ah, al, comps, comp_dims,
+                    blocks_per_comp, huff_dec, mch, mcw, max_h, max_v, h, w,
+                )
+            else:
+                if baseline_decoded:
+                    raise ValueError("multiple scans in a baseline JPEG")
+                _decode_baseline_scan(
+                    reader, scan_comps, comps, comp_dims,
+                    blocks_per_comp, huff_dec, mch, mcw,
+                )
+                baseline_decoded = True
+            pos = end
+            continue
         pos += seglen
-    if frame is None or scan_comps is None:
-        raise ValueError("missing SOF0/SOS")
-    h, w, comps = frame
-    max_h = max(c[1] for c in comps)
-    max_v = max(c[2] for c in comps)
-    # frame grid padded to whole MCUs (8·max per axis); per-component
-    # plane dims scale by its sampling factors
-    ph, pw = h + (-h % (8 * max_v)), w + (-w % (8 * max_h))
-    mch, mcw = ph // (8 * max_v), pw // (8 * max_h)
-    comp_dims = [
-        (ph * c[2] // max_v, pw * c[1] // max_h) for c in comps
-    ]
+    if frame is None or not (baseline_decoded or progressive):
+        raise ValueError("missing SOF/SOS")
 
-    reader = _BitReader(payload[data_start:])
+    planes = []
+    for ci, (cid, ch_f, cv_f, tq) in enumerate(comps):
+        cph, cpw = comp_dims[ci]
+        nb_c = (cph // 8) * (cpw // 8)
+        tmp = np.zeros((nb_c, 64), np.int32)
+        tmp[:, _ZIGZAG] = blocks_per_comp[ci]
+        plane = _dequant_idct(tmp.reshape(nb_c, 8, 8), qtabs[tq], cph, cpw) + 128.0
+        if (ch_f, cv_f) != (max_h, max_v):  # upsample subsampled chroma
+            plane = np.repeat(
+                np.repeat(plane, max_v // cv_f, axis=0), max_h // ch_f, axis=1
+            )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
+        rgb = np.repeat(y[:, :, None], 3, axis=2)
+    else:
+        rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return np.round(rgb).astype(np.uint8)
+
+
+def _decode_baseline_scan(
+    reader, scan_comps, comps, comp_dims, blocks_per_comp, huff_dec, mch, mcw
+):
+    """One interleaved baseline scan: full 64-coefficient blocks in MCU
+    order (T.81 §A.2.3 — per MCU, each component contributes v×h blocks
+    in raster order within the MCU)."""
 
     def read_block(dc: _HuffDecoder, ac: _HuffDecoder, pred: int):
         z = np.zeros(64, np.int32)
@@ -566,16 +669,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             k += 1
         return z, pred
 
-    planes = []
-    blocks_per_comp = [
-        np.zeros(((ch // 8) * (cw // 8), 64), np.int32) for ch, cw in comp_dims
-    ]
     preds = [0] * len(comps)
     decs = []
     for _, (cs, td, ta) in zip(comps, scan_comps):
         decs.append((huff_dec[(0, td)], huff_dec[(1, ta)]))
-    # interleaved MCU order (T.81 §A.2.3): per MCU, each component
-    # contributes v×h blocks in raster order within the MCU
     for mr in range(mch):
         for mc in range(mcw):
             for ci, (_, ch_f, cv_f, _) in enumerate(comps):
@@ -585,23 +682,145 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         z, preds[ci] = read_block(decs[ci][0], decs[ci][1], preds[ci])
                         bi = (mr * cv_f + dy) * nbw_c + mc * ch_f + dx
                         blocks_per_comp[ci][bi] = z
-    for ci, (cid, ch_f, cv_f, tq) in enumerate(comps):
-        cph, cpw = comp_dims[ci]
-        nb_c = (cph // 8) * (cpw // 8)
-        tmp = np.zeros((nb_c, 64), np.int32)
-        tmp[:, _ZIGZAG] = blocks_per_comp[ci]
-        plane = _dequant_idct(tmp.reshape(nb_c, 8, 8), qtabs[tq], cph, cpw) + 128.0
-        if (ch_f, cv_f) != (max_h, max_v):  # upsample subsampled chroma
-            plane = np.repeat(
-                np.repeat(plane, max_v // cv_f, axis=0), max_h // ch_f, axis=1
+
+
+def _noninterleaved_grid(ci, comps, comp_dims, h, w, max_h, max_v):
+    """Block grid of a NON-interleaved scan (T.81 §A.2.2): ceil over the
+    component's own sample dims — possibly smaller than the MCU-padded
+    storage grid, so (rows, cols, padded-row-stride) are returned."""
+    cw = -(-(w * comps[ci][1]) // max_h)
+    ch = -(-(h * comps[ci][2]) // max_v)
+    return -(-ch // 8), -(-cw // 8), comp_dims[ci][1] // 8
+
+
+def _decode_progressive_scan(
+    reader, scan_comps, ss, se, ah, al, comps, comp_dims,
+    blocks_per_comp, huff_dec, mch, mcw, max_h, max_v, h, w,
+):
+    """One progressive scan (T.81 Annex G). Four kinds, keyed on
+    (Ss, Ah): DC first / DC refine (interleaved or single-component),
+    AC first / AC refine (always single-component, with EOB runs)."""
+    cidx = {c[0]: i for i, c in enumerate(comps)}
+    if ss == 0:  # ---- DC scan --------------------------------------
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        decs = {cidx[cs]: huff_dec.get((0, td)) for cs, td, _ in scan_comps}
+        preds = {cidx[cs]: 0 for cs, _, _ in scan_comps}
+
+        def dc_block(ci, bi):
+            blk = blocks_per_comp[ci][bi]
+            if ah == 0:  # first scan: DPCM of the point-transformed DC
+                sym = _read_symbol(reader, decs[ci])
+                diff = _extend(reader.bits(sym), sym) if sym else 0
+                preds[ci] += diff
+                blk[0] = preds[ci] << al
+            elif reader.bits(1):  # refinement: one raw bit, ORed in
+                blk[0] |= 1 << al
+
+        if len(scan_comps) > 1:  # interleaved MCU order
+            for mr in range(mch):
+                for mc in range(mcw):
+                    for cs, _, _ in scan_comps:
+                        ci = cidx[cs]
+                        _, hf, vf, _ = comps[ci]
+                        nbw_c = comp_dims[ci][1] // 8
+                        for dy in range(vf):
+                            for dx in range(hf):
+                                dc_block(ci, (mr * vf + dy) * nbw_c + mc * hf + dx)
+        else:
+            ci = cidx[scan_comps[0][0]]
+            bh, bw, stride = _noninterleaved_grid(
+                ci, comps, comp_dims, h, w, max_h, max_v
             )
-        planes.append(plane[:h, :w])
-    if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255)
-        rgb = np.repeat(y[:, :, None], 3, axis=2)
-    else:
-        rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
-    return np.round(rgb).astype(np.uint8)
+            for by in range(bh):
+                for bx in range(bw):
+                    dc_block(ci, by * stride + bx)
+        return
+    # ---- AC scan: always one component ------------------------------
+    if len(scan_comps) != 1:
+        raise ValueError("AC scans must be non-interleaved")
+    cs, _, ta = scan_comps[0]
+    ci = cidx[cs]
+    ac = huff_dec[(1, ta)]
+    bh, bw, stride = _noninterleaved_grid(ci, comps, comp_dims, h, w, max_h, max_v)
+    eobrun = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = blocks_per_comp[ci][by * stride + bx]
+            if ah == 0:
+                eobrun = _ac_first_block(reader, ac, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, ac, blk, ss, se, al, eobrun)
+
+
+def _ac_first_block(reader, ac, blk, ss, se, al, eobrun) -> int:
+    """AC coefficients of one block in a first (Ah=0) progressive scan
+    (T.81 §G.1.2.2): run/size symbols as baseline, values shifted left
+    by Al, plus EOBn symbols encoding a run of all-done blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(reader, ac)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run length 2^r + appended bits
+                return (1 << r) + (reader.bits(r) if r else 0) - 1
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run overflow")
+        blk[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, ac, blk, ss, se, al, eobrun) -> int:
+    """Successive-approximation AC refinement of one block (T.81
+    §G.1.2.3, the libjpeg decode_mcu_AC_refine control flow): each
+    symbol is followed by correction bits for every already-nonzero
+    coefficient passed over; newly-significant coefficients carry a
+    sign bit and land on the (run+1)-th zero-HISTORY position; EOB runs
+    still consume correction bits for the remainder of each band."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def refine(k_pos: int) -> None:
+        if reader.bits(1) and (blk[k_pos] & p1) == 0:
+            blk[k_pos] += p1 if blk[k_pos] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(reader, ac)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                    break  # remainder handled by the EOB path below
+                newval = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement symbol")
+                newval = p1 if reader.bits(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    refine(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                refine(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _read_symbol(reader: _BitReader, dec: _HuffDecoder) -> int:
@@ -610,3 +829,209 @@ def _read_symbol(reader: _BitReader, dec: _HuffDecoder) -> int:
         raise ValueError("invalid Huffman code")
     reader.consume(entry & 0xFF)
     return entry >> 8
+
+
+# --- progressive encoder (T.81 Annex G) --------------------------------------
+#
+# Six-scan progression with successive approximation — the shape a real
+# progressive encoder (libjpeg's default scan script, simplified to one
+# AC band) emits, and exactly the scans the decoder above supports:
+#   1. DC first   all comps, interleaved   Ss=0 Se=0  Ah=0 Al=1
+#   2. AC first   per component            Ss=1 Se=63 Ah=0 Al=1
+#   3. DC refine  all comps, interleaved   Ss=0 Se=0  Ah=1 Al=0
+#   4. AC refine  per component            Ss=1 Se=63 Ah=1 Al=0
+# DC point transform is an ARITHMETIC shift (G.1.2.1 — two's-complement
+# OR in the decoder reassembles negatives exactly); AC point transform
+# divides toward ZERO (G.1.2.2 — sign-magnitude, refined by adding
+# sign·2^Al correction terms).
+
+
+def _zigzag_blocks(coeffs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) coefficient blocks → (n, 64) zigzag-ordered."""
+    return coeffs.reshape(-1, 64)[:, _ZIGZAG]
+
+
+def _mcu_block_order(gray: bool, subsample: bool, coeffs, pdims):
+    """Yield (ci, bi) in interleaved MCU order — the traversal every
+    interleaved (DC) scan uses, shared with the baseline encoder."""
+    if not subsample or gray:
+        for bi in range(coeffs[0].shape[0]):
+            for ci in range(len(coeffs)):
+                yield ci, bi
+    else:
+        ph, pw = pdims
+        nbw, mcw, mch = pw // 8, pw // 16, ph // 16
+        for mr in range(mch):
+            for mc in range(mcw):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        yield 0, (2 * mr + dy) * nbw + 2 * mc + dx
+                ci_b = mr * mcw + mc
+                yield 1, ci_b
+                yield 2, ci_b
+
+
+def _scan_block_indices(ci: int, gray: bool, subsample: bool, h: int, w: int, pdims):
+    """Padded-grid indices of the blocks a NON-interleaved scan covers,
+    in scan order — the component's own ceil grid (T.81 §A.2.2), which
+    for 4:2:0 luma can be narrower than the 16-padded storage grid."""
+    if gray or not subsample:
+        # 1×1 sampling: ceil grid == padded storage grid, raster order
+        return list(range(-(-h // 8) * -(-w // 8)))
+    ph, pw = pdims
+    if ci == 0:
+        bh, bw, stride = -(-h // 8), -(-w // 8), pw // 8
+    else:
+        ch, cw = -(-h // 2), -(-w // 2)
+        bh, bw, stride = -(-ch // 8), -(-cw // 8), (pw // 2) // 8
+    return [by * stride + bx for by in range(bh) for bx in range(bw)]
+
+
+def _sos(out: bytearray, comps_sel, ss: int, se: int, ah: int, al: int) -> None:
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps_sel), len(comps_sel))
+    for cid, td_ta in comps_sel:
+        out += struct.pack("BB", cid, td_ta)
+    out += struct.pack("BBB", ss, se, (ah << 4) | al)
+
+
+def _encode_ac_first_scan(writer, zz: np.ndarray, ac_enc, al: int) -> None:
+    """AC first scan (G.1.2.2) for one component: per-block run/size
+    coding of sign·(|v|>>Al) over band 1..63, per-block EOB (an EOB run
+    of length 1 — always valid, never spans blocks)."""
+    for z in zz:
+        mags = np.abs(z[1:]) >> al
+        vals = np.where(z[1:] < 0, -mags, mags)
+        nz = np.nonzero(vals)[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        run = 0
+        for k in range(1, last + 1):
+            v = int(vals[k - 1])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                writer.put(ac_enc.code[0xF0], ac_enc.size[0xF0])  # ZRL
+                run -= 16
+            size, amp = _magnitude(v)
+            sym = (run << 4) | size
+            writer.put(ac_enc.code[sym], ac_enc.size[sym])
+            writer.put(amp, size)
+            run = 0
+        if last < 63:
+            writer.put(ac_enc.code[0x00], ac_enc.size[0x00])  # EOB (run 1)
+
+
+def _encode_ac_refine_scan(writer, zz: np.ndarray, ac_enc, al: int) -> None:
+    """AC refinement scan (G.1.2.3) for one component, per-block EOB
+    runs of length 1. The emitted stream mirrors the decoder's
+    positional walk exactly: newly-significant coefficients
+    (|v|>>Al == 1) emit (run-of-zero-HISTORY, size 1) plus a sign bit;
+    each already-nonzero coefficient passed over contributes one
+    correction bit, interleaved at the position the decoder reads it —
+    in particular, a ZRL consumes exactly 16 zero-history positions,
+    so only the correction bits of history coefficients BEFORE its
+    16th zero follow it (the rest ride with the next symbol)."""
+    for z in zz:
+        ab = np.abs(z[1:]) >> al
+        # classify band positions 0..62 (zigzag indices 1..63)
+        zeros = [k for k in range(63) if ab[k] == 0]
+        hist = [(k, int(ab[k]) & 1) for k in range(63) if ab[k] > 1]
+        news = [k for k in range(63) if ab[k] == 1]
+        walk = 0  # next band position the decoder's walk will visit
+        zi = hi = 0  # consumed prefixes of zeros / hist
+
+        def emit_hist_below(bound: int) -> None:
+            nonlocal hi
+            while hi < len(hist) and hist[hi][0] < bound:
+                writer.put(hist[hi][1], 1)
+                hi += 1
+
+        for kn in news:
+            nzeros = 0
+            while zi + nzeros < len(zeros) and zeros[zi + nzeros] < kn:
+                nzeros += 1
+            while nzeros > 15:
+                writer.put(ac_enc.code[0xF0], ac_enc.size[0xF0])  # ZRL
+                boundary = zeros[zi + 15]  # the 16th zero this walk eats
+                emit_hist_below(boundary)
+                zi += 16
+                nzeros -= 16
+                walk = boundary + 1
+            sym = (nzeros << 4) | 1
+            writer.put(ac_enc.code[sym], ac_enc.size[sym])
+            writer.put(0 if z[1 + kn] < 0 else 1, 1)  # sign of ±2^Al
+            emit_hist_below(kn)
+            zi += nzeros
+            walk = kn + 1
+        if walk <= 62 and (zi < len(zeros) or hi < len(hist)):
+            writer.put(ac_enc.code[0x00], ac_enc.size[0x00])  # EOB (run 1)
+            emit_hist_below(63)  # decoder refines the rest of the band
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(h, w, 3) RGB uint8 or (h, w) grayscale → PROGRESSIVE JFIF bytes
+    (SOF2). Same color/quant pipeline as the baseline encoder, so the
+    decoded image is bit-identical to decoding the baseline encoding of
+    the same pixels (asserted in tests)."""
+    h, w = pixels.shape[:2]
+    gray, coeffs, samplings, pdims, q_luma, q_chroma = _quantized_components(
+        pixels, quality, subsample
+    )
+    zz = [_zigzag_blocks(c) for c in coeffs]
+    out = bytearray()
+    _write_headers(out, gray, h, w, samplings, q_luma, q_chroma, 0xC2)
+    ncomp = len(coeffs)
+    dc_encs = [_HuffEncoder(*_HUFF_DC_LUMA)] + [
+        _HuffEncoder(*_HUFF_DC_CHROMA)
+    ] * (ncomp - 1)
+    ac_encs = [_HuffEncoder(*_HUFF_AC_LUMA)] + [
+        _HuffEncoder(*_HUFF_AC_CHROMA)
+    ] * (ncomp - 1)
+
+    # scan 1: DC first, interleaved, Al=1 (DPCM over dc >> 1)
+    _sos(out, [(cid, 0x00 if cid == 1 else 0x10) for cid in range(1, ncomp + 1)],
+         0, 0, 0, 1)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    for ci, bi in _mcu_block_order(gray, subsample, coeffs, pdims):
+        dc = int(zz[ci][bi][0]) >> 1  # arithmetic shift (G.1.2.1)
+        size, amp = _magnitude(dc - preds[ci])
+        preds[ci] = dc
+        writer.put(dc_encs[ci].code[size], dc_encs[ci].size[size])
+        if size:
+            writer.put(amp, size)
+    writer.flush()
+    out += writer.out
+
+    # scans 2..1+ncomp: AC first per component, band 1-63, Al=1
+    scan_idx = [
+        _scan_block_indices(ci, gray, subsample, h, w, pdims)
+        for ci in range(ncomp)
+    ]
+    for ci in range(ncomp):
+        _sos(out, [(ci + 1, 0x00 if ci == 0 else 0x01)], 1, 63, 0, 1)
+        writer = _BitWriter()
+        _encode_ac_first_scan(writer, zz[ci][scan_idx[ci]], ac_encs[ci], 1)
+        writer.flush()
+        out += writer.out
+
+    # DC refinement: one raw bit (bit 0 of DC) per block, interleaved
+    _sos(out, [(cid, 0x00) for cid in range(1, ncomp + 1)], 0, 0, 1, 0)
+    writer = _BitWriter()
+    for ci, bi in _mcu_block_order(gray, subsample, coeffs, pdims):
+        writer.put(int(zz[ci][bi][0]) & 1, 1)
+    writer.flush()
+    out += writer.out
+
+    # AC refinement per component, Al=0
+    for ci in range(ncomp):
+        _sos(out, [(ci + 1, 0x00 if ci == 0 else 0x01)], 1, 63, 1, 0)
+        writer = _BitWriter()
+        _encode_ac_refine_scan(writer, zz[ci][scan_idx[ci]], ac_encs[ci], 0)
+        writer.flush()
+        out += writer.out
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

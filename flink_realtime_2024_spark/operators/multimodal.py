@@ -15,18 +15,19 @@ The decode step is REAL across both container classes:
 - COMPRESSED, no external libraries: PNG (zlib inflate + full
   scanline unfiltering incl. Paeth — interoperable 8-bit truecolor),
   G.711 μ-law WAV (log-companded 8-bit telephony audio expanded to
-  PCM16), baseline JFIF JPEG (operators/_jpeg.py: full Huffman
-  entropy coding + quant + 2-D DCT per ITU-T T.81, Annex-K tables,
-  4:4:4) — encoder AND decoder, so the lossy path is
+  PCM16), JFIF JPEG (operators/_jpeg.py: full Huffman entropy coding
+  + quant + 2-D DCT per ITU-T T.81 — baseline SOF0 in 4:4:4 / 4:2:0 /
+  grayscale AND progressive SOF2 with successive approximation + EOB
+  runs per Annex G, r7) — encoder AND decoder, so the lossy path is
   PSNR/structure-tested end to end — and GIF89a (operators/_gif.py:
   palette + variable-code-width LZW per the spec's Appendix F,
   encoder AND decoder, lossless round-trip-tested).
 
 All are asserted against hand-built fixtures and round-trips in
 tests/test_semantics.py. Codecs still needing external libraries
-(MP3/H.264, progressive/subsampled JPEG) remain the one integration
-point; swap ``decode_video``'s body for ffmpeg/PyAV on a real cluster —
-the mapInPandas plumbing is identical.
+(MP3 / H.264) remain the one integration point; swap
+``decode_video``'s body for ffmpeg/PyAV on a real cluster — the
+mapInPandas plumbing is identical.
 """
 
 from __future__ import annotations
@@ -436,10 +437,14 @@ def synthesize_assets(batches):
                 )
                 mime = "image/gif"
             elif kind == 6:
-                from ._jpeg import encode_jpeg
+                from ._jpeg import encode_jpeg, encode_jpeg_progressive
 
+                # alternate baseline / PROGRESSIVE (SOF2, r7) payloads:
+                # same dims + mime, so the md5-seed oracle is unchanged
+                # while the driver's hash now covers Annex-G decode too
+                enc = encode_jpeg if (int(doc_id) // 8) % 2 == 0 else encode_jpeg_progressive
                 w, h = 8 + int(seed[15]) % 24, 8 + int(seed[3]) % 24
-                payload = encode_jpeg(
+                payload = enc(
                     rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8), quality=85
                 )
                 mime = "image/jpeg"

@@ -1112,12 +1112,136 @@ def test_jpeg_roundtrip_and_structure():
     assert dg.shape == (8, 8, 3)
     assert np.abs(dg[:, :, 0].astype(int) - g.astype(int)).mean() < 10
 
-    # loud rejection of what we don't implement (never mis-decode)
+    # loud rejection of what we don't implement (never mis-decode):
+    # a baseline scan header (Ss=0..Se=63) re-labeled SOF2 is a
+    # MALFORMED progressive stream — progressive DC scans require Se=0
     bad = bytearray(encode_jpeg(flat, 90))
     sof = bytes(bad).find(b"\xff\xc0")
-    bad[sof + 1] = 0xC2  # pretend progressive
+    bad[sof + 1] = 0xC2
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
+    # arithmetic-coded SOF9 stays rejected
+    bad[sof + 1] = 0xC9
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+
+def test_jpeg_progressive_roundtrip():
+    """Progressive JPEG (SOF2, T.81 Annex G): the six-scan successive-
+    approximation encoding must decode BIT-IDENTICALLY to the baseline
+    encoding of the same pixels (same quant pipeline → same
+    coefficients → same IDCT), across 4:4:4, 4:2:0 (including odd
+    ceil-grid vs MCU-padded-grid shapes), and grayscale — exercising
+    DC first/refine, AC first (EOB runs, ZRL), and AC refinement with
+    interleaved correction bits."""
+    import numpy as np
+
+    from flink_realtime_2024_spark.operators._jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [
+        ((16, 16, 3), False),  # 4:4:4 aligned
+        ((24, 40, 3), False),  # 4:4:4 rectangular
+        ((20, 20, 3), True),   # 4:2:0
+        ((33, 50, 3), True),   # 4:2:0, ceil grid ≠ 16-padded grid
+        ((17, 23), False),     # grayscale, odd dims
+    ]
+    for shape, sub in cases:
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        prog = encode_jpeg_progressive(px, quality=85, subsample=sub)
+        # the container really is progressive
+        assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog.split(b"\xff\xda")[0]
+        assert np.array_equal(
+            decode_jpeg(prog), decode_jpeg(encode_jpeg(px, quality=85, subsample=sub))
+        ), (shape, sub)
+    # sparse-coefficient content (smooth gradient + speckles) drives the
+    # ZRL / long-zero-run branches of the refinement coder
+    for q in (30, 75, 95):
+        base = np.outer(np.linspace(0, 255, 41), np.ones(57))
+        px = np.clip(base + rng.normal(0, 3, (41, 57)), 0, 255).astype(np.uint8)
+        px3 = np.stack([px, np.roll(px, 3, 0), np.roll(px, 5, 1)], axis=-1)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(px3, quality=q)),
+            decode_jpeg(encode_jpeg(px3, quality=q)),
+        ), q
+
+
+def test_jpeg_progressive_decoder_eob_runs():
+    """Progressive decoder vs a HAND-CONSTRUCTED multi-block AC scan
+    using an EOB run LONGER than 1 (EOB1 = run of 2 with appended bit),
+    which our encoder never emits — proving the decoder implements the
+    T.81 §G.1.2.2 EOBn contract, not just its own encoder's subset."""
+    import struct
+
+    import numpy as np
+
+    from flink_realtime_2024_spark.operators._jpeg import (
+        _HuffEncoder,
+        _BitWriter,
+        decode_jpeg,
+    )
+
+    # 8x32 grayscale → 4 blocks. DC scan gives each block DC=0; the AC
+    # first scan sets block0 k=1 to +1<<Al, then EOB1(run=2, extra bit
+    # 0 → 2 blocks all-zero), then block3 k=1 to -1<<Al. EOBn symbols
+    # (0x10…) aren't in the baseline Annex-K tables, so the scan uses a
+    # custom DHT — exactly what real progressive encoders emit.
+    ac_bits = [0, 3] + [0] * 14  # three symbols, all 2-bit codes
+    ac_vals = [0x00, 0x10, 0x01]  # EOB, EOB1, run0/size1
+    dc_bits = [1] + [0] * 15
+    dc_vals = [0x00]
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([16] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 32, 1)
+    out += struct.pack("BBB", 1, 0x11, 0)
+    for (bits, vals), tc_th in (((dc_bits, dc_vals), 0x00), ((ac_bits, ac_vals), 0x10)):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    # DC first scan: four zero diffs
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + struct.pack("BB", 1, 0x00)
+    out += struct.pack("BBB", 0, 0, 0x01)  # Ss=0 Se=0 Ah=0 Al=1
+    dc = _HuffEncoder(dc_bits, dc_vals)
+    wtr = _BitWriter()
+    for _ in range(4):
+        wtr.put(dc.code[0], dc.size[0])
+    wtr.flush()
+    out += wtr.out
+    # AC first scan with a 2-block EOB run in the middle
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + struct.pack("BB", 1, 0x10)
+    out += struct.pack("BBB", 1, 63, 0x01)  # Ss=1 Se=63 Ah=0 Al=1
+    ac = _HuffEncoder(ac_bits, ac_vals)
+    wtr = _BitWriter()
+    wtr.put(ac.code[0x01], ac.size[0x01])  # block0: run0/size1 at k=1
+    wtr.put(1, 1)                          # amplitude +1
+    wtr.put(ac.code[0x00], ac.size[0x00])  # EOB for rest of block0
+    wtr.put(ac.code[0x10], ac.size[0x10])  # EOB1: run = 2 + 1 appended bit
+    wtr.put(0, 1)                          # appended bit 0 → run 2
+    wtr.put(ac.code[0x01], ac.size[0x01])  # block3: run0/size1 at k=1
+    wtr.put(0, 1)                          # amplitude -1
+    wtr.put(ac.code[0x00], ac.size[0x00])  # EOB for rest of block3
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (8, 32, 3)
+    # reference: same coefficients through the baseline path
+    coef = np.zeros((8, 32), np.int64)
+    blocks = np.zeros((4, 64), np.int64)
+    blocks[0][1] = (1 << 1) * 16   # dequant: coef<<Al then * qtab=16
+    blocks[3][1] = (-1 << 1) * 16
+    from flink_realtime_2024_spark.operators._jpeg import _ZIGZAG, _D
+
+    for b in range(4):
+        z = np.zeros(64)
+        z[_ZIGZAG] = blocks[b]
+        pix = _D.T @ z.reshape(8, 8) @ _D + 128.0
+        coef[:, b * 8 : (b + 1) * 8] = np.round(np.clip(pix, 0, 255))
+    assert np.array_equal(img[:, :, 0].astype(np.int64), coef)
 
 
 def test_jpeg_decoder_independent_of_encoder():
