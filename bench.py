@@ -53,7 +53,11 @@ def main() -> None:
     # processes, so the warm number must not be masked by JVM cost).
     t_warm = time.perf_counter()
     spark.range(1000).repartition(4).count()
-    spark.read.parquet(os.path.join("/root/testdata/sf0.001", "nation.parquet")).count()
+    warm_df = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.001", "nation.parquet")
+    ).cache()  # absorbs InMemoryRelation codegen too, not just the scan
+    warm_df.count()
+    warm_df.unpersist()
     jvm_warmup_s = round(time.perf_counter() - t_warm, 3)
 
     # Hot table layout: the fixtures are single-row-group files (1-task

@@ -37,6 +37,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _HOT: dict[tuple[int, str, str], DataFrame] = {}
 _HOT_ENABLED = False
 
+# Only the scan-dominant fact tables earn an in-memory cache; the rest
+# read straight from the staged well-partitioned copy (a few-ms
+# page-cached scan) — each cache+count is a full Spark job, and ten of
+# them were most of the warm staging wall.
+_HOT_MEMORY_TABLES = {"lineitem", "orders", "customer", "part", "events"}
+
 
 def enable_hot_cache(enabled: bool = True) -> None:
     global _HOT_ENABLED
@@ -87,14 +93,20 @@ def _hot_staged_copy(spark: SparkSession, sf_dir: str, name: str, df: DataFrame)
     digest = stage_digest(
         os.path.normpath(sf_dir), name, st.st_size, st.st_mtime_ns, par
     )
-    dst = os.path.join(_HOT_STAGE_ROOT, f"{name}_{digest}")
+    # the prune prefix MUST discriminate by sf dir, not just table name
+    # — different SFs (the bench warms up at sf0.001) and probe replica
+    # dirs stage the same table names concurrently, and pruning by bare
+    # table name deletes a sibling SF's live copy mid-run
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stem = f"{tag}_{name}"
+    dst = os.path.join(_HOT_STAGE_ROOT, f"{stem}_{digest}")
     if not os.path.isdir(dst):
         os.makedirs(_HOT_STAGE_ROOT, exist_ok=True)
         tmp = f"{dst}.tmp.{os.getpid()}"
         df.repartition(par).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, dst)
-            _prune_stale(_HOT_STAGE_ROOT, f"{name}_", f"{name}_{digest}")
+            _prune_stale(_HOT_STAGE_ROOT, f"{stem}_", f"{stem}_{digest}")
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race
     return spark.read.parquet(dst)
@@ -174,8 +186,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = _hot_staged_copy(spark, sf_dir, name, df)
         except OSError:  # unwritable tmp: fall back to per-session shuffle
             df = df.repartition(spark.sparkContext.defaultParallelism)
-        df = df.cache()
-        df.count()  # materialize the cached, well-partitioned copy
+        if name in _HOT_MEMORY_TABLES:
+            df = df.cache()
+            df.count()  # materialize the cached, well-partitioned copy
         _HOT[key] = df
     return df
 
