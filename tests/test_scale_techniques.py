@@ -926,3 +926,35 @@ def test_latest_image_equals_latest_per_key(spark):
         .collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_hot_stage_prune_is_sf_scoped(spark):
+    """Regression (round-7): content-addressed hot staging prunes stale
+    copies per (sf, table) — staging table X for one SF must NEVER
+    delete a sibling SF's live staged copy of the same table (the bug:
+    a bare table-name prune prefix, exposed when small tables stopped
+    being memory-cached and bench queries read the staged files the
+    sf0.001 warm-up had just deleted)."""
+    import glob
+    import os
+
+    from flink_realtime_2024_spark.sources import io as sio
+
+    sio.enable_hot_cache(True)
+    try:
+        sio.load_table(spark, "/root/testdata/sf0.001", "nation")
+        a = glob.glob(os.path.join(sio._HOT_STAGE_ROOT, "sf0.001_nation_*"))
+        assert a, "sf0.001 nation copy staged"
+        sio.load_table(spark, "/root/testdata/sf0.01", "nation")
+        b = glob.glob(os.path.join(sio._HOT_STAGE_ROOT, "sf0.01_nation_*"))
+        assert b, "sf0.01 nation copy staged"
+        # the sibling SF's copy must still exist AND still be readable
+        assert glob.glob(os.path.join(sio._HOT_STAGE_ROOT, "sf0.001_nation_*")) == a
+        assert spark.read.parquet(a[0]).count() == 25
+        # re-staging the same SF is a no-op reuse, not a rewrite
+        m0 = os.path.getmtime(a[0])
+        sio._HOT.clear()  # force the staged-copy path again
+        sio.load_table(spark, "/root/testdata/sf0.001", "nation")
+        assert os.path.getmtime(a[0]) == m0
+    finally:
+        sio.enable_hot_cache(False)
