@@ -838,3 +838,43 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
         F.ntile(k).over(Window.orderBy("r")).alias("b"),
     )
     assert got.filter(F.col("a") != F.col("b")).count() == 0
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+    st.sampled_from([30, 60, 85, 95]),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_equals_baseline_decode(h, w, seed, subsample, quality):
+    """PROPERTY (round-7): for any dimensions, content, sampling mode,
+    and quality, the progressive (SOF2) encoding must decode
+    BIT-IDENTICALLY to the baseline (SOF0) encoding of the same pixels
+    — both paths share the color/quant pipeline, so any divergence is
+    an entropy-coding bug (DC/AC successive approximation, EOB runs,
+    ZRL-in-refinement, ceil-vs-padded grid arithmetic)."""
+    import numpy as np
+
+    from flink_realtime_2024_spark.operators._jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, size=((h + 3) // 4, (w + 3) // 4, 3))
+    px = np.clip(
+        np.kron(base, np.ones((4, 4, 1)))[:h, :w].astype(np.float64)
+        + rng.normal(scale=3, size=(h, w, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    if seed % 3 == 0:
+        px = px[:, :, 0]  # grayscale path
+        subsample = False
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(px, quality, subsample=subsample)),
+        decode_jpeg(encode_jpeg(px, quality, subsample=subsample)),
+    )
