@@ -10,9 +10,10 @@ both sides. The progressive decoder covers the full Annex-G scan
 algebra — spectral selection, successive approximation (DC/AC first
 and refinement scans), EOB runs — and the progressive encoder emits a
 six-scan successive-approximation progression (libjpeg's default scan
-script, simplified to one AC band). Arithmetic coding, restart
-markers, hierarchical mode, and other sampling layouts remain out of
-scope and rejected loudly.
+script, simplified to one AC band). Restart intervals (DRI + RSTn,
+§F.2.1.3.1) are handled on decode in both modes and available on
+encode (``restart_interval=``). Arithmetic coding, hierarchical mode,
+and other sampling layouts remain out of scope and rejected loudly.
 
 Spec references (all public): ITU-T Recommendation T.81 (1992) —
 sections A.3.3 (FDCT/IDCT), F.1.2 (Huffman entropy coding), Annex G
@@ -263,6 +264,21 @@ class _BitReader:
             raise EOFError("entropy stream exhausted")
         self.nbits -= n
 
+    def restart(self) -> None:
+        """Consume an RSTn marker (T.81 §F.2.1.3.1): discard the bits
+        of the current (1-padded) partial byte, then expect FF D0-D7 at
+        the byte boundary. Entropy state (DC predictors, EOB runs) is
+        the caller's to reset."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(size, amplitude bits) per T.81 §F.1.2.1: negative values encode
@@ -426,18 +442,23 @@ def _write_headers(
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) RGB uint8 or (h, w) grayscale → baseline JFIF bytes.
     ``subsample=True`` emits 4:2:0 (2×2-mean chroma downsample, 2x2/1x1
     sampling factors, 16×16 MCUs) — the layout cameras and browsers
-    produce by default; False emits 4:4:4."""
+    produce by default; False emits 4:4:4. ``restart_interval`` > 0
+    emits DRI + an RSTn marker every that-many MCUs (resynchronization
+    points — what real camera files carry for error resilience)."""
     h, w = pixels.shape[:2]
     gray, coeffs, samplings, pdims, q_luma, q_chroma = _quantized_components(
         pixels, quality, subsample
     )
     out = bytearray()
     _write_headers(out, gray, h, w, samplings, q_luma, q_chroma, 0xC0)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     ncomp = len(coeffs)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for cid in range(1, ncomp + 1):
@@ -452,10 +473,24 @@ def encode_jpeg(
     ac_c = _HuffEncoder(*_HUFF_AC_CHROMA)
     preds = [0] * len(coeffs)
     encs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(coeffs) - 1)
+    rst_n = 0
+    mcu_i = 0
+
+    def maybe_restart() -> None:
+        nonlocal rst_n, mcu_i
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) % 8
+            for ci in range(len(preds)):
+                preds[ci] = 0
+        mcu_i += 1
+
     if not subsample or gray:
         # 1×1 sampling: the interleaved MCU is one block per component
         nb = coeffs[0].shape[0]
         for bi in range(nb):
+            maybe_restart()
             for ci, c in enumerate(coeffs):
                 preds[ci] = _encode_blocks(
                     writer, c[bi : bi + 1], encs[ci][0], encs[ci][1], preds[ci]
@@ -468,6 +503,7 @@ def encode_jpeg(
         mch = ph // 16
         for mr in range(mch):
             for mc in range(mcw):
+                maybe_restart()
                 for dy in (0, 1):
                     for dx in (0, 1):
                         bi = (2 * mr + dy) * nbw + 2 * mc + dx
@@ -521,6 +557,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     mch = mcw = max_h = max_v = 0
     h = w = 0
     comps: list = []
+    restart_interval = 0
     baseline_decoded = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -585,7 +622,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline/non-progressive JPEG unsupported")
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -603,13 +640,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 _decode_progressive_scan(
                     reader, scan_comps, ss, se, ah, al, comps, comp_dims,
                     blocks_per_comp, huff_dec, mch, mcw, max_h, max_v, h, w,
+                    restart_interval,
                 )
             else:
                 if baseline_decoded:
                     raise ValueError("multiple scans in a baseline JPEG")
                 _decode_baseline_scan(
                     reader, scan_comps, comps, comp_dims,
-                    blocks_per_comp, huff_dec, mch, mcw,
+                    blocks_per_comp, huff_dec, mch, mcw, restart_interval,
                 )
                 baseline_decoded = True
             pos = end
@@ -639,11 +677,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _decode_baseline_scan(
-    reader, scan_comps, comps, comp_dims, blocks_per_comp, huff_dec, mch, mcw
+    reader, scan_comps, comps, comp_dims, blocks_per_comp, huff_dec, mch, mcw,
+    restart_interval=0,
 ):
     """One interleaved baseline scan: full 64-coefficient blocks in MCU
     order (T.81 §A.2.3 — per MCU, each component contributes v×h blocks
-    in raster order within the MCU)."""
+    in raster order within the MCU). ``restart_interval`` > 0 expects
+    an RSTn marker every that-many MCUs (byte-align + reset DC
+    predictors, §F.2.1.3.1)."""
 
     def read_block(dc: _HuffDecoder, ac: _HuffDecoder, pred: int):
         z = np.zeros(64, np.int32)
@@ -673,8 +714,13 @@ def _decode_baseline_scan(
     decs = []
     for _, (cs, td, ta) in zip(comps, scan_comps):
         decs.append((huff_dec[(0, td)], huff_dec[(1, ta)]))
+    mcu_i = 0
     for mr in range(mch):
         for mc in range(mcw):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                reader.restart()
+                preds = [0] * len(comps)
+            mcu_i += 1
             for ci, (_, ch_f, cv_f, _) in enumerate(comps):
                 nbw_c = comp_dims[ci][1] // 8
                 for dy in range(cv_f):
@@ -696,11 +742,23 @@ def _noninterleaved_grid(ci, comps, comp_dims, h, w, max_h, max_v):
 def _decode_progressive_scan(
     reader, scan_comps, ss, se, ah, al, comps, comp_dims,
     blocks_per_comp, huff_dec, mch, mcw, max_h, max_v, h, w,
+    restart_interval=0,
 ):
     """One progressive scan (T.81 Annex G). Four kinds, keyed on
     (Ss, Ah): DC first / DC refine (interleaved or single-component),
-    AC first / AC refine (always single-component, with EOB runs)."""
+    AC first / AC refine (always single-component, with EOB runs).
+    ``restart_interval`` > 0 expects an RSTn every that-many MCUs (one
+    block per MCU in non-interleaved scans), resetting DC predictors
+    and the EOB run."""
     cidx = {c[0]: i for i, c in enumerate(comps)}
+    mcu_i = 0
+
+    def maybe_restart(reset) -> None:
+        nonlocal mcu_i
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            reader.restart()
+            reset()
+        mcu_i += 1
     if ss == 0:  # ---- DC scan --------------------------------------
         if se != 0:
             raise ValueError("DC scan must have Se=0")
@@ -717,9 +775,14 @@ def _decode_progressive_scan(
             elif reader.bits(1):  # refinement: one raw bit, ORed in
                 blk[0] |= 1 << al
 
+        def reset_preds():
+            for k in preds:
+                preds[k] = 0
+
         if len(scan_comps) > 1:  # interleaved MCU order
             for mr in range(mch):
                 for mc in range(mcw):
+                    maybe_restart(reset_preds)
                     for cs, _, _ in scan_comps:
                         ci = cidx[cs]
                         _, hf, vf, _ = comps[ci]
@@ -734,6 +797,7 @@ def _decode_progressive_scan(
             )
             for by in range(bh):
                 for bx in range(bw):
+                    maybe_restart(reset_preds)
                     dc_block(ci, by * stride + bx)
         return
     # ---- AC scan: always one component ------------------------------
@@ -744,8 +808,14 @@ def _decode_progressive_scan(
     ac = huff_dec[(1, ta)]
     bh, bw, stride = _noninterleaved_grid(ci, comps, comp_dims, h, w, max_h, max_v)
     eobrun = 0
+
+    def reset_eobrun():
+        nonlocal eobrun
+        eobrun = 0
+
     for by in range(bh):
         for bx in range(bw):
+            maybe_restart(reset_eobrun)
             blk = blocks_per_comp[ci][by * stride + bx]
             if ah == 0:
                 eobrun = _ac_first_block(reader, ac, blk, ss, se, al, eobrun)
@@ -851,24 +921,48 @@ def _zigzag_blocks(coeffs: np.ndarray) -> np.ndarray:
     return coeffs.reshape(-1, 64)[:, _ZIGZAG]
 
 
-def _mcu_block_order(gray: bool, subsample: bool, coeffs, pdims):
-    """Yield (ci, bi) in interleaved MCU order — the traversal every
-    interleaved (DC) scan uses, shared with the baseline encoder."""
+def _mcu_groups(gray: bool, subsample: bool, coeffs, pdims):
+    """Yield one MCU at a time as a list of (ci, bi) — the traversal
+    every interleaved (DC) scan uses; restart markers go between
+    MCUs."""
     if not subsample or gray:
+        ncomp = len(coeffs)
         for bi in range(coeffs[0].shape[0]):
-            for ci in range(len(coeffs)):
-                yield ci, bi
+            yield [(ci, bi) for ci in range(ncomp)]
     else:
         ph, pw = pdims
         nbw, mcw, mch = pw // 8, pw // 16, ph // 16
         for mr in range(mch):
             for mc in range(mcw):
-                for dy in (0, 1):
-                    for dx in (0, 1):
-                        yield 0, (2 * mr + dy) * nbw + 2 * mc + dx
+                mcu = [
+                    (0, (2 * mr + dy) * nbw + 2 * mc + dx)
+                    for dy in (0, 1)
+                    for dx in (0, 1)
+                ]
                 ci_b = mr * mcw + mc
-                yield 1, ci_b
-                yield 2, ci_b
+                yield mcu + [(1, ci_b), (2, ci_b)]
+
+
+class _RestartEmitter:
+    """Per-scan RSTn insertion: call before each MCU/block; emits
+    flush + FF D(n mod 8) every ``interval`` units and invokes
+    ``reset`` (DC predictors / nothing for AC scans)."""
+
+    def __init__(self, writer, interval: int, reset=None):
+        self.writer = writer
+        self.interval = interval
+        self.reset = reset
+        self.n = 0
+        self.i = 0
+
+    def tick(self) -> None:
+        if self.interval and self.i and self.i % self.interval == 0:
+            self.writer.flush()
+            self.writer.out += bytes([0xFF, 0xD0 + self.n])
+            self.n = (self.n + 1) % 8
+            if self.reset:
+                self.reset()
+        self.i += 1
 
 
 def _scan_block_indices(ci: int, gray: bool, subsample: bool, h: int, w: int, pdims):
@@ -894,11 +988,13 @@ def _sos(out: bytearray, comps_sel, ss: int, se: int, ah: int, al: int) -> None:
     out += struct.pack("BBB", ss, se, (ah << 4) | al)
 
 
-def _encode_ac_first_scan(writer, zz: np.ndarray, ac_enc, al: int) -> None:
+def _encode_ac_first_scan(writer, zz: np.ndarray, ac_enc, al: int, rst=None) -> None:
     """AC first scan (G.1.2.2) for one component: per-block run/size
     coding of sign·(|v|>>Al) over band 1..63, per-block EOB (an EOB run
     of length 1 — always valid, never spans blocks)."""
     for z in zz:
+        if rst is not None:
+            rst.tick()
         mags = np.abs(z[1:]) >> al
         vals = np.where(z[1:] < 0, -mags, mags)
         nz = np.nonzero(vals)[0]
@@ -921,7 +1017,7 @@ def _encode_ac_first_scan(writer, zz: np.ndarray, ac_enc, al: int) -> None:
             writer.put(ac_enc.code[0x00], ac_enc.size[0x00])  # EOB (run 1)
 
 
-def _encode_ac_refine_scan(writer, zz: np.ndarray, ac_enc, al: int) -> None:
+def _encode_ac_refine_scan(writer, zz: np.ndarray, ac_enc, al: int, rst=None) -> None:
     """AC refinement scan (G.1.2.3) for one component, per-block EOB
     runs of length 1. The emitted stream mirrors the decoder's
     positional walk exactly: newly-significant coefficients
@@ -932,6 +1028,8 @@ def _encode_ac_refine_scan(writer, zz: np.ndarray, ac_enc, al: int) -> None:
     so only the correction bits of history coefficients BEFORE its
     16th zero follow it (the rest ride with the next symbol)."""
     for z in zz:
+        if rst is not None:
+            rst.tick()
         ab = np.abs(z[1:]) >> al
         # classify band positions 0..62 (zigzag indices 1..63)
         zeros = [k for k in range(63) if ab[k] == 0]
@@ -969,12 +1067,15 @@ def _encode_ac_refine_scan(writer, zz: np.ndarray, ac_enc, al: int) -> None:
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) RGB uint8 or (h, w) grayscale → PROGRESSIVE JFIF bytes
     (SOF2). Same color/quant pipeline as the baseline encoder, so the
     decoded image is bit-identical to decoding the baseline encoding of
-    the same pixels (asserted in tests)."""
+    the same pixels (asserted in tests). ``restart_interval`` > 0 emits
+    DRI + RSTn every that-many MCUs in every scan (one block per MCU in
+    the non-interleaved AC scans)."""
     h, w = pixels.shape[:2]
     gray, coeffs, samplings, pdims, q_luma, q_chroma = _quantized_components(
         pixels, quality, subsample
@@ -982,6 +1083,8 @@ def encode_jpeg_progressive(
     zz = [_zigzag_blocks(c) for c in coeffs]
     out = bytearray()
     _write_headers(out, gray, h, w, samplings, q_luma, q_chroma, 0xC2)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     ncomp = len(coeffs)
     dc_encs = [_HuffEncoder(*_HUFF_DC_LUMA)] + [
         _HuffEncoder(*_HUFF_DC_CHROMA)
@@ -995,13 +1098,21 @@ def encode_jpeg_progressive(
          0, 0, 0, 1)
     writer = _BitWriter()
     preds = [0] * ncomp
-    for ci, bi in _mcu_block_order(gray, subsample, coeffs, pdims):
-        dc = int(zz[ci][bi][0]) >> 1  # arithmetic shift (G.1.2.1)
-        size, amp = _magnitude(dc - preds[ci])
-        preds[ci] = dc
-        writer.put(dc_encs[ci].code[size], dc_encs[ci].size[size])
-        if size:
-            writer.put(amp, size)
+
+    def reset_preds():
+        for i in range(ncomp):
+            preds[i] = 0
+
+    rst = _RestartEmitter(writer, restart_interval, reset_preds)
+    for mcu in _mcu_groups(gray, subsample, coeffs, pdims):
+        rst.tick()
+        for ci, bi in mcu:
+            dc = int(zz[ci][bi][0]) >> 1  # arithmetic shift (G.1.2.1)
+            size, amp = _magnitude(dc - preds[ci])
+            preds[ci] = dc
+            writer.put(dc_encs[ci].code[size], dc_encs[ci].size[size])
+            if size:
+                writer.put(amp, size)
     writer.flush()
     out += writer.out
 
@@ -1013,15 +1124,21 @@ def encode_jpeg_progressive(
     for ci in range(ncomp):
         _sos(out, [(ci + 1, 0x00 if ci == 0 else 0x01)], 1, 63, 0, 1)
         writer = _BitWriter()
-        _encode_ac_first_scan(writer, zz[ci][scan_idx[ci]], ac_encs[ci], 1)
+        _encode_ac_first_scan(
+            writer, zz[ci][scan_idx[ci]], ac_encs[ci], 1,
+            rst=_RestartEmitter(writer, restart_interval),
+        )
         writer.flush()
         out += writer.out
 
     # DC refinement: one raw bit (bit 0 of DC) per block, interleaved
     _sos(out, [(cid, 0x00) for cid in range(1, ncomp + 1)], 0, 0, 1, 0)
     writer = _BitWriter()
-    for ci, bi in _mcu_block_order(gray, subsample, coeffs, pdims):
-        writer.put(int(zz[ci][bi][0]) & 1, 1)
+    rst = _RestartEmitter(writer, restart_interval)
+    for mcu in _mcu_groups(gray, subsample, coeffs, pdims):
+        rst.tick()
+        for ci, bi in mcu:
+            writer.put(int(zz[ci][bi][0]) & 1, 1)
     writer.flush()
     out += writer.out
 
@@ -1029,7 +1146,10 @@ def encode_jpeg_progressive(
     for ci in range(ncomp):
         _sos(out, [(ci + 1, 0x00 if ci == 0 else 0x01)], 1, 63, 1, 0)
         writer = _BitWriter()
-        _encode_ac_refine_scan(writer, zz[ci][scan_idx[ci]], ac_encs[ci], 0)
+        _encode_ac_refine_scan(
+            writer, zz[ci][scan_idx[ci]], ac_encs[ci], 0,
+            rst=_RestartEmitter(writer, restart_interval),
+        )
         writer.flush()
         out += writer.out
 
