@@ -53,9 +53,11 @@ def main() -> None:
     # processes, so the warm number must not be masked by JVM cost).
     t_warm = time.perf_counter()
     spark.range(1000).repartition(4).count()
-    warm_df = spark.read.parquet(
-        os.path.join("/root/testdata/sf0.001", "nation.parquet")
-    ).cache()  # absorbs InMemoryRelation codegen too, not just the scan
+    warm_nation = os.path.join("/root/testdata/sf0.001", "nation.parquet")
+    if not os.path.exists(warm_nation):  # env without the tiny SF
+        warm_nation = os.path.join(SF_DIR, "nation.parquet")
+    warm_df = spark.read.parquet(warm_nation).cache()
+    # cache round-trip absorbs InMemoryRelation codegen, not just the scan
     warm_df.count()
     warm_df.unpersist()
     jvm_warmup_s = round(time.perf_counter() - t_warm, 3)

@@ -542,9 +542,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     1-component). Supports baseline sequential (SOF0) AND progressive
     DCT (SOF2, T.81 Annex G: spectral selection + successive
     approximation, all four scan kinds — DC first/refine, AC
-    first/refine with EOB runs), in 4:4:4 / 4:2:0 / grayscale.
-    Arithmetic coding, restart intervals, hierarchical, and other
-    sampling layouts are rejected loudly."""
+    first/refine with EOB runs), in 4:4:4 / 4:2:0 / grayscale, with
+    restart intervals (DRI + RSTn) in both modes. Arithmetic coding,
+    hierarchical mode, and other sampling layouts are rejected
+    loudly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -559,6 +560,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list = []
     restart_interval = 0
     baseline_decoded = False
+    scans_decoded = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -650,10 +652,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     blocks_per_comp, huff_dec, mch, mcw, restart_interval,
                 )
                 baseline_decoded = True
+            scans_decoded += 1
             pos = end
             continue
         pos += seglen
-    if frame is None or not (baseline_decoded or progressive):
+    # a frame with ZERO decoded scans (e.g. a truncated progressive
+    # payload with headers but no entropy data) must raise, never
+    # fabricate a flat all-128 image from the zero coefficients
+    if frame is None or scans_decoded == 0:
         raise ValueError("missing SOF/SOS")
 
     planes = []

@@ -154,9 +154,13 @@ def winnow_pipeline(docs: DataFrame, min_overlap: float = 0.5) -> DataFrame:
 #    picks WHICH position carries each minimum, and the final
 #    np.unique(hashes[pos]) dedups by VALUE — so the position rule
 #    cancels out of the registered result.
-# 2. The corpus is ASCII (asserted below), so DuckDB's per-character
-#    ord(substr(...)) equals the kernel's per-utf-8-byte values and
-#    regexp [^a-z0-9] equals Python str.isalnum after lower().
+# 2. The corpus is ASCII (pytest-asserted for every fixture SF in
+#    tests/test_semantics.py::test_winnow_oracle_ascii_precondition),
+#    so DuckDB's per-character ord(substr(...)) equals the kernel's
+#    per-utf-8-byte values and regexp [^a-z0-9] equals Python
+#    str.isalnum after lower(). On a non-ASCII corpus the kernel is
+#    still correct (utf-8 bytes); only the ORACLE's equality breaks —
+#    the test turns that silent false-red risk into a named failure.
 # The polynomial powers 257^0..257^6 are written as exact BIGINT
 # literals (257^6·122 ≈ 3.5e16 overflows double's 53-bit mantissa —
 # integer arithmetic is mandatory, same reason the kernel uses uint64).

@@ -122,7 +122,8 @@ def _compare(
         )
     if expected != logged:
         div = next(
-            (i, a, b) for i, (a, b) in enumerate(zip(expected, logged)) if a != b
+            ((i, a, b) for i, (a, b) in enumerate(zip(expected, logged)) if a != b),
+            (min(len(expected), len(logged)), "<end>", "<end>"),  # length-only mismatch
         )
         how = (
             f"rotation replayed without the r{exclude_round:02d} recording"

@@ -246,6 +246,27 @@ def _auto_rotation(
     return [flagship] + red + reverify + never + stale
 
 
+def _rotation_names(
+    corrections_dir: str | None = None,
+    exclude_round: int | None = None,
+) -> list[str]:
+    """THE sampling order, as a name list: rotation priority first
+    (filtered to registered ids), then the rest in registration order.
+    Single implementation shared by ``driver_order`` (what the driver
+    samples) and ``rotation_prefix`` (what the CI guard verifies) — a
+    divergence between the two would make the guard unsound."""
+    priority = (
+        _auto_rotation(corrections_dir, exclude_round=exclude_round)
+        or DRIVER_PRIORITY
+    )
+    ordered = [name for name in priority if name in _REGISTRY]
+    seen = set(ordered)
+    for name in _REGISTRY:
+        if name not in seen:
+            ordered.append(name)
+    return ordered
+
+
 def driver_order() -> dict[str, Query]:
     """Registry reordered for the verification driver's 50-id sample.
 
@@ -255,15 +276,7 @@ def driver_order() -> dict[str, Query]:
     then the rest in registration order. Only ``__spark_entry__``
     should use this; everything else wants ``all_queries()``.
     """
-    priority = _auto_rotation() or DRIVER_PRIORITY
-    ordered: dict[str, Query] = {}
-    for name in priority:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
-    for name, q in _REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = q
-    return ordered
+    return {name: _REGISTRY[name] for name in _rotation_names()}
 
 
 def rotation_prefix(

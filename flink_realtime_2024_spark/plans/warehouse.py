@@ -270,7 +270,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
     import shutil
 
-    from ..sources.io import stage_digest
+    from ..sources.io import _prune_stale, stage_digest
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     t_orders, t_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
@@ -309,6 +309,14 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             spark.sql(f"DROP TABLE {scratch}")  # external: files survive
             try:
                 os.rename(tmp, dst)
+                # bound /tmp: one live bucketed layout per (sf, table);
+                # stale digests (regenerated fixtures) and hour-old
+                # orphaned .tmp dirs from crashed writers are reaped
+                _prune_stale(
+                    tempfile.gettempdir(),
+                    f"bucketed_{name}_",
+                    f"bucketed_{name}_{digest}",
+                )
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         cols = ", ".join(

@@ -60,6 +60,14 @@ def enable_hot_cache(enabled: bool = True) -> None:
 # final content-addressed path — atomic on POSIX, so readers only ever
 # see complete copies; a lost race just discards the loser's dir.
 _HOT_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_hotstage")
+# serializes stage WRITES within this process: two threads staging the
+# same (sf, table) concurrently could otherwise both pass the isdir
+# check and publish competing copies (cross-process writers are safe —
+# unique tmp names + atomic rename). Created eagerly: lazy init would
+# itself race.
+import threading as _threading
+
+_STAGE_WRITE_LOCK = _threading.Lock()
 
 
 def stage_digest(*parts) -> str:
@@ -72,13 +80,25 @@ def stage_digest(*parts) -> str:
 def _prune_stale(root: str, prefix: str, keep: str) -> None:
     """Best-effort removal of same-prefix dirs with a different digest
     (fixtures were regenerated / parallelism changed) so /tmp growth is
-    bounded by one live copy per table."""
+    bounded by one live copy per table. Orphaned ``.tmp.`` dirs from a
+    crashed writer are reaped once they are over an hour old (a LIVE
+    writer's tmp dir is minutes old at most)."""
     import shutil
+    import time
 
     try:
+        now = time.time()
         for d in os.listdir(root):
-            if d.startswith(prefix) and d != keep and ".tmp." not in d:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            if not d.startswith(prefix) or d == keep:
+                continue
+            path = os.path.join(root, d)
+            if ".tmp." in d:
+                try:
+                    if now - os.path.getmtime(path) < 3600:
+                        continue
+                except OSError:
+                    continue
+            shutil.rmtree(path, ignore_errors=True)
     except OSError:
         pass
 
@@ -101,14 +121,18 @@ def _hot_staged_copy(spark: SparkSession, sf_dir: str, name: str, df: DataFrame)
     stem = f"{tag}_{name}"
     dst = os.path.join(_HOT_STAGE_ROOT, f"{stem}_{digest}")
     if not os.path.isdir(dst):
-        os.makedirs(_HOT_STAGE_ROOT, exist_ok=True)
-        tmp = f"{dst}.tmp.{os.getpid()}"
-        df.repartition(par).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, dst)
-            _prune_stale(_HOT_STAGE_ROOT, f"{stem}_", f"{stem}_{digest}")
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        import uuid
+
+        with _STAGE_WRITE_LOCK:
+            if not os.path.isdir(dst):  # re-check under the lock
+                os.makedirs(_HOT_STAGE_ROOT, exist_ok=True)
+                tmp = f"{dst}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+                df.repartition(par).write.mode("overwrite").parquet(tmp)
+                try:
+                    os.rename(tmp, dst)
+                    _prune_stale(_HOT_STAGE_ROOT, f"{stem}_", f"{stem}_{digest}")
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost the race
     return spark.read.parquet(dst)
 
 

@@ -1447,3 +1447,27 @@ def test_jpeg_restart_intervals():
     assert b"\xff\xdd" in data.split(b"\xff\xda")[0]
     img = decode_jpeg(data)
     assert img.shape[2] == 3 and img.shape[0] > 100 and img.shape[1] > 100
+
+
+def test_winnow_oracle_ascii_precondition():
+    """The llm_winnow_fingerprint FULL oracle (round-7) hashes per
+    CHARACTER in DuckDB but per UTF-8 BYTE in the Spark kernel — equal
+    only on ASCII text. This pins the precondition for every fixture
+    SF, so a future non-ASCII documents fixture fails HERE with a named
+    reason instead of as an inexplicable oracle hash-mismatch in the
+    driver. (The kernel itself is unicode-correct; only the DuckDB
+    recomputation assumes ASCII.)"""
+    import glob
+
+    import duckdb
+
+    for path in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+        n = duckdb.connect().execute(
+            f"SELECT count(*) FROM read_parquet('{path}') "
+            "WHERE text ~ '[^\\x00-\\x7F]'"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{path}: {n} non-ASCII documents — the winnow oracle's "
+            "char-ord == utf8-byte identity no longer holds; either "
+            "restrict the oracle or extend it to byte-level hashing"
+        )
