@@ -288,16 +288,7 @@ def rotation_prefix(
     CORRECTNESS_r{next} will contain. Pure registry + JSON computation
     (no Spark). ``exclude_round`` replays the rotation as it stood
     before that round's recording landed (see ``_auto_rotation``)."""
-    priority = (
-        _auto_rotation(corrections_dir, exclude_round=exclude_round)
-        or DRIVER_PRIORITY
-    )
-    ordered: list[str] = [name for name in priority if name in _REGISTRY]
-    seen = set(ordered)
-    for name in _REGISTRY:
-        if name not in seen:
-            ordered.append(name)
-    return ordered[:n]
+    return _rotation_names(corrections_dir, exclude_round=exclude_round)[:n]
 
 
 def get(name: str) -> Query:

@@ -270,7 +270,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
     import shutil
 
-    from ..sources.io import _prune_stale, stage_digest
+    from ..sources.io import _prune_stale, stage_digest, stage_lock
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     t_orders, t_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
@@ -294,40 +294,51 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             os.path.normpath(sf_dir), src, st.st_size, st.st_mtime_ns, _N_BUCKETS
         )
         dst = os.path.join(tempfile.gettempdir(), f"bucketed_{name}_{digest}")
-        if not os.path.isdir(dst):
-            tmp = f"{dst}.tmp.{os.getpid()}"
-            scratch = f"_stage_{name}_{os.getpid()}"
-            (
-                load_table(spark, sf_dir, src)
-                .write.mode("overwrite")
-                .bucketBy(_N_BUCKETS, key)
-                .sortBy(key)
-                .option("path", tmp)
-                .format("parquet")
-                .saveAsTable(scratch)
-            )
-            spark.sql(f"DROP TABLE {scratch}")  # external: files survive
-            try:
-                os.rename(tmp, dst)
-                # bound /tmp: one live bucketed layout per (sf, table);
-                # stale digests (regenerated fixtures) and hour-old
-                # orphaned .tmp dirs from crashed writers are reaped
-                _prune_stale(
-                    tempfile.gettempdir(),
-                    f"bucketed_{name}_",
-                    f"bucketed_{name}_{digest}",
+        # same per-destination lock discipline as io.py's hot staging:
+        # two in-process threads racing here would collide on the
+        # scratch table and on the final CREATE TABLE (tableExists was
+        # checked before either write began); uuid keeps the scratch
+        # name unique even across lock-free callers in other sessions
+        with stage_lock(dst):
+            if spark.catalog.tableExists(name):
+                continue  # the thread we waited on registered it
+            if not os.path.isdir(dst):
+                import uuid
+
+                tmp = f"{dst}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+                scratch = f"_stage_{name}_{uuid.uuid4().hex[:8]}"
+                (
+                    load_table(spark, sf_dir, src)
+                    .write.mode("overwrite")
+                    .bucketBy(_N_BUCKETS, key)
+                    .sortBy(key)
+                    .option("path", tmp)
+                    .format("parquet")
+                    .saveAsTable(scratch)
                 )
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-        cols = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in schemas.TABLES[src].fields
-        )
-        spark.sql(
-            f"CREATE TABLE {name} ({cols}) USING parquet "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {_N_BUCKETS} BUCKETS LOCATION '{dst}'"
-        )
+                spark.sql(f"DROP TABLE {scratch}")  # external: files survive
+                try:
+                    os.rename(tmp, dst)
+                    # bound /tmp: one live bucketed layout per (sf,
+                    # table); stale digests (regenerated fixtures) and
+                    # hour-old orphaned .tmp dirs from crashed writers
+                    # are reaped
+                    _prune_stale(
+                        tempfile.gettempdir(),
+                        f"bucketed_{name}_",
+                        f"bucketed_{name}_{digest}",
+                    )
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in schemas.TABLES[src].fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {_N_BUCKETS} BUCKETS LOCATION '{dst}'"
+            )
     return t_orders, t_lineitem
 
 

@@ -61,13 +61,32 @@ def enable_hot_cache(enabled: bool = True) -> None:
 # see complete copies; a lost race just discards the loser's dir.
 _HOT_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_hotstage")
 # serializes stage WRITES within this process: two threads staging the
-# same (sf, table) concurrently could otherwise both pass the isdir
+# same destination concurrently could otherwise both pass the isdir
 # check and publish competing copies (cross-process writers are safe —
-# unique tmp names + atomic rename). Created eagerly: lazy init would
-# itself race.
+# unique tmp names + atomic rename). Locks are PER destination path so
+# cold staging of different (sf, table) pairs stays parallel (bench.py
+# stages tables from a thread pool); only the tiny dict itself is
+# behind one global lock. Created eagerly: lazy init would itself race.
 import threading as _threading
 
-_STAGE_WRITE_LOCK = _threading.Lock()
+_STAGE_LOCKS: dict[str, _threading.Lock] = {}
+_STAGE_LOCKS_GUARD = _threading.Lock()
+
+# Bumped whenever the staged layout depends on code, not just fixture
+# bytes: the staged copy bakes in events_ts_to_timestamp's normalization
+# and schemas.TABLES dtypes, so a code change must miss the old digest
+# (otherwise a stale /tmp layout with the old schema is silently reused
+# across runs).
+_STAGE_FORMAT_VERSION = "v2"
+
+
+def stage_lock(dest: str) -> _threading.Lock:
+    """The per-destination staging lock (created on first use)."""
+    with _STAGE_LOCKS_GUARD:
+        lock = _STAGE_LOCKS.get(dest)
+        if lock is None:
+            lock = _STAGE_LOCKS[dest] = _threading.Lock()
+        return lock
 
 
 def stage_digest(*parts) -> str:
@@ -111,7 +130,8 @@ def _hot_staged_copy(spark: SparkSession, sf_dir: str, name: str, df: DataFrame)
     par = spark.sparkContext.defaultParallelism
     st = os.stat(table_path(sf_dir, name))
     digest = stage_digest(
-        os.path.normpath(sf_dir), name, st.st_size, st.st_mtime_ns, par
+        os.path.normpath(sf_dir), name, st.st_size, st.st_mtime_ns, par,
+        _STAGE_FORMAT_VERSION,
     )
     # the prune prefix MUST discriminate by sf dir, not just table name
     # — different SFs (the bench warms up at sf0.001) and probe replica
@@ -123,7 +143,7 @@ def _hot_staged_copy(spark: SparkSession, sf_dir: str, name: str, df: DataFrame)
     if not os.path.isdir(dst):
         import uuid
 
-        with _STAGE_WRITE_LOCK:
+        with stage_lock(dst):
             if not os.path.isdir(dst):  # re-check under the lock
                 os.makedirs(_HOT_STAGE_ROOT, exist_ok=True)
                 tmp = f"{dst}.tmp.{os.getpid()}_{uuid.uuid4().hex[:8]}"
