@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.io import register_views
+from ..streaming.event_time import _SESSION_ORACLE as _EVENT_TIME_SESSION_ORACLE
 from .registry import register
 
 _PRICING_SQL = """
@@ -778,6 +779,83 @@ SELECT ws // 1000 AS window_start_ms, event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM w GROUP BY 1, 2
 """
+
+
+_SQL_CUMULATE_ORACLE = """
+WITH e AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms, event_type, value FROM events
+), w AS (
+  SELECT (ms // 3600000) * 3600000 AS ws,
+         (ms // 3600000) * 3600000 + k.k * 900000 AS we,
+         event_type, value
+  FROM e, (SELECT unnest([1, 2, 3, 4]) AS k) k
+  WHERE (ms // 3600000) * 3600000 + k.k * 900000 > ms
+)
+SELECT ws AS window_start_ms, we AS window_end_ms, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM w GROUP BY 1, 2, 3
+"""
+
+
+@register("sql_window_cumulate", oracle=_SQL_CUMULATE_ORACLE, section="§3.2 SQL API,T2")
+def sql_window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink 1.17 SQL's CUMULATE window TVF (the third of the TVF trio,
+    flink-table-planner, reference pom.xml:118-123): expanding slices
+    of a 1-hour max window with a 15-minute step — the early-fire
+    dashboard pattern ("today's GMV so far, refreshed every step").
+    Every event at offset o into its hour lands in the slices
+    ``[hour, hour + k*step)`` for all ``k > o/step`` up to
+    max_size/step, so a count over slice k is the CUMULATIVE count of
+    the hour's first k steps.
+
+    Spark has no cumulate TVF; the expansion IS the implementation:
+    ``explode(sequence(kmin, 4))`` fans each event into exactly the
+    slices that contain it (kmin = floor(o/step)+1 — an event on a
+    slice boundary belongs to the NEXT slice on, window ends are
+    exclusive), then a plain GROUP BY aggregates. At scale the fan-out
+    factor is max_size/step (a constant, here ≤4) applied map-side
+    before the one shuffle — the same cost shape Flink's slice-based
+    cumulate pays. The DuckDB oracle reproduces the expansion with an
+    unnest + the boundary-strict ``end > ms`` filter, so slice
+    assignment arithmetic is hash-checked."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """WITH e AS (
+             SELECT unix_millis(ts) AS ms, event_type, value FROM events
+           )
+           SELECT (ms div 3600000) * 3600000 AS window_start_ms,
+                  (ms div 3600000) * 3600000 + k * 900000 AS window_end_ms,
+                  event_type,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           FROM e
+           LATERAL VIEW explode(
+             sequence(CAST((ms % 3600000) div 900000 AS INT) + 1, 4)
+           ) s AS k
+           GROUP BY 1, 2, 3"""
+    )
+
+
+@register("sql_window_session", oracle=_EVENT_TIME_SESSION_ORACLE, section="§3.2 SQL API,T4")
+def sql_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 through the SQL surface: the SAME 30-minute-gap sessionization
+    the DataFrame twin (streaming/event_time.py window_session) proves,
+    submitted as SQL text — ``GROUP BY session_window(ts, '30
+    minutes')`` through the full parse→analyze→optimize pipeline, so
+    every windowing mode (tumble/hop/cumulate/session) now has both
+    entry points like the reference's Table/SQL API. Shares the
+    DataFrame twin's gaps-and-islands DuckDB oracle."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """SELECT user_id,
+                  unix_micros(session_window.start) AS session_start_us,
+                  unix_micros(session_window.end) AS session_end_us,
+                  COUNT(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           FROM events
+           GROUP BY session_window(ts, '30 minutes'), user_id"""
+    )
 
 
 @register("sql_window_hop", oracle=_SQL_HOP_ORACLE, section="§3.2 SQL API,T3")
