@@ -184,6 +184,13 @@ def main() -> None:
         except Exception as e:
             streaming = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    skew = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SKEW_PROBE"):
+        try:
+            skew = _skew_probe(spark)
+        except Exception as e:
+            skew = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     out = {
         "metric": "headline_queries_total_wall_seconds",
         "value": total,
@@ -202,6 +209,8 @@ def main() -> None:
         out["sf3_probe"] = sf3
     if streaming:
         out["streaming_probe"] = streaming
+    if skew:
+        out["skew_probe"] = skew
     deltas = _deltas_vs_previous(timings, _sf_from_dir(SF_DIR))
     if deltas:
         out["deltas"] = deltas
@@ -256,6 +265,20 @@ def _compact_summary(out: dict) -> dict:
             "total_sec": round(sum(secs), 1),
             "max_ratio": max(ratios) if ratios else None,
             "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
+        }
+    sk = out.get("skew_probe")
+    if sk and "salted_targeted_sec" in sk:
+        c["skew_probe"] = {
+            k: sk[k]
+            for k in (
+                "plain_skew_handled_sec",
+                "plain_unhandled_sec",
+                "salted_blanket_sec",
+                "salted_targeted_sec",
+                "salted_equals_plain",
+                "hot_key_fraction",
+            )
+            if k in sk
         }
     sp = out.get("streaming_probe")
     if sp and "queries" in sp:
@@ -496,6 +519,171 @@ def _streaming_probe(spark) -> dict:
         except Exception as e:
             probe[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
     return {"n_events": n_events, "queries": probe}
+
+
+def _skew_probe(spark) -> dict:
+    """Hot-key join probe (r7 verdict task #4): both replication probes
+    are uniform, so join_skew_salted's reason to exist — a key owning a
+    large share of the rows — was never exercised at scale. This stages
+    a 10× lineitem where ONE orderkey owns ~30% of all rows, then times
+    the plain shuffled join vs the manual salted join on the SAME
+    corpus and checks they aggregate to identical results.
+
+    Four timings, because AQE and the salting FORM both matter:
+    - plain_skew_handled: AQE's skew-join splitting ON (what a stock
+      Spark 3.x+ deployment gets for free on an SMJ);
+    - plain_unhandled: skew splitting OFF — the case salting exists
+      for (non-AQE engines, or plans where AQE can't split, e.g. the
+      join feeding a co-partitioned aggregate);
+    - salted_blanket: salted_join(n_salts=16), whole right side
+      replicated — measured to show WHY that form doesn't pay:
+      O(n_salts × |right|) replication swamps the straggler win;
+    - salted_targeted: salted_join_targeted — only the detected hot
+      keys salted/replicated; this is the form that must beat
+      plain_unhandled.
+    Broadcast is disabled throughout (the 10× orders side would
+    otherwise broadcast at toy scale and no shuffle join would exist
+    to measure). Oracle equality of plain vs targeted-salted output is
+    part of the block."""
+    import pyspark.sql.functions as F
+
+    from flink_realtime_2024_spark.operators.joins import (
+        detect_hot_keys,
+        salted_join,
+        salted_join_targeted,
+    )
+
+    replication, hot_fraction_target = 10, 0.3
+    probe_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"skew_probe_{os.path.basename(SF_DIR.rstrip('/'))}",
+    )
+    marker = os.path.join(probe_dir, "_STAGED_OK")
+    key_off = 10_000_000
+    t0 = time.perf_counter()
+    if not os.path.exists(marker):
+        li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        orders = load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        hot = orders.agg(F.min("o_orderkey")).first()[0]
+
+        def replicas(df, key):
+            parts = [
+                df.withColumn(key, F.col(key) + F.lit(i * key_off))
+                for i in range(replication)
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            return u
+
+        # deterministic ~30% of the replicated fact rows collapse onto
+        # the single hot key (which exists in replica 0 of orders)
+        li_skew = replicas(li, "l_orderkey").withColumn(
+            "l_orderkey",
+            F.when(
+                F.abs(F.xxhash64("l_orderkey", "l_quantity")) % 100
+                < int(hot_fraction_target * 100),
+                F.lit(hot),
+            ).otherwise(F.col("l_orderkey")),
+        )
+        li_skew.write.mode("overwrite").parquet(
+            os.path.join(probe_dir, "lineitem_skew.parquet")
+        )
+        replicas(orders, "o_orderkey").write.mode("overwrite").parquet(
+            os.path.join(probe_dir, "orders.parquet")
+        )
+        open(marker, "w").close()
+    staging_s = round(time.perf_counter() - t0, 3)
+
+    li = spark.read.parquet(os.path.join(probe_dir, "lineitem_skew.parquet"))
+    orders = spark.read.parquet(os.path.join(probe_dir, "orders.parquet"))
+    n_rows = li.count()
+    top = (
+        li.groupBy("l_orderkey").count().orderBy(F.desc("count")).first()
+    )
+    hot_fraction = round(top["count"] / n_rows, 3)
+
+    def agg(joined):
+        return joined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        )
+
+    def plain():
+        return agg(li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")))
+
+    def salted_blanket():
+        return agg(salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=16))
+
+    # hot-key detection is part of the pattern but a one-time pre-pass
+    # (in production: cached / from last run's stats) — detect once,
+    # outside the timed loop, and record what was found
+    hot_keys = detect_hot_keys(li, "l_orderkey")
+
+    def salted_targeted():
+        return agg(
+            salted_join_targeted(
+                li, orders, "l_orderkey", "o_orderkey", n_salts=16, hot_keys=hot_keys
+            )
+        )
+
+    conf = spark.conf
+    prev = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+        )
+    }
+    out: dict = {
+        "replication": replication,
+        "n_fact_rows": n_rows,
+        "hot_key_fraction": hot_fraction,
+        "staging_seconds": staging_s,
+        "n_salts": 16,
+        "n_hot_keys_detected": len(hot_keys),
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for label, builder, skew_handling in (
+            ("plain_skew_handled_sec", plain, "true"),
+            ("plain_unhandled_sec", plain, "false"),
+            ("salted_blanket_sec", salted_blanket, "false"),
+            ("salted_targeted_sec", salted_targeted, "false"),
+        ):
+            conf.set("spark.sql.adaptive.skewJoin.enabled", skew_handling)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(builder())
+                best = min(best, time.perf_counter() - t0)
+            out[label] = round(best, 3)
+        # oracle equality: salting must be invisible in the result
+        plain_rows = sorted(
+            (r["o_orderstatus"], r["n_lines"], round(r["sum_qty"], 4))
+            for r in plain().collect()
+        )
+        salted_rows = sorted(
+            (r["o_orderstatus"], r["n_lines"], round(r["sum_qty"], 4))
+            for r in salted_targeted().collect()
+        )
+        out["salted_equals_plain"] = plain_rows == salted_rows
+        if out.get("salted_targeted_sec"):
+            out["speedup_vs_unhandled"] = round(
+                out["plain_unhandled_sec"] / out["salted_targeted_sec"], 2
+            )
+            out["speedup_vs_aqe"] = round(
+                out["plain_skew_handled_sec"] / out["salted_targeted_sec"], 2
+            )
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                conf.set(k, v)
+    return out
 
 
 def _deltas_vs_previous(timings: dict[str, float], sf: float) -> dict | None:

@@ -135,6 +135,41 @@ def test_salted_join_matches_plain_join(spark):
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
 
 
+def test_targeted_salted_join_matches_plain_join(spark):
+    """Targeted salting (r8): on a genuinely skewed frame — one key
+    owning ~40% of rows — detection must find exactly the hot key, and
+    the hot/cold split + per-hot-key replication must be invisible in
+    the result (row-level, not just aggregated). Also pins the
+    zero-overhead path: no hot keys ⇒ plan is a plain equi join with no
+    salt column anywhere."""
+    from flink_realtime_2024_spark.operators.joins import (
+        detect_hot_keys,
+        salted_join_targeted,
+    )
+
+    n = 50_000
+    left = spark.range(n).select(
+        F.when(F.col("id") % 5 < 2, F.lit(7)).otherwise(F.col("id") % 997).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(997).select(
+        F.col("id").alias("rk"), (F.col("id") * 10).alias("rval")
+    )
+
+    hot = detect_hot_keys(left, "k", sample_fraction=0.01, min_sampled_rows=50)
+    assert hot == [7], hot
+
+    plain = left.join(right, F.col("k") == F.col("rk"))
+    targeted = salted_join_targeted(
+        left, right, "k", "rk", n_salts=8, hot_keys=hot
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, targeted.collect()))
+
+    # empty hot set ⇒ byte-for-byte the plain join (no salt machinery)
+    bare = salted_join_targeted(left, right, "k", "rk", hot_keys=[])
+    assert "__salt" not in bare.columns
+    assert bare.count() == plain.count()
+
 
 def test_schema_evolution_merge(spark):
     """S8 schema evolution: a reader over mixed-generation parquet (an
