@@ -903,30 +903,27 @@ def with_recall_vs_exact(spark: SparkSession, sf_dir: str, approx: DataFrame) ->
     recall@k, computed IN the query so a rows-only driver recording
     still pins answer quality (r7 verdict task #7).
 
-    The exact side is a broadcast of the memoized bounded ground truth;
-    the hit flag + windowed ratio ride the approx plan's existing
-    query_id partitioning, so this adds NO extra scan of the corpus and
-    no extra shuffle — ``approx`` is consumed exactly once."""
-    from collections import Counter
-
-    exact_rows = _exact_topk_rows(spark, sf_dir)
-    ex_pairs = spark.createDataFrame(
-        [(r["query_id"], r["neighbor_id"], 1) for r in exact_rows],
-        "query_id long, neighbor_id long, __hit int",
-    )
-    n_ex = Counter(r["query_id"] for r in exact_rows)
-    ex_counts = spark.createDataFrame(
-        [(q, n) for q, n in n_ex.items()], "query_id long, __n_exact int"
+    The exact side is ONE broadcast of the memoized bounded ground
+    truth (per-query neighbor arrays — a single local relation, so a
+    single broadcast exchange); the hit flag + windowed ratio ride the
+    approx plan's existing query_id partitioning, so this adds NO extra
+    scan of the corpus and no extra shuffle — ``approx`` is consumed
+    exactly once."""
+    ex_by_query: dict[int, list[int]] = {}
+    for r in _exact_topk_rows(spark, sf_dir):
+        ex_by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    ex = spark.createDataFrame(
+        [(q, nbrs, len(nbrs)) for q, nbrs in ex_by_query.items()],
+        "query_id long, __exact_nbrs array<long>, __n_exact int",
     )
     w = Window.partitionBy("query_id")
+    hit = F.when(
+        F.array_contains("__exact_nbrs", F.col("neighbor_id")), 1
+    ).otherwise(0)
     return (
-        approx.join(F.broadcast(ex_pairs), ["query_id", "neighbor_id"], "left")
-        .join(F.broadcast(ex_counts), "query_id")
-        .withColumn(
-            "recall_at_k_vs_exact",
-            F.sum(F.coalesce("__hit", F.lit(0))).over(w) / F.col("__n_exact"),
-        )
-        .drop("__hit", "__n_exact")
+        approx.join(F.broadcast(ex), "query_id")
+        .withColumn("recall_at_k_vs_exact", F.sum(hit).over(w) / F.col("__n_exact"))
+        .drop("__exact_nbrs", "__n_exact")
     )
 
 

@@ -31,6 +31,7 @@ from .. import schemas
 from ..sources.io import events_ts_to_timestamp, load_table
 from ..session import prepare
 from ..plans.registry import register
+from ..plans.sql_api import _SQL_CUMULATE_ORACLE as _sql_api_cumulate_oracle
 
 
 def _staged_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
@@ -224,6 +225,74 @@ def stream_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     run_stream(agg.writeStream.outputMode("complete").foreachBatch(sink), "wtopn")
+    return spark.read.parquet(out)
+
+
+@register(
+    "stream_window_cumulate",
+    oracle=_sql_api_cumulate_oracle,
+    section="T2,§3.2 SQL API,DWS",
+)
+def stream_window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE's native habitat: Flink's cumulate TVF exists for
+    early-fire streaming dashboards ("this hour's totals so far,
+    refreshed every step"), so the SQL-surface id
+    (plans/sql_api.py sql_window_cumulate) gets a real micro-batch
+    twin. The stream aggregates per 15-minute STEP (the finest slice —
+    Structured Streaming state is one row per (step, type), never per
+    event); each complete-mode snapshot then expands steps to the
+    expanding slices in the sink — a step at index i contributes to
+    slices i..4 of its hour, so the per-slice totals are running sums
+    over a TINY aggregated frame, exactly Flink's slice-merge
+    implementation of cumulate (one pane per step, panes merged at
+    fire time).
+
+    Full oracle: the accumulated final state must equal the batch
+    expansion (same DuckDB unnest oracle as the SQL-surface id)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "31 days")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("val"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="stream_cumulate_out_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ms = F.unix_millis(F.col("window.start"))
+        hour = (ms / F.lit(3600000)).cast("long") * 3600000
+        step_idx = ((ms - hour) / F.lit(900000)).cast("int") + 1
+        (
+            batch_df.select(
+                hour.alias("window_start_ms"),
+                step_idx.alias("i"),
+                "event_type",
+                "n",
+                "val",
+            )
+            .select(
+                "window_start_ms",
+                "event_type",
+                "n",
+                "val",
+                F.explode(F.sequence("i", F.lit(4))).alias("k"),
+            )
+            .groupBy(
+                "window_start_ms",
+                (F.col("window_start_ms") + F.col("k") * 900000).alias("window_end_ms"),
+                "event_type",
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("val").cast("double").alias("total_value"),
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    run_stream(agg.writeStream.outputMode("complete").foreachBatch(sink), "wcumulate")
     return spark.read.parquet(out)
 
 
