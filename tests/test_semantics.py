@@ -345,6 +345,18 @@ def test_plan_quality(spark):
     assert len(re.findall(r"\(\d+\) Exchange", pivot_plan)) == 2, pivot_plan
     assert "partial_pivotfirst" in pivot_plan and "partial_sum" in pivot_plan
 
+    # r8 CUMULATE: the slice expansion must be MAP-SIDE — Generate
+    # (explode) below the single Exchange, with a partial HashAggregate
+    # between them, so the shuffle carries aggregated groups, not the
+    # 4x-exploded events
+    cum_plan = _explain(qs["sql_window_cumulate"].builder(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", cum_plan)) == 1, cum_plan
+    gen = re.search(r"\((\d+)\) Generate", cum_plan)
+    exch = re.search(r"\((\d+)\) Exchange", cum_plan)
+    partial = re.search(r"\((\d+)\) HashAggregate", cum_plan)
+    assert gen and exch and int(gen.group(1)) < int(exch.group(1)), cum_plan
+    assert "partial_" in cum_plan.lower() or partial, cum_plan
+
 
 def test_no_cartesian_products_anywhere(spark):
     """Registry-wide plan sweep: no query may compile to an unconditioned
