@@ -890,7 +890,13 @@ def _exact_topk_rows(spark: SparkSession, sf_dir: str) -> list:
     st = os.stat(table_path(sf_dir, "embeddings"))
     key = (
         id(spark),
-        stage_digest(os.path.normpath(sf_dir), "embeddings", st.st_size, st.st_mtime_ns),
+        stage_digest(
+            os.path.normpath(sf_dir), "embeddings", st.st_size, st.st_mtime_ns,
+            # the query-budget knobs are part of what the ground truth
+            # IS — in the key so a future knob change can't serve a
+            # stale memo within a session
+            _KNN_QUERY_MOD, _KNN_MAX_QUERIES, _KNN_K,
+        ),
     )
     if key not in _EXACT_TOPK_CACHE:
         _EXACT_TOPK_CACHE[key] = llm_knn_cosine(spark, sf_dir).collect()
