@@ -683,6 +683,13 @@ def _skew_probe(spark) -> dict:
         for k, v in prev.items():
             if v is not None:
                 conf.set(k, v)
+            else:
+                # the key was unset before the probe: unset it again so
+                # the probe's -1 overrides can't leak into later work
+                try:
+                    conf.unset(k)
+                except Exception:
+                    pass
     return out
 
 

@@ -328,7 +328,13 @@ def salted_join(
     Salt is derived from a stable hash of a whole left row (xxhash64),
     not rand(): deterministic across retries — an exactly-once
     requirement under task re-execution.
+
+    Join types preserving unmatched RIGHT rows are rejected: the right
+    side is replicated n_salts×, so an unmatched right row would
+    surface once per salt — inner/left/semi/anti are the sound forms
+    (same restriction as targeted salting below).
     """
+    _reject_right_preserving(how)
     salt = (F.abs(F.xxhash64(*left.columns)) % n_salts).alias("__salt")
     l_salted = left.withColumn("__salt", salt)
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("__salt")
@@ -339,6 +345,17 @@ def salted_join(
         how,
     )
     return joined.drop("__salt")
+
+
+def _reject_right_preserving(how: str) -> None:
+    """Salting replicates right rows, so any join type that emits
+    UNMATCHED right rows (right/full outer) would duplicate them once
+    per salt — refuse loudly instead of returning wrong rows."""
+    if how.lower().replace("_", "") in ("right", "rightouter", "full", "fullouter", "outer"):
+        raise ValueError(
+            f"salted joins cannot preserve unmatched right rows (how={how!r}); "
+            "use inner/left/left_semi/left_anti, or swap the sides"
+        )
 
 
 def detect_hot_keys(
@@ -392,7 +409,9 @@ def salted_join_targeted(
     pass an explicit list when the hot set is known (e.g. from last
     run's AQE stats). The hot list is broadcast via an ``isin`` literal
     — bounded at ``max_keys``. Salt is a stable whole-row hash, not
-    rand(): deterministic under task re-execution."""
+    rand(): deterministic under task re-execution. Right/full outer are
+    rejected (replicated right rows would duplicate when unmatched)."""
+    _reject_right_preserving(how)
     if hot_keys is None:
         hot_keys = detect_hot_keys(left, left_key)
     if not hot_keys:  # nothing skewed: plain equi join, zero overhead

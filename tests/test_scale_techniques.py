@@ -170,6 +170,18 @@ def test_targeted_salted_join_matches_plain_join(spark):
     assert "__salt" not in bare.columns
     assert bare.count() == plain.count()
 
+    # right/full outer would duplicate unmatched replicated right rows
+    # once per salt — both salted forms must refuse instead
+    import pytest
+
+    from flink_realtime_2024_spark.operators.joins import salted_join
+
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join_targeted(left, right, "k", "rk", hot_keys=hot, how=how)
+        with pytest.raises(ValueError):
+            salted_join(left, right, "k", "rk", how=how)
+
 
 def test_schema_evolution_merge(spark):
     """S8 schema evolution: a reader over mixed-generation parquet (an
