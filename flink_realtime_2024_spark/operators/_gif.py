@@ -29,7 +29,8 @@ the baseline every GIF reader must support. Interlacing and animation
 Reference parity note: the engine's multimodal L6 path treats payloads
 as opaque binary columns (SURVEY §2.10); this codec exists so the
 "decode" step of that path is real for one more compressed container
-class, shrinking the external-library seam (MP3/H.264 remain).
+class, shrinking the external-library seam (MP3/H.264 structure
+parsing landed later in _mpeg.py; their entropy decode remains).
 """
 
 from __future__ import annotations

@@ -24,10 +24,13 @@ The decode step is REAL across both container classes:
   encoder AND decoder, lossless round-trip-tested).
 
 All are asserted against hand-built fixtures and round-trips in
-tests/test_semantics.py. Codecs still needing external libraries
-(MP3 / H.264) remain the one integration point; swap
-``decode_video``'s body for ffmpeg/PyAV on a real cluster — the
-mapInPandas plumbing is identical.
+tests/test_semantics.py. For MP3 and H.264 the STRUCTURE layer is
+also real (operators/_mpeg.py: ISO 11172-3 frame-header walk + ID3v2
+skip; Annex-B NAL segmentation + exp-Golomb SPS parse — the
+`mm_stream_meta` full-oracle id); only their entropy decode
+(Huffman audio data, CABAC/CAVLC slices) remains the external
+integration point — swap ``decode_video``'s body for ffmpeg/PyAV on
+a real cluster, the mapInPandas plumbing is identical.
 """
 
 from __future__ import annotations
@@ -704,3 +707,146 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("duration_ms").alias("avg_duration_ms"),
         F.avg("mean_value").alias("avg_mean_value"),
     )
+
+
+# =============================================================================
+# compressed stream containers: MP3 / H.264 structure parsing (_mpeg.py)
+# =============================================================================
+
+STREAM_ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+STREAM_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+    ]
+)
+
+
+def synthesize_stream_assets(batches):
+    """Deterministic compressed-stream generator (same md5-seed scheme as
+    synthesize_assets): even doc_ids become MPEG-1 Layer III streams
+    (seeded bitrate/sample-rate/frame-count, sometimes ID3v2-tagged),
+    odd doc_ids become H.264 Annex-B streams (seeded 16-multiple dims,
+    SPS+PPS+IDR slices). Structure is real — _mpeg.py writes bit-exact
+    headers; only the entropy payload is rng filler."""
+    from ._mpeg import encode_h264, encode_mp3
+
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            seed = hashlib.md5((text or "").encode("utf-8")).digest()
+            rng = np.random.RandomState(np.frombuffer(seed[4:8], dtype=np.uint32)[0])
+            if int(doc_id) % 2 == 0:
+                payload = encode_mp3(
+                    n_frames=4 + int(seed[6]) % 60,
+                    bitrate_idx=1 + int(seed[2]) % 14,
+                    sr_idx=int(seed[5]) % 3,
+                    rng=rng,
+                    id3_size=int(seed[7]) * 4,
+                )
+                mime = "audio/mpeg"
+            else:
+                payload = encode_h264(
+                    width=16 * (1 + int(seed[8]) % 8),
+                    height=16 * (1 + int(seed[9]) % 8),
+                    n_slices=2 + int(seed[10]) % 10,
+                    rng=rng,
+                )
+                mime = "video/h264"
+            out.append((int(doc_id), mime, payload))
+        yield pd.DataFrame(out, columns=["asset_id", "mime", "payload"])
+
+
+def stream_meta(batches):
+    """Metadata-extraction kernel: MP3 frame walk (every frame's sync
+    validated, ID3v2 skipped) / H.264 NAL walk + exp-Golomb SPS parse.
+    Arrow batch in → Arrow batch out."""
+    from ._mpeg import parse_h264, parse_mp3
+
+    for pdf in batches:
+        rows = []
+        for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"], pdf["payload"]):
+            payload = bytes(payload)
+            if mime == "audio/mpeg":
+                m = parse_mp3(payload)
+                rows.append(
+                    (int(asset_id), mime, None, None, m["sample_rate"],
+                     m["bitrate_kbps"], m["n_frames"], m["duration_ms"])
+                )
+            else:
+                m = parse_h264(payload)
+                rows.append(
+                    (int(asset_id), mime, m["width"], m["height"], None,
+                     None, m["n_frames"], None)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["asset_id", "mime", "width", "height", "sample_rate",
+                     "bitrate_kbps", "n_frames", "duration_ms"],
+        )
+
+
+def build_stream_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → compressed-stream asset table (MP3 / H.264 payloads)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return widen(docs).mapInPandas(synthesize_stream_assets, STREAM_ASSET_SCHEMA)
+
+
+_STREAM_META_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS hx, doc_id % 2 AS kind FROM documents
+), d AS (
+  SELECT doc_id, kind,
+         1 + {_md5_byte_sql(2)} % 14 AS br_idx,
+         {_md5_byte_sql(5)} % 3 AS sr_idx,
+         4 + {_md5_byte_sql(6)} % 60 AS mp3_frames,
+         16 * (1 + {_md5_byte_sql(8)} % 8) AS h264_w,
+         16 * (1 + {_md5_byte_sql(9)} % 8) AS h264_h,
+         2 + {_md5_byte_sql(10)} % 10 AS h264_slices
+  FROM h
+)
+SELECT doc_id AS asset_id,
+       CASE kind WHEN 0 THEN 'audio/mpeg' ELSE 'video/h264' END AS mime,
+       CAST(CASE kind WHEN 1 THEN h264_w END AS INTEGER) AS width,
+       CAST(CASE kind WHEN 1 THEN h264_h END AS INTEGER) AS height,
+       CAST(CASE kind WHEN 0 THEN ([44100, 48000, 32000])[sr_idx + 1] END
+            AS INTEGER) AS sample_rate,
+       CAST(CASE kind WHEN 0 THEN
+              ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320])[br_idx]
+            END AS INTEGER) AS bitrate_kbps,
+       CAST(CASE kind WHEN 0 THEN mp3_frames ELSE h264_slices END AS INTEGER)
+         AS n_frames,
+       CAST(CASE kind WHEN 0 THEN
+              mp3_frames * 1152 * 1000.0
+              / ([44100, 48000, 32000])[sr_idx + 1]
+            END AS DOUBLE) AS duration_ms
+FROM d
+"""
+
+
+@register("mm_stream_meta", oracle=_STREAM_META_ORACLE, section="L6")
+def mm_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 compressed-stream metadata with a FULL oracle: every MP3's
+    sample rate / bitrate / frame count / duration from a real
+    ISO 11172-3 frame walk (sync validated at each computed offset,
+    ID3v2 skipped) and every H.264 stream's exact luma dims from a
+    bit-level exp-Golomb SPS parse (_mpeg.py) must equal an independent
+    DuckDB derivation from the synthesizer's md5 seed. One wrong table
+    entry, frame-length formula, syncsafe shift, or ue(v) bit anywhere
+    fails the hash. Entropy decode (Huffman/CABAC payloads) remains the
+    declared external seam — structure parsing no longer is."""
+    assets = build_stream_assets(spark, sf_dir)
+    return assets.mapInPandas(stream_meta, STREAM_META_SCHEMA)

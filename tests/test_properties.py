@@ -878,3 +878,30 @@ def test_jpeg_progressive_equals_baseline_decode(h, w, seed, subsample, quality)
         decode_jpeg(encode_jpeg_progressive(px, quality, subsample=subsample)),
         decode_jpeg(encode_jpeg(px, quality, subsample=subsample)),
     )
+
+
+@given(st.lists(st.integers(0, 100000), min_size=1, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_exp_golomb_roundtrip(values):
+    """ue(v) write→read is the identity on arbitrary value sequences —
+    the H.264 SPS parse rests on this bit arithmetic."""
+    from flink_realtime_2024_spark.operators._mpeg import _BitReader, _BitWriter
+
+    w = _BitWriter()
+    for v in values:
+        w.ue(v)
+    r = _BitReader(w.rbsp_trailing())
+    assert [r.ue() for _ in values] == values
+
+
+@given(st.binary(min_size=0, max_size=256))
+@settings(max_examples=100, deadline=None)
+def test_emulation_prevention_roundtrip(raw):
+    """EBSP strip∘insert is the identity on arbitrary bytes, and the
+    inserted form never contains a start-code-emulating 00 00 0[0-3]."""
+    from flink_realtime_2024_spark.operators._mpeg import _ep_insert, _ep_strip
+
+    eb = _ep_insert(raw)
+    assert _ep_strip(eb) == raw
+    for i in range(len(eb) - 2):
+        assert not (eb[i] == 0 and eb[i + 1] == 0 and eb[i + 2] <= 2), eb.hex()

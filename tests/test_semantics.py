@@ -1548,3 +1548,87 @@ def test_winnow_oracle_ascii_precondition():
             "char-ord == utf8-byte identity no longer holds; either "
             "restrict the oracle or extend it to byte-level hashing"
         )
+
+
+def test_mpeg_structure_codecs():
+    """MP3 frame walk and H.264 SPS parse are REAL and spec-pinned:
+    byte-level fixtures derived by hand from ISO 11172-3 / ITU-T H.264,
+    not just encoder/decoder self-agreement."""
+    import numpy as np
+
+    from flink_realtime_2024_spark.operators._mpeg import (
+        _ep_insert,
+        _ep_strip,
+        encode_h264,
+        encode_mp3,
+        parse_h264,
+        parse_mp3,
+    )
+
+    rng = np.random.RandomState(3)
+    # 128 kbps (idx 9) at 44100 Hz (idx 0): header must be ff fb 90 00
+    # and the frame length 144*128000/44100 = 417 bytes exactly
+    p = encode_mp3(n_frames=3, bitrate_idx=9, sr_idx=0, rng=rng)
+    assert p[:4] == bytes([0xFF, 0xFB, 0x90, 0x00])
+    assert len(p) == 3 * 417
+    m = parse_mp3(p)
+    assert (m["bitrate_kbps"], m["sample_rate"], m["n_frames"]) == (128, 44100, 3)
+    assert m["duration_ms"] == 3 * 1152 * 1000.0 / 44100
+
+    # ID3v2 syncsafe size: 1000 = 0b111_1101000 → bytes 00 00 07 68
+    p = encode_mp3(n_frames=2, bitrate_idx=1, sr_idx=2, rng=rng, id3_size=1000)
+    assert p[:3] == b"ID3" and p[6:10] == bytes([0x00, 0x00, 0x07, 0x68])
+    assert parse_mp3(p)["n_frames"] == 2
+
+    with pytest.raises(ValueError):
+        parse_mp3(b"\xff\xfb\x90\x00junk")  # truncated mid-frame loses sync
+
+    # hand-derived SPS for 64x48 baseline (decoded bit-by-bit from the
+    # spec: ue(0) ue(0) ue(2) ue(1) 0 ue(3) ue(2) 1 0 0 0 stop+pad)
+    p = encode_h264(64, 48, 2, rng)
+    assert p[:4] == b"\x00\x00\x00\x01"
+    assert p[4:11] == bytes.fromhex("6742001eda11c4")
+    assert parse_h264(p) == {"width": 64, "height": 48, "n_frames": 2}
+
+    # cropping path: a foreign SPS carrying a crop rectangle (4:2:0
+    # units are 2 px) must yield non-multiple-of-16 dims
+    from flink_realtime_2024_spark.operators._mpeg import _BitWriter
+
+    w = _BitWriter()
+    w.u(66, 8); w.u(0, 8); w.u(30, 8)
+    w.ue(0); w.ue(0); w.ue(2); w.ue(1); w.u(0, 1)
+    w.ue(4 - 1)   # 64 px wide in mbs
+    w.ue(3 - 1)   # 48 px tall
+    w.u(1, 1); w.u(0, 1)
+    w.u(1, 1)                      # frame_cropping_flag
+    w.ue(0); w.ue(3); w.ue(0); w.ue(1)  # crop right 6 px, bottom 2 px
+    w.u(0, 1)
+    sps = b"\x00\x00\x00\x01" + bytes([0x67]) + _ep_insert(w.rbsp_trailing())
+    assert parse_h264(sps + b"\x00\x00\x01\x65\x10") == {
+        "width": 58, "height": 46, "n_frames": 1
+    }
+
+    # emulation prevention: 00 00 01/02/03 sequences survive the EBSP trip
+    for raw in (b"\x00\x00\x01", b"\x00\x00\x00\x00\x03ab\x00\x00\x02"):
+        assert _ep_strip(_ep_insert(raw)) == raw
+    assert _ep_insert(b"\x00\x00\x01") == b"\x00\x00\x03\x01"
+
+
+def test_mm_stream_meta_pipeline(spark):
+    """mm_stream_meta end-to-end: every document yields a parsed stream
+    row; MP3 rows carry audio fields, H.264 rows carry dims; no parse
+    failures across the whole fixture corpus."""
+    from flink_realtime_2024_spark.operators.multimodal import mm_stream_meta
+
+    rows = mm_stream_meta(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        if r["mime"] == "audio/mpeg":
+            assert r["sample_rate"] in (44100, 48000, 32000)
+            assert 32 <= r["bitrate_kbps"] <= 320 and r["width"] is None
+            assert r["duration_ms"] > 0
+        else:
+            assert r["mime"] == "video/h264"
+            assert r["width"] % 16 == 0 and r["height"] % 16 == 0
+            assert r["sample_rate"] is None and r["n_frames"] >= 2
