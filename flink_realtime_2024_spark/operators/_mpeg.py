@@ -8,15 +8,17 @@ filter, bucket, and cost media corpora. Those live in the stream
 STRUCTURE, which both specs define publicly and which this module
 reads (and writes, for fixtures) bit-exactly:
 
-- **MPEG-1 Layer III (ISO/IEC 11172-3)**: the 32-bit frame header —
-  11-bit syncword, version/layer fields, 4-bit bitrate index against
-  the Layer III table, 2-bit sample-rate index, padding bit — and the
-  resulting frame length ``144 * bitrate / sample_rate + padding``.
-  The walker validates the sync at every computed frame offset (a
-  real frame walk, not a single-header read), skips a leading ID3v2
-  tag via its syncsafe 28-bit size (ID3v2.3 spec §3.1), and derives
-  duration from the spec constant 1152 samples per MPEG-1 Layer III
-  frame.
+- **Layer III (ISO/IEC 11172-3; 13818-3 LSF; MPEG-2.5 extension)**:
+  the 32-bit frame header — 11-bit syncword, version/layer fields,
+  4-bit bitrate index against the per-version Layer III table, 2-bit
+  sample-rate index, padding bit — and the resulting frame length
+  ``(144|72) * bitrate / sample_rate + padding`` (72 for the
+  low-sampling-frequency MPEG-2/2.5 versions, whose frames carry 576
+  samples instead of 1152). The walker validates the sync at every
+  computed frame offset (a real frame walk, not a single-header
+  read), skips a leading ID3v2 tag via its syncsafe 28-bit size
+  (ID3v2.3 spec §3.1), and times each frame by its own version and
+  sample rate.
 - **H.264 Annex B (ITU-T H.264 §B.1 / §7.3.2.1)**: start-code NAL
   unit segmentation, RBSP emulation-prevention stripping (00 00 03 →
   00 00), and a bit-level exp-Golomb parse of the sequence parameter
@@ -40,15 +42,25 @@ from __future__ import annotations
 
 import numpy as np
 
-# --- MPEG-1 Layer III tables (ISO/IEC 11172-3, Table B.1 / §2.4.2.3) ---
+# --- Layer III tables (ISO/IEC 11172-3 Table B.1; ISO/IEC 13818-3 for
+# the MPEG-2 LSF column; MPEG-2.5 is the de-facto 0b00 version-bit
+# extension halving the MPEG-2 sample rates) ---
 
 MP3_BITRATES_KBPS = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
-MP3_SAMPLE_RATES = (44100, 48000, 32000)
-MP3_SAMPLES_PER_FRAME = 1152
+MP3_BITRATES_KBPS_V2 = (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+MP3_SAMPLE_RATES = (44100, 48000, 32000)       # MPEG-1 (version bits 11)
+MP3_SAMPLE_RATES_V2 = (22050, 24000, 16000)    # MPEG-2 (version bits 10)
+MP3_SAMPLE_RATES_V25 = (11025, 12000, 8000)    # MPEG-2.5 (version bits 00)
+MP3_SAMPLES_PER_FRAME = 1152                   # Layer III MPEG-1
+MP3_SAMPLES_PER_FRAME_LSF = 576                # Layer III MPEG-2/2.5 (LSF)
 
 
-def _mp3_frame_len(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
-    return 144 * bitrate_kbps * 1000 // sample_rate + padding
+def _mp3_frame_len(
+    bitrate_kbps: int, sample_rate: int, padding: int, lsf: bool = False
+) -> int:
+    # 144 = 1152 samples / 8 bits; LSF halves the granule count → 72
+    coeff = 72 if lsf else 144
+    return coeff * bitrate_kbps * 1000 // sample_rate + padding
 
 
 def encode_mp3(
@@ -87,12 +99,15 @@ def encode_mp3(
 
 
 def parse_mp3(payload: bytes) -> dict:
-    """Frame-walk an MPEG-1 Layer III stream: skip ID3v2, then validate
-    the 11-bit sync + version/layer fields at every computed frame
-    offset. Returns sample_rate, bitrate_kbps (of the first frame — CBR
-    fixtures), n_frames, duration_ms."""
+    """Frame-walk a Layer III stream (MPEG-1, MPEG-2 LSF, or MPEG-2.5):
+    skip ID3v2, then validate the 11-bit sync + version/layer fields at
+    every computed frame offset. Returns sample_rate, bitrate_kbps (of
+    the first frame — CBR fixtures), n_frames, duration_ms (summed
+    per-frame, so mixed-version streams still time correctly)."""
     off = 0
     if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
         size = (
             ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)
             | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
@@ -100,28 +115,44 @@ def parse_mp3(payload: bytes) -> dict:
         off = 10 + size
     n_frames = 0
     sample_rate = bitrate = None
+    # integer sample tally per rate, divided once at the end: for the
+    # (usual) single-rate stream this is bit-identical to the closed
+    # form n_frames * samples_per_frame * 1000.0 / sr that the
+    # mm_stream_meta DuckDB oracle computes (the driver gate is EXACT
+    # float equality), while mixed-rate streams still time correctly
+    samples_by_sr: dict[int, int] = {}
     while off + 4 <= len(payload):
         b0, b1, b2, _ = payload[off : off + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             raise ValueError(f"lost MP3 sync at offset {off}")
-        if (b1 & 0x18) >> 3 != 0b11 or (b1 & 0x06) >> 1 != 0b01:
-            raise ValueError("not MPEG-1 Layer III")
+        version = (b1 & 0x18) >> 3  # 11=MPEG-1, 10=MPEG-2, 00=MPEG-2.5
+        if version == 0b01 or (b1 & 0x06) >> 1 != 0b01:
+            raise ValueError("not a Layer III frame (reserved version/layer)")
+        lsf = version != 0b11
         br_idx, sr_idx, padding = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
         if not 1 <= br_idx <= 14 or sr_idx > 2:
             raise ValueError("reserved bitrate/sample-rate index")
-        fr_bitrate = MP3_BITRATES_KBPS[br_idx - 1]
-        fr_sr = MP3_SAMPLE_RATES[sr_idx]
+        fr_bitrate = (MP3_BITRATES_KBPS_V2 if lsf else MP3_BITRATES_KBPS)[br_idx - 1]
+        fr_sr = (
+            MP3_SAMPLE_RATES if version == 0b11
+            else MP3_SAMPLE_RATES_V2 if version == 0b10
+            else MP3_SAMPLE_RATES_V25
+        )[sr_idx]
         if sample_rate is None:
             sample_rate, bitrate = fr_sr, fr_bitrate
         n_frames += 1
-        off += _mp3_frame_len(fr_bitrate, fr_sr, padding)
+        spf = MP3_SAMPLES_PER_FRAME_LSF if lsf else MP3_SAMPLES_PER_FRAME
+        samples_by_sr[fr_sr] = samples_by_sr.get(fr_sr, 0) + spf
+        off += _mp3_frame_len(fr_bitrate, fr_sr, padding, lsf)
     if off != len(payload):
         raise ValueError("trailing bytes after last MP3 frame")
+    if n_frames == 0:
+        raise ValueError("no MP3 frames in payload")
     return {
         "sample_rate": sample_rate,
         "bitrate_kbps": bitrate,
         "n_frames": n_frames,
-        "duration_ms": n_frames * MP3_SAMPLES_PER_FRAME * 1000.0 / sample_rate,
+        "duration_ms": sum(s * 1000.0 / sr for sr, s in samples_by_sr.items()),
     }
 
 
@@ -292,6 +323,8 @@ def parse_h264(payload: bytes) -> dict:
     width = height = None
     n_frames = 0
     for nal in _split_nals(payload):
+        if not nal:  # adjacent start codes (stray zero padding)
+            continue
         ntype = nal[0] & 0x1F
         if ntype == 7 and width is None:
             r = _BitReader(_ep_strip(nal[1:]))

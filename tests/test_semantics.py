@@ -1582,6 +1582,30 @@ def test_mpeg_structure_codecs():
 
     with pytest.raises(ValueError):
         parse_mp3(b"\xff\xfb\x90\x00junk")  # truncated mid-frame loses sync
+    # dirty-corpus inputs fail as ValueError, not IndexError/TypeError:
+    # a curation kernel sees truncated tags and tagless stubs at scale
+    with pytest.raises(ValueError):
+        parse_mp3(b"ID3\x03\x00")  # truncated ID3v2 header
+    with pytest.raises(ValueError):
+        parse_mp3(b"\x00\x00")  # no sync at all → lost-sync error
+    with pytest.raises(ValueError):
+        parse_mp3(b"ID3\x03\x00\x00\x00\x00\x00\x00")  # tag only, 0 frames
+
+    # MPEG-2 LSF (ISO 13818-3): 64 kbps (V2-table idx 8) @ 22050 Hz →
+    # header ff f3 80 00, frame length 72*64000/22050 = 208, 576
+    # samples per frame
+    frame = bytes([0xFF, 0xF3, 0x80, 0x00]) + bytes(204)
+    m = parse_mp3(frame * 2)
+    assert (m["bitrate_kbps"], m["sample_rate"], m["n_frames"]) == (64, 22050, 2)
+    assert m["duration_ms"] == 2 * 576 * 1000.0 / 22050
+    # MPEG-2.5 (version bits 00): 8 kbps (idx 1) @ 8000 Hz → ff e3 18,
+    # frame length 72*8000/8000 = 72
+    frame = bytes([0xFF, 0xE3, 0x18, 0x00]) + bytes(68)
+    m = parse_mp3(frame * 3)
+    assert (m["bitrate_kbps"], m["sample_rate"], m["n_frames"]) == (8, 8000, 3)
+    assert m["duration_ms"] == 3 * 576 * 1000.0 / 8000
+    with pytest.raises(ValueError):
+        parse_mp3(bytes([0xFF, 0xEB, 0x90, 0x00]) + bytes(413))  # version 01 reserved
 
     # hand-derived SPS for 64x48 baseline (decoded bit-by-bit from the
     # spec: ue(0) ue(0) ue(2) ue(1) 0 ue(3) ue(2) 1 0 0 0 stop+pad)
@@ -1607,6 +1631,13 @@ def test_mpeg_structure_codecs():
     assert parse_h264(sps + b"\x00\x00\x01\x65\x10") == {
         "width": 58, "height": 46, "n_frames": 1
     }
+    # adjacent start codes (empty NAL from stray zero padding) are
+    # skipped, not an IndexError; a slice-less SPS-only stream parses
+    assert parse_h264(sps + b"\x00\x00\x01" + b"\x00\x00\x01\x65\x10") == {
+        "width": 58, "height": 46, "n_frames": 1
+    }
+    with pytest.raises(ValueError):
+        parse_h264(b"no start code here")
 
     # emulation prevention: 00 00 01/02/03 sequences survive the EBSP trip
     for raw in (b"\x00\x00\x01", b"\x00\x00\x00\x00\x03ab\x00\x00\x02"):
