@@ -774,29 +774,57 @@ def stream_meta(batches):
     """Metadata-extraction kernel: MP3 frame walk (every frame's sync
     validated, ID3v2 skipped) / H.264 NAL walk + exp-Golomb SPS parse.
     Arrow batch in → Arrow batch out."""
+    for pdf in batches:
+        rows = [
+            _stream_meta_row(asset_id, mime, payload)
+            for asset_id, mime, payload in zip(
+                pdf["asset_id"], pdf["mime"], pdf["payload"]
+            )
+        ]
+        yield pd.DataFrame(rows, columns=_STREAM_META_COLS)
+
+
+_STREAM_META_COLS = ["asset_id", "mime", "width", "height", "sample_rate",
+                     "bitrate_kbps", "n_frames", "duration_ms"]
+
+
+def _stream_meta_row(asset_id, mime, payload) -> tuple:
     from ._mpeg import parse_h264, parse_mp3
 
+    payload = bytes(payload)
+    if mime == "audio/mpeg":
+        m = parse_mp3(payload)
+        return (int(asset_id), mime, None, None, m["sample_rate"],
+                m["bitrate_kbps"], m["n_frames"], m["duration_ms"])
+    m = parse_h264(payload)
+    return (int(asset_id), mime, m["width"], m["height"], None,
+            None, m["n_frames"], None)
+
+
+STREAM_META_TOLERANT_SCHEMA = T.StructType(
+    STREAM_META_SCHEMA.fields + [T.StructField("parse_error", T.StringType())]
+)
+
+
+def stream_meta_tolerant(batches):
+    """Error-isolating twin of ``stream_meta``: a corrupt payload yields
+    one typed error row (null metadata + ``parse_error``) instead of
+    failing the whole Spark task — at 100 TB a single truncated upload
+    must not kill a scan stage and its retries. The oracle id keeps the
+    strict kernel (fixtures parse clean, and silent nulls there would
+    mask codec regressions); this is the ingest-side default for
+    crawled corpora. Same Arrow batch shape, one extra string column."""
     for pdf in batches:
         rows = []
         for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"], pdf["payload"]):
-            payload = bytes(payload)
-            if mime == "audio/mpeg":
-                m = parse_mp3(payload)
+            try:
+                rows.append(_stream_meta_row(asset_id, mime, payload) + (None,))
+            except (ValueError, IndexError) as exc:
                 rows.append(
-                    (int(asset_id), mime, None, None, m["sample_rate"],
-                     m["bitrate_kbps"], m["n_frames"], m["duration_ms"])
+                    (int(asset_id), mime, None, None, None, None, None, None,
+                     f"{type(exc).__name__}: {exc}")
                 )
-            else:
-                m = parse_h264(payload)
-                rows.append(
-                    (int(asset_id), mime, m["width"], m["height"], None,
-                     None, m["n_frames"], None)
-                )
-        yield pd.DataFrame(
-            rows,
-            columns=["asset_id", "mime", "width", "height", "sample_rate",
-                     "bitrate_kbps", "n_frames", "duration_ms"],
-        )
+        yield pd.DataFrame(rows, columns=_STREAM_META_COLS + ["parse_error"])
 
 
 def build_stream_assets(spark: SparkSession, sf_dir: str) -> DataFrame:

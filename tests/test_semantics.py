@@ -1663,3 +1663,50 @@ def test_mm_stream_meta_pipeline(spark):
             assert r["mime"] == "video/h264"
             assert r["width"] % 16 == 0 and r["height"] % 16 == 0
             assert r["sample_rate"] is None and r["n_frames"] >= 2
+
+
+def test_stream_meta_tolerant_isolates_corrupt_rows(spark):
+    """Error isolation for the 100 TB scan: one corrupt payload in a
+    batch yields a typed error row (null metadata + parse_error) while
+    every other row still parses — the task, and hence the stage, never
+    fails. Checked at the kernel level (pure pandas generator) and
+    through the real mapInPandas plumbing."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_realtime_2024_spark.operators._mpeg import encode_h264, encode_mp3
+    from flink_realtime_2024_spark.operators.multimodal import (
+        STREAM_META_TOLERANT_SCHEMA,
+        stream_meta_tolerant,
+    )
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [1, 2, 3, 4],
+            "mime": ["audio/mpeg", "video/h264", "audio/mpeg", "video/h264"],
+            "payload": [
+                encode_mp3(n_frames=3, bitrate_idx=9, sr_idx=0, rng=rng),
+                encode_h264(64, 48, 2, rng),
+                b"ID3\x03\x00",            # truncated ID3v2 header
+                b"no start code at all",   # not Annex-B
+            ],
+        }
+    )
+    out = pd.concat(stream_meta_tolerant([pdf]))
+    assert len(out) == 4
+    good = out[out["parse_error"].isna()]
+    bad = out[out["parse_error"].notna()]
+    assert sorted(good["asset_id"]) == [1, 2] and sorted(bad["asset_id"]) == [3, 4]
+    assert good.set_index("asset_id").loc[1, "bitrate_kbps"] == 128
+    assert good.set_index("asset_id").loc[2, "width"] == 64
+    assert bad["parse_error"].str.startswith("ValueError").all()
+    assert bad[["width", "height", "sample_rate", "n_frames"]].isna().all().all()
+
+    # the same batch through real mapInPandas: the job completes
+    sdf = spark.createDataFrame(pdf).mapInPandas(
+        stream_meta_tolerant, STREAM_META_TOLERANT_SCHEMA
+    )
+    collected = sdf.collect()
+    assert len(collected) == 4
+    assert sum(r["parse_error"] is not None for r in collected) == 2
