@@ -1710,3 +1710,28 @@ def test_stream_meta_tolerant_isolates_corrupt_rows(spark):
     collected = sdf.collect()
     assert len(collected) == 4
     assert sum(r["parse_error"] is not None for r in collected) == 2
+
+
+def test_html_extract_semantics_and_plan(spark):
+    """llm_html_extract: every synthesized page has exactly 4 blocks of
+    which the nav and footer (link density >= 0.5) are dropped and the
+    content + mixed blocks kept; the plan is a single narrow scan with
+    zero exchanges and the output struct is computed once (lambda-bound,
+    not re-inlined per column)."""
+    from flink_realtime_2024_spark.operators.llm import llm_html_extract
+
+    df = llm_html_extract(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_blocks"] == 4
+        assert r["n_kept"] == 2
+        # kept = full content block + "See more on <snippet>" block
+        assert r["main_len"] > 0
+        assert r["main_prefix"] and "<" not in r["main_prefix"]
+        assert "nav1" not in (r["main_prefix"] or "")
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "per-row extraction must not shuffle"
+    # the expensive regex pipeline appears once, in one Project node
+    assert plan.count("regexp_extract_all(concat(") <= 1
