@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -490,42 +491,69 @@ def synthesize_assets(batches):
         yield pd.DataFrame(out, columns=["asset_id", "mime", "payload"])
 
 
+_DECODE_STATS_COLS = [
+    "asset_id", "mime", "n_bytes", "width", "height",
+    "duration_ms", "mean_value", "checksum",
+]
+
+
+def _decode_stats_row(asset_id, mime, payload) -> tuple:
+    payload = bytes(payload)
+    checksum = hashlib.md5(payload).hexdigest()
+    if mime.startswith("image/"):
+        s = decode_image(payload)
+        return (int(asset_id), mime, len(payload), s["width"], s["height"],
+                None, s["mean_value"], checksum)
+    if mime.startswith("audio/"):
+        s = decode_audio(payload)
+        return (int(asset_id), mime, len(payload), None, None,
+                s["duration_ms"], s["mean_value"], checksum)
+    if mime.startswith("video/"):
+        s = decode_video(payload)
+        return (int(asset_id), mime, len(payload), s["width"], s["height"],
+                s["duration_ms"], s["mean_value"], checksum)
+    raise ValueError(f"no decoder for mime {mime}")
+
+
 def decode_stats(batches):
     """Real decode kernel: parses each payload's container format and
     computes pixel/sample statistics in numpy. Arrow batch in → Arrow
     batch out; executor memory is bounded by the batch size."""
     for pdf in batches:
+        rows = [
+            _decode_stats_row(asset_id, mime, payload)
+            for asset_id, mime, payload in zip(
+                pdf["asset_id"], pdf["mime"], pdf["payload"]
+            )
+        ]
+        yield pd.DataFrame(rows, columns=_DECODE_STATS_COLS)
+
+
+DECODE_STATS_TOLERANT_SCHEMA = T.StructType(
+    DECODE_STATS_SCHEMA.fields + [T.StructField("decode_error", T.StringType())]
+)
+
+
+def decode_stats_tolerant(batches):
+    """Error-isolating twin of ``decode_stats`` (same contract as
+    ``stream_meta_tolerant``): a corrupt or unknown-mime payload yields
+    one typed error row (null stats + ``decode_error``) instead of
+    failing the Spark task. The strict kernel stays on the oracle ids —
+    fixtures decode clean, and silent nulls there would mask codec
+    regressions; this is the ingest-side default for crawled media."""
+    for pdf in batches:
         rows = []
         for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"], pdf["payload"]):
-            payload = bytes(payload)
-            checksum = hashlib.md5(payload).hexdigest()
-            if mime.startswith("image/"):
-                s = decode_image(payload)
+            try:
+                rows.append(_decode_stats_row(asset_id, mime, payload) + (None,))
+            except (ValueError, IndexError, KeyError, struct.error, zlib.error) as exc:
+                payload = bytes(payload)
                 rows.append(
-                    (int(asset_id), mime, len(payload), s["width"], s["height"],
-                     None, s["mean_value"], checksum)
+                    (int(asset_id), mime, len(payload), None, None, None, None,
+                     hashlib.md5(payload).hexdigest(),
+                     f"{type(exc).__name__}: {exc}")
                 )
-            elif mime.startswith("audio/"):
-                s = decode_audio(payload)
-                rows.append(
-                    (int(asset_id), mime, len(payload), None, None,
-                     s["duration_ms"], s["mean_value"], checksum)
-                )
-            elif mime.startswith("video/"):
-                s = decode_video(payload)
-                rows.append(
-                    (int(asset_id), mime, len(payload), s["width"], s["height"],
-                     s["duration_ms"], s["mean_value"], checksum)
-                )
-            else:
-                raise ValueError(f"no decoder for mime {mime}")
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "asset_id", "mime", "n_bytes", "width", "height",
-                "duration_ms", "mean_value", "checksum",
-            ],
-        )
+        yield pd.DataFrame(rows, columns=_DECODE_STATS_COLS + ["decode_error"])
 
 
 def build_assets(spark: SparkSession, sf_dir: str) -> DataFrame:

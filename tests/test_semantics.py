@@ -1735,3 +1735,43 @@ def test_html_extract_semantics_and_plan(spark):
     assert "Exchange" not in plan, "per-row extraction must not shuffle"
     # the expensive regex pipeline appears once, in one Project node
     assert plan.count("regexp_extract_all(concat(") <= 1
+
+
+def test_decode_stats_tolerant_isolates_corrupt_rows(spark):
+    """decode_stats_tolerant: corrupt media payloads and unknown mimes
+    become typed error rows (null stats + decode_error, checksum still
+    recorded for quarantine audits) while valid assets in the same
+    batch decode normally — same contract as stream_meta_tolerant."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_realtime_2024_spark.operators.multimodal import (
+        DECODE_STATS_TOLERANT_SCHEMA,
+        decode_stats_tolerant,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(11)
+    good_bmp = encode_bmp(rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [1, 2, 3],
+            "mime": ["image/bmp", "image/png", "application/x-unknown"],
+            "payload": [good_bmp, b"\x89PNG\r\n\x1a\n truncated", b"????"],
+        }
+    )
+    out = pd.concat(decode_stats_tolerant([pdf]))
+    assert len(out) == 3
+    good = out[out["decode_error"].isna()]
+    bad = out[out["decode_error"].notna()]
+    assert list(good["asset_id"]) == [1] and sorted(bad["asset_id"]) == [2, 3]
+    assert good.iloc[0]["width"] == 8 and good.iloc[0]["height"] == 8
+    assert bad["checksum"].notna().all()  # quarantine audit trail survives
+    assert bad[["width", "height", "duration_ms", "mean_value"]].isna().all().all()
+
+    sdf = spark.createDataFrame(pdf).mapInPandas(
+        decode_stats_tolerant, DECODE_STATS_TOLERANT_SCHEMA
+    )
+    collected = sdf.collect()
+    assert len(collected) == 3
+    assert sum(r["decode_error"] is not None for r in collected) == 2
