@@ -3757,13 +3757,13 @@ WITH h AS (
       AS html
   FROM h
 ), b AS (
-  SELECT doc_id, regexp_extract_all(html, '<p>(.*?)</p>', 1) AS blocks FROM p
+  SELECT doc_id, regexp_extract_all(html, '(?i)<p[^>]*>(.*?)</p>', 1) AS blocks FROM p
 ), k AS (
   SELECT doc_id, blocks,
     list_transform(
       list_filter(blocks, bl ->
         2 * COALESCE(list_sum(list_transform(
-              regexp_extract_all(bl, '<a[^>]*>([^<]*)</a>', 1), x -> length(x))), 0)
+              regexp_extract_all(bl, '(?i)<a[^>]*>([^<]*)</a>', 1), x -> length(x))), 0)
           < length(regexp_replace(bl, '<[^>]*>', '', 'g'))),
       bl -> regexp_replace(bl, '<[^>]*>', '', 'g')) AS kept
   FROM b
@@ -3777,62 +3777,29 @@ FROM k
 """
 
 
-@register("llm_html_extract", oracle=_HTML_EXTRACT_ORACLE, section="L4,L5")
-def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4/L5 main-content extraction (HTML boilerplate removal) — the
-    crawl-curation step between "fetched page" and every text filter in
-    this family: segment a page into blocks, score each block's LINK
-    DENSITY (anchor-text chars / tag-stripped text chars — the core
-    readability/jusText/trafilatura signal, all public heuristics),
-    drop nav/footer blocks at density >= 0.5, and emit the surviving
-    text. The page corpus is synthesized deterministically from the
-    documents fixture (seeded nav-link count from md5 byte 3, content
-    block, a mixed editorial block, a link-only footer) so the DuckDB
-    oracle re-derives both the synthesis AND the extraction
-    independently; one regex, density, or ordering divergence anywhere
-    fails the value hash.
-
-    Scale shape: pure per-row JVM expressions (concat / sequence /
-    regexp_extract_all / higher-order filter-transform-aggregate) —
-    zero Python crossings, zero shuffles, embarrassingly parallel over
-    any partitioning at 100 TB. The block array is bound once as a
-    lambda variable (the shingle_str_expr lesson: Catalyst inlines
-    plain column references into every use site, re-running the regex
-    per reference) and the kept/stripped array likewise, so each regex
-    pass runs exactly once per row."""
-    docs = load_table(spark, sf_dir, "documents")
-    txt = F.coalesce(F.col("text"), F.lit(""))
-    hx = F.md5(txt)
-    n_nav = (F.conv(F.substring(hx, 7, 2), 16, 10).cast("int") % 4) + 2
-    nav = F.aggregate(
-        F.sequence(F.lit(1), n_nav),
-        F.lit(""),
-        lambda acc, i: F.concat(
-            acc, F.lit('<a href="u'), i.cast("string"),
-            F.lit('">nav'), i.cast("string"), F.lit("</a>"),
-        ),
-    )
-    html = F.concat(
-        F.lit("<html><body><p>"), nav,
-        F.lit("</p><p>"), txt,
-        F.lit('</p><p>See <a href="m">more</a> on '), F.substring(txt, 1, 40),
-        F.lit('</p><p><a href="c">(c) corp</a> <a href="t">terms</a></p></body></html>'),
-    )
+def html_extract_expr(html) -> F.Column:
+    """Main-content extraction as ONE reusable JVM expression over any
+    HTML string column: returns struct(n_blocks, n_kept, main_len,
+    main_prefix). Case-insensitive, attribute-tolerant block
+    segmentation (``(?i)<p[^>]*>``), per-block link density, density
+    >= 0.5 dropped, survivors tag-stripped and joined. The block and
+    kept arrays are bound as lambda variables (the shingle_str_expr
+    lesson — Catalyst inlines plain column references into every use
+    site, re-running the regex per output column), so each regex pass
+    evaluates exactly once per row."""
 
     def strip_tags(b):
         return F.regexp_replace(b, F.lit("<[^>]*>"), F.lit(""))
 
     def link_chars(b):
         return F.aggregate(
-            F.regexp_extract_all(b, F.lit("<a[^>]*>([^<]*)</a>"), F.lit(1)),
+            F.regexp_extract_all(b, F.lit("(?i)<a[^>]*>([^<]*)</a>"), F.lit(1)),
             F.lit(0),
             lambda a, x: a + F.length(x),
         )
 
-    blocks = F.regexp_extract_all(html, F.lit("<p>(.*?)</p>"), F.lit(1))
-    # bind blocks, then the kept/stripped array, as lambda variables so
-    # each regex pass evaluates once per row (not once per output col)
-    row = F.element_at(
+    blocks = F.regexp_extract_all(html, F.lit("(?i)<p[^>]*>(.*?)</p>"), F.lit(1))
+    return F.element_at(
         F.transform(
             F.array(blocks),
             lambda bl: F.element_at(
@@ -3865,4 +3832,48 @@ def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     )
-    return docs.select("doc_id", row.alias("r")).select("doc_id", "r.*")
+
+
+@register("llm_html_extract", oracle=_HTML_EXTRACT_ORACLE, section="L4,L5")
+def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L5 main-content extraction (HTML boilerplate removal) — the
+    crawl-curation step between "fetched page" and every text filter in
+    this family: segment a page into blocks, score each block's LINK
+    DENSITY (anchor-text chars / tag-stripped text chars — the core
+    readability/jusText/trafilatura signal, all public heuristics),
+    drop nav/footer blocks at density >= 0.5, and emit the surviving
+    text. The page corpus is synthesized deterministically from the
+    documents fixture (seeded nav-link count from md5 byte 3, content
+    block, a mixed editorial block, a link-only footer) so the DuckDB
+    oracle re-derives both the synthesis AND the extraction
+    independently; one regex, density, or ordering divergence anywhere
+    fails the value hash.
+
+    Scale shape: pure per-row JVM expressions (concat / sequence /
+    regexp_extract_all / higher-order filter-transform-aggregate) —
+    zero Python crossings, zero shuffles, embarrassingly parallel over
+    any partitioning at 100 TB. The extraction itself is the reusable
+    :func:`html_extract_expr` (also exercised on hand-written foreign
+    markup with attributes and mixed-case tags in pytest); this query
+    binds it to the deterministically synthesized page corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    hx = F.md5(txt)
+    n_nav = (F.conv(F.substring(hx, 7, 2), 16, 10).cast("int") % 4) + 2
+    nav = F.aggregate(
+        F.sequence(F.lit(1), n_nav),
+        F.lit(""),
+        lambda acc, i: F.concat(
+            acc, F.lit('<a href="u'), i.cast("string"),
+            F.lit('">nav'), i.cast("string"), F.lit("</a>"),
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), nav,
+        F.lit("</p><p>"), txt,
+        F.lit('</p><p>See <a href="m">more</a> on '), F.substring(txt, 1, 40),
+        F.lit('</p><p><a href="c">(c) corp</a> <a href="t">terms</a></p></body></html>'),
+    )
+    return docs.select("doc_id", html_extract_expr(html).alias("r")).select(
+        "doc_id", "r.*"
+    )

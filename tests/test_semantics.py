@@ -1775,3 +1775,29 @@ def test_decode_stats_tolerant_isolates_corrupt_rows(spark):
     collected = sdf.collect()
     assert len(collected) == 3
     assert sum(r["decode_error"] is not None for r in collected) == 2
+
+
+def test_html_extract_expr_on_foreign_markup(spark):
+    """html_extract_expr is a reusable primitive, not a fixture-bound
+    query: hand-written markup with tag attributes, mixed-case tags,
+    and unquoted hrefs segments and scores correctly."""
+    from flink_realtime_2024_spark.operators.llm import html_extract_expr
+
+    page = (
+        '<HTML><BODY>'
+        '<P class="nav"><a href=/>Home</a> <a href=/about>About</a></P>'
+        '<p id="main">Actual article text long enough to be kept easily.</p>'
+        '<p><A HREF="x">subscribe</A></p>'
+        '</BODY></HTML>'
+    )
+    r = (
+        spark.createDataFrame([(page,)], "html string")
+        .select(html_extract_expr(F.col("html")).alias("r"))
+        .select("r.*")
+        .collect()[0]
+    )
+    # nav (density 18/10) and subscribe (18/9) dropped; article kept
+    assert r["n_blocks"] == 3
+    assert r["n_kept"] == 1
+    assert r["main_prefix"].startswith("Actual article text")
+    assert "<" not in r["main_prefix"]
