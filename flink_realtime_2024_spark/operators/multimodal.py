@@ -226,27 +226,24 @@ def encode_wav_mulaw(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Decode a BMP, PPM, PNG, or baseline JPEG payload to real pixel
-    stats: width, height, mean pixel value over all RGB samples. PNG
-    (zlib inflate + unfiltering) and JPEG (Huffman + dequant + IDCT,
+    """Decode a BMP, PPM, PNG, GIF, or JPEG payload to real pixel
+    stats: width, height, mean pixel value over all RGB samples, plus
+    the exact integer (sum, count) pair behind that mean — integer
+    sums survive any aggregation order bit-exactly, which is what lets
+    the per-mime rollup carry a full DuckDB oracle. PNG (zlib inflate +
+    unfiltering), GIF (LZW), and JPEG (Huffman + dequant + IDCT,
     operators/_jpeg.py) are genuinely COMPRESSED containers."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         px = decode_png(payload)
-        h, w = px.shape[:2]
-        return {"width": int(w), "height": int(h), "mean_value": float(px.mean())}
-    if payload[:2] == b"\xff\xd8":
+    elif payload[:2] == b"\xff\xd8":
         from ._jpeg import decode_jpeg
 
         px = decode_jpeg(payload)
-        h, w = px.shape[:2]
-        return {"width": int(w), "height": int(h), "mean_value": float(px.mean())}
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
         from ._gif import decode_gif
 
         px = decode_gif(payload)
-        h, w = px.shape[:2]
-        return {"width": int(w), "height": int(h), "mean_value": float(px.mean())}
-    if payload[:2] == b"BM":
+    elif payload[:2] == b"BM":
         data_off = struct.unpack_from("<I", payload, 10)[0]
         w, h = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
@@ -264,7 +261,14 @@ def decode_image(payload: bytes) -> dict:
         px = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
     else:
         raise ValueError(f"unknown image magic {payload[:2]!r}")
-    return {"width": int(w), "height": int(abs(h)), "mean_value": float(px.mean())}
+    h, w = px.shape[:2]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mean_value": float(px.mean()),
+        "value_sum": int(px.astype(np.int64).sum()),
+        "value_count": int(px.size),
+    }
 
 
 def _wav_parse(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
@@ -305,10 +309,13 @@ def decode_audio(payload: bytes) -> dict:
     returns sample rate, duration, RMS amplitude."""
     _, channels, rate, _, samples = _wav_parse(payload)
     n = len(samples) // channels
+    sq = int((samples.astype(np.int64) ** 2).sum())
     return {
         "sample_rate": int(rate),
         "duration_ms": 1000.0 * n / rate,
-        "mean_value": float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))),
+        "mean_value": float(np.sqrt(sq / max(len(samples), 1))),
+        "value_sum": sq,  # Σ sample² — RMS's exact integer numerator
+        "value_count": int(len(samples)),
     }
 
 
@@ -375,13 +382,13 @@ def decode_video(payload: bytes) -> dict:
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
     frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
-    off, luma_sum, n_frames = nl + 1, 0.0, 0
+    off, luma_sum, n_frames = nl + 1, 0, 0
     while off < len(payload):
         fnl = payload.index(b"\n", off)
         if payload[off : off + 5] != b"FRAME":
             raise ValueError("malformed Y4M frame marker")
         yplane = np.frombuffer(payload, dtype=np.uint8, offset=fnl + 1, count=w * h)
-        luma_sum += float(yplane.mean())
+        luma_sum += int(yplane.astype(np.int64).sum())
         n_frames += 1
         off = fnl + 1 + frame_bytes
     return {
@@ -389,7 +396,11 @@ def decode_video(payload: bytes) -> dict:
         "height": int(h),
         "n_frames": n_frames,
         "duration_ms": 1000.0 * n_frames * den / num,
-        "mean_value": luma_sum / max(n_frames, 1),
+        # mean luma as an exact integer ratio (frames are equal-sized,
+        # so this equals the mean of per-frame means)
+        "mean_value": luma_sum / max(n_frames * w * h, 1),
+        "value_sum": luma_sum,
+        "value_count": int(n_frames * w * h),
     }
 
 
@@ -415,75 +426,118 @@ DECODE_STATS_SCHEMA = T.StructType(
         T.StructField("duration_ms", T.DoubleType()),
         T.StructField("mean_value", T.DoubleType()),
         T.StructField("checksum", T.StringType()),
+        # exact integer numerator/denominator behind mean_value (pixel
+        # sum, Σ sample², or luma sum): integer partial sums are
+        # aggregation-order-independent, so per-mime rollups built from
+        # them hash-match a DuckDB oracle bit-for-bit
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("value_count", T.LongType()),
     ]
 )
 
 
+def _seq_bytes(n: int, a: int, b: int, p: int) -> np.ndarray:
+    """Deterministic pseudo-noise byte sequence: the i-th value is
+    ``(a + b*i + (i*i) % p) % 256``. Chosen over an RNG on purpose —
+    the same closed form is a one-line DuckDB expression, so every
+    pixel/sample the synthesizer emits can be re-derived by the
+    independent SQL oracle (the r9 change that flips mm_decode_stats /
+    mm_resize_stats from rows-only to full-oracle). The quadratic term
+    keeps runs non-periodic enough to exercise PNG filtering, LZW, and
+    Huffman coding for real."""
+    i = np.arange(n, dtype=np.int64)
+    return ((a + b * i + (i * i) % p) % 256).astype(np.uint8)
+
+
+def _jpeg_block_values(w: int, h: int, s: int) -> np.ndarray:
+    """Per-8×8-block constant values for the synthetic JPEG class:
+    ``v = 128 + 5*m`` with ``m = ((s + 7*blockno) % 51) - 25``. The
+    restriction to multiples of 5 around 128 makes the quality-85
+    quant roundtrip EXACTLY lossless (q00 = 5 for both tables, so
+    DC = 8m quantizes/dequantizes to 40m and the IDCT reconstructs
+    5m + 128 = v bit-for-bit; AC and chroma coefficients quantize to
+    exact zero for block-constant gray input) — pytest-pinned for both
+    the baseline and progressive encoders. That exactness is what lets
+    a DuckDB oracle state the decoded pixel sums of a LOSSY codec."""
+    W8, H8 = (w + 7) // 8, (h + 7) // 8
+    bi = np.arange(H8 * W8, dtype=np.int64).reshape(H8, W8)
+    m = (s + 7 * bi) % 51 - 25
+    return (128 + 5 * m).astype(np.uint8)
+
+
 def synthesize_assets(batches):
-    """Deterministic media generator: md5(text) seeds pixel/sample data,
-    then the REAL encoders produce well-formed BMP / PPM / PNG / WAV
-    (PCM16 + μ-law) / Y4M bytes. (Stands in for reading actual media
-    files, which the fixture set lacks — everything downstream of this
-    kernel is a real decode, including zlib-compressed PNG.)"""
+    """Deterministic media generator: md5(text) seeds every content
+    byte via closed-form integer sequences (``_seq_bytes`` — NOT an
+    RNG, so a DuckDB oracle can re-derive the decoded statistics), then
+    the REAL encoders produce well-formed BMP / PPM / PNG / JPEG / GIF /
+    WAV (PCM16 + μ-law) / Y4M bytes. (Stands in for reading actual
+    media files, which the fixture set lacks — everything downstream of
+    this kernel is a real decode, including zlib-compressed PNG and
+    Huffman-coded JPEG.)"""
     for pdf in batches:
         out = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             seed = hashlib.md5((text or "").encode("utf-8")).digest()
-            rng = np.random.RandomState(np.frombuffer(seed[:4], dtype=np.uint32)[0])
             kind = int(doc_id) % 8
             if kind == 7:
                 from ._gif import encode_gif
 
                 w, h = 8 + int(seed[0]) % 24, 8 + int(seed[1]) % 24
+                p = np.arange(w * h, dtype=np.int64)
+                idx = ((int(seed[2]) + 5 * p + (p * p) % 199) % 256).astype(np.uint8)
+                j = np.arange(256, dtype=np.int64)
+                gray = ((int(seed[3]) + 37 * j) % 256).astype(np.uint8)
                 payload = encode_gif(
-                    rng.randint(0, 256, size=(h, w), dtype=np.uint8),
-                    rng.randint(0, 256, size=(256, 3)).astype(np.uint8),
+                    idx.reshape(h, w), np.repeat(gray[:, None], 3, axis=1)
                 )
                 mime = "image/gif"
             elif kind == 6:
                 from ._jpeg import encode_jpeg, encode_jpeg_progressive
 
                 # alternate baseline / PROGRESSIVE (SOF2, r7) payloads:
-                # same dims + mime, so the md5-seed oracle is unchanged
-                # while the driver's hash now covers Annex-G decode too
+                # same dims + mime + (exactly-roundtripping) content, so
+                # one oracle covers Annex-F and Annex-G decode alike
                 enc = encode_jpeg if (int(doc_id) // 8) % 2 == 0 else encode_jpeg_progressive
                 w, h = 8 + int(seed[15]) % 24, 8 + int(seed[3]) % 24
-                payload = enc(
-                    rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8), quality=85
-                )
+                v = _jpeg_block_values(w, h, int(seed[5]))
+                px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)[:h, :w]
+                payload = enc(np.repeat(px[:, :, None], 3, axis=2), quality=85)
                 mime = "image/jpeg"
             elif kind == 4:
                 w, h = 8 + int(seed[12]) % 24, 8 + int(seed[13]) % 24
-                payload = encode_png(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+                payload = encode_png(_seq_bytes(w * h * 3, int(seed[6]), 17, 239).reshape(h, w, 3))
                 mime = "image/png"
             elif kind == 5:
+                # content = μ-law CODE points, stored via the companding
+                # encoder: expand∘compress∘expand is the identity, so
+                # the decoded int16 samples are a closed form of the code
                 n = 256 + int(seed[14]) * 8
-                payload = encode_wav_mulaw(
-                    rng.randint(-20000, 20000, size=n).astype(np.int16), rate=8000
-                )
+                codes = ((int(seed[8]) + 7 * np.arange(n, dtype=np.int64)) % 256).astype(np.uint8)
+                payload = encode_wav_mulaw(_mulaw_expand(codes), rate=8000)
                 mime = "audio/basic+wav"
             elif kind == 0:
                 w, h = 8 + int(seed[4]) % 24, 8 + int(seed[5]) % 24
-                payload = encode_bmp(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+                payload = encode_bmp(_seq_bytes(w * h * 3, int(seed[2]), 11, 251).reshape(h, w, 3))
                 mime = "image/bmp"
             elif kind == 1:
                 n = 256 + int(seed[6]) * 8
-                payload = encode_wav(
-                    rng.randint(-2048, 2048, size=n).astype(np.int16), rate=8000
-                )
+                i = np.arange(n, dtype=np.int64)
+                samples = ((int(seed[7]) + 29 * i + (i * i) % 233) % 4096 - 2048).astype(np.int16)
+                payload = encode_wav(samples, rate=8000)
                 mime = "audio/wav"
             elif kind == 2:
                 w, h = 8 + int(seed[7]) % 24, 8 + int(seed[8]) % 24
-                payload = encode_ppm(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+                payload = encode_ppm(_seq_bytes(w * h * 3, int(seed[3]), 13, 241).reshape(h, w, 3))
                 mime = "image/x-portable-pixmap"
             else:
-                # even dims (4:2:0 chroma), 4-11 frames
+                # even dims (4:2:0 chroma), 4-11 frames; only luma is
+                # measured downstream, chroma planes are flat 128
                 w, h = 8 + 2 * (int(seed[9]) % 8), 8 + 2 * (int(seed[10]) % 8)
                 nf = 4 + int(seed[11]) % 8
                 payload = encode_y4m(
-                    rng.randint(0, 256, size=(nf, h, w), dtype=np.uint8),
-                    rng.randint(0, 256, size=(nf, h // 2, w // 2), dtype=np.uint8),
-                    rng.randint(0, 256, size=(nf, h // 2, w // 2), dtype=np.uint8),
+                    _seq_bytes(nf * h * w, int(seed[12]), 19, 251).reshape(nf, h, w),
+                    np.full((nf, h // 2, w // 2), 128, np.uint8),
+                    np.full((nf, h // 2, w // 2), 128, np.uint8),
                     fps=(5, 1),
                 )
                 mime = "video/x-yuv4mpeg"
@@ -493,7 +547,7 @@ def synthesize_assets(batches):
 
 _DECODE_STATS_COLS = [
     "asset_id", "mime", "n_bytes", "width", "height",
-    "duration_ms", "mean_value", "checksum",
+    "duration_ms", "mean_value", "checksum", "value_sum", "value_count",
 ]
 
 
@@ -503,15 +557,17 @@ def _decode_stats_row(asset_id, mime, payload) -> tuple:
     if mime.startswith("image/"):
         s = decode_image(payload)
         return (int(asset_id), mime, len(payload), s["width"], s["height"],
-                None, s["mean_value"], checksum)
+                None, s["mean_value"], checksum, s["value_sum"], s["value_count"])
     if mime.startswith("audio/"):
         s = decode_audio(payload)
         return (int(asset_id), mime, len(payload), None, None,
-                s["duration_ms"], s["mean_value"], checksum)
+                s["duration_ms"], s["mean_value"], checksum,
+                s["value_sum"], s["value_count"])
     if mime.startswith("video/"):
         s = decode_video(payload)
         return (int(asset_id), mime, len(payload), s["width"], s["height"],
-                s["duration_ms"], s["mean_value"], checksum)
+                s["duration_ms"], s["mean_value"], checksum,
+                s["value_sum"], s["value_count"])
     raise ValueError(f"no decoder for mime {mime}")
 
 
@@ -550,7 +606,7 @@ def decode_stats_tolerant(batches):
                 payload = bytes(payload)
                 rows.append(
                     (int(asset_id), mime, len(payload), None, None, None, None,
-                     hashlib.md5(payload).hexdigest(),
+                     hashlib.md5(payload).hexdigest(), None, None,
                      f"{type(exc).__name__}: {exc}")
                 )
         yield pd.DataFrame(rows, columns=_DECODE_STATS_COLS + ["decode_error"])
@@ -566,8 +622,13 @@ RESIZE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
         T.StructField("mime", T.StringType()),
-        T.StructField("thumb_mean", T.DoubleType()),  # 8x8 nearest thumb / frame RMS
-        T.StructField("n_units", T.IntegerType()),  # pixels or frames sampled
+        # exact integer feature numerator/denominator: thumbnail pixel
+        # sum (images/video) or Σ frame-sample² (audio) — kept integral
+        # so the rollup is aggregation-order independent and a DuckDB
+        # oracle can re-derive it bit-exactly
+        T.StructField("feat_sum", T.LongType()),
+        T.StructField("feat_count", T.LongType()),
+        T.StructField("n_units", T.IntegerType()),  # thumb pixels / frames sampled
     ]
 )
 
@@ -578,8 +639,10 @@ _FRAME_LEN = 256
 
 def resize_stats(batches):
     """Feature-extract kernel: images → 8×8 nearest-neighbor thumbnail
-    mean; audio → mean RMS over 4 evenly-spaced 256-sample frames. The
-    decode+downsample happens per Arrow batch on executors."""
+    (pixel sum over 8×8×3 samples); video → luma thumbnails of 4
+    evenly-spaced frames; audio → pooled energy (Σ sample²) over 4
+    evenly-spaced 256-sample frames. The decode+downsample happens per
+    Arrow batch on executors; sums stay integral for exact rollups."""
     for pdf in batches:
         rows = []
         for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"], pdf["payload"]):
@@ -609,7 +672,10 @@ def resize_stats(batches):
                     w, ah = (int(x) for x in parts[1].split())
                     px = np.frombuffer(parts[3], dtype=np.uint8, count=w * ah * 3).reshape(ah, w, 3)
                 thumb = resize_nearest(px, _THUMB, _THUMB)
-                rows.append((int(asset_id), mime, float(thumb.mean()), _THUMB * _THUMB))
+                rows.append(
+                    (int(asset_id), mime, int(thumb.astype(np.int64).sum()),
+                     int(thumb.size), _THUMB * _THUMB)
+                )
             elif mime.startswith("video/"):
                 # frame-sample: decode header once, thumbnail the luma
                 # plane of up to _N_FRAMES evenly-spaced frames
@@ -630,46 +696,274 @@ def resize_stats(batches):
                 n = len(starts)
                 take = min(n, _N_FRAMES)
                 idx = (np.arange(take) * max(n - 1, 0)) // max(take - 1, 1)
-                means = []
+                fs = fc = 0
                 for i in idx:
                     yplane = np.frombuffer(
                         payload, dtype=np.uint8, offset=starts[i], count=w * h
                     ).reshape(h, w)
                     lum3 = np.repeat(yplane[:, :, None], 3, axis=2)
-                    means.append(float(resize_nearest(lum3, _THUMB, _THUMB).mean()))
-                rows.append((int(asset_id), mime, float(np.mean(means)), take))
+                    thumb = resize_nearest(lum3, _THUMB, _THUMB)
+                    fs += int(thumb.astype(np.int64).sum())
+                    fc += int(thumb.size)
+                rows.append((int(asset_id), mime, fs, fc, take))
             else:
                 # same RIFF chunk walk as decode_audio — no fixed
                 # offsets, so LIST/extra chunks can't mis-parse here
                 _, _, _, _, samples = _wav_parse(payload)
                 frames = frame_sample(samples, _N_FRAMES, _FRAME_LEN)
-                rms = np.sqrt(np.mean(frames.astype(np.float64) ** 2, axis=1))
-                rows.append((int(asset_id), mime, float(rms.mean()), _N_FRAMES))
-        yield pd.DataFrame(rows, columns=["asset_id", "mime", "thumb_mean", "n_units"])
-
-
-@register("mm_resize_stats", oracle=None, section="L6")
-def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6 feature-extract pipeline: decode → nearest-neighbor resize
-    (images) / evenly-spaced frame sampling (audio) → per-mime feature
-    rollup, all inside one mapInPandas pass. Rows-only; kernel exactness
-    is pytest-asserted on hand-built fixtures."""
-    feats = build_assets(spark, sf_dir).mapInPandas(resize_stats, RESIZE_STATS_SCHEMA)
-    return feats.groupBy("mime").agg(
-        F.count(F.lit(1)).alias("n_assets"),
-        F.round(F.avg("thumb_mean"), 6).alias("avg_feature"),
-        F.sum("n_units").alias("total_units"),
-    )
+                rows.append(
+                    (int(asset_id), mime,
+                     int((frames.astype(np.int64) ** 2).sum()),
+                     int(frames.size), _N_FRAMES)
+                )
+        yield pd.DataFrame(
+            rows, columns=["asset_id", "mime", "feat_sum", "feat_count", "n_units"]
+        )
 
 
 def _md5_byte_sql(k: int) -> str:
     """DuckDB expression for byte ``k`` of md5(COALESCE(text,'')) —
     the seed bytes the asset synthesizer derives every container
-    dimension from."""
+    dimension AND every content byte from."""
     p = 2 * k + 1
     return (
         f"((strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) * 16"
         f" + (strpos('0123456789abcdef', substr(hx, {p + 1}, 1)) - 1))"
+    )
+
+
+# Shared oracle prefix: per-asset synthesis parameters (dims, sample
+# counts, content-formula seed bytes) re-derived in SQL from
+# md5(text) — the same seed the Python synthesizer uses. ``w``/``hh``
+# are pixel dims, ``n`` sample counts, ``nf`` frame counts.
+_MM_PARAMS_CTE = f"""
+WITH h AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS hx, doc_id % 8 AS kind FROM documents
+), d AS (
+  SELECT doc_id, kind,
+         {_md5_byte_sql(2)} AS s2, {_md5_byte_sql(3)} AS s3,
+         {_md5_byte_sql(5)} AS s5, {_md5_byte_sql(6)} AS s6,
+         {_md5_byte_sql(7)} AS s7, {_md5_byte_sql(8)} AS s8,
+         {_md5_byte_sql(12)} AS s12,
+         CASE kind WHEN 0 THEN 8 + {_md5_byte_sql(4)} % 24
+                   WHEN 2 THEN 8 + {_md5_byte_sql(7)} % 24
+                   WHEN 4 THEN 8 + {_md5_byte_sql(12)} % 24
+                   WHEN 6 THEN 8 + {_md5_byte_sql(15)} % 24
+                   WHEN 7 THEN 8 + {_md5_byte_sql(0)} % 24
+                   WHEN 3 THEN 8 + 2 * ({_md5_byte_sql(9)} % 8) END AS w,
+         CASE kind WHEN 0 THEN 8 + {_md5_byte_sql(5)} % 24
+                   WHEN 2 THEN 8 + {_md5_byte_sql(8)} % 24
+                   WHEN 4 THEN 8 + {_md5_byte_sql(13)} % 24
+                   WHEN 6 THEN 8 + {_md5_byte_sql(3)} % 24
+                   WHEN 7 THEN 8 + {_md5_byte_sql(1)} % 24
+                   WHEN 3 THEN 8 + 2 * ({_md5_byte_sql(10)} % 8) END AS hh,
+         CASE kind WHEN 1 THEN 256 + {_md5_byte_sql(6)} * 8
+                   WHEN 5 THEN 256 + {_md5_byte_sql(14)} * 8 END AS n,
+         CASE kind WHEN 3 THEN 4 + {_md5_byte_sql(11)} % 8 END AS nf
+  FROM h
+)
+"""
+
+_MM_MIME_SQL = """
+  CASE kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+            WHEN 2 THEN 'image/x-portable-pixmap' WHEN 3 THEN 'video/x-yuv4mpeg'
+            WHEN 4 THEN 'image/png' WHEN 5 THEN 'audio/basic+wav'
+            WHEN 6 THEN 'image/jpeg' ELSE 'image/gif' END
+"""
+
+# G.711 μ-law expansion of code point ``(s8 + 7*i) % 256`` → |sample|
+# (the companding roundtrip is the identity on canonical code points,
+# so this IS the decoded magnitude; sign squares away).
+_MULAW_MAG_SQL = (
+    "LATERAL (SELECT 255 - ((s8 + 7 * i) % 256) AS uu) cu,\n"
+    "    LATERAL (SELECT (((uu % 16) * 8 + 132) * (1 << ((uu // 16) % 8))) - 132 AS mag) cm"
+)
+
+_DECODE_STATS_ORACLE = f"""
+{_MM_PARAMS_CTE},
+img AS (
+  SELECT doc_id,
+         SUM(CASE kind WHEN 0 THEN (s2 + 11 * i + (i * i) % 251) % 256
+                       WHEN 2 THEN (s3 + 13 * i + (i * i) % 241) % 256
+                       ELSE (s6 + 17 * i + (i * i) % 239) % 256 END) AS vs,
+         COUNT(*) AS vc
+  FROM d, LATERAL (SELECT unnest(generate_series(0, w * hh * 3 - 1)) AS i) u
+  WHERE kind IN (0, 2, 4) GROUP BY doc_id
+),
+jpg AS (
+  SELECT doc_id,
+         SUM((128 + 5 * (((s5 + 7 * (by * ((w + 7) // 8) + bx)) % 51) - 25))
+             * LEAST(8, w - 8 * bx) * LEAST(8, hh - 8 * by) * 3) AS vs,
+         w * hh * 3 AS vc
+  FROM d,
+    LATERAL (SELECT unnest(generate_series(0, (w + 7) // 8 - 1)) AS bx) ux,
+    LATERAL (SELECT unnest(generate_series(0, (hh + 7) // 8 - 1)) AS by) uy
+  WHERE kind = 6 GROUP BY doc_id, w, hh
+),
+gif AS (
+  SELECT doc_id,
+         3 * SUM((s3 + 37 * ((s2 + 5 * i + (i * i) % 199) % 256)) % 256) AS vs,
+         3 * COUNT(*) AS vc
+  FROM d, LATERAL (SELECT unnest(generate_series(0, w * hh - 1)) AS i) u
+  WHERE kind = 7 GROUP BY doc_id
+),
+pcm AS (
+  SELECT doc_id, SUM(smp * smp) AS vs, COUNT(*) AS vc
+  FROM d,
+    LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) u,
+    LATERAL (SELECT (s7 + 29 * i + (i * i) % 233) % 4096 - 2048 AS smp) cs
+  WHERE kind = 1 GROUP BY doc_id
+),
+mul AS (
+  SELECT doc_id, SUM(mag * mag) AS vs, COUNT(*) AS vc
+  FROM d,
+    LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) u,
+    {_MULAW_MAG_SQL}
+  WHERE kind = 5 GROUP BY doc_id
+),
+y4m AS (
+  SELECT doc_id, SUM((s12 + 19 * g + (g * g) % 251) % 256) AS vs, COUNT(*) AS vc
+  FROM d, LATERAL (SELECT unnest(generate_series(0, nf * w * hh - 1)) AS g) u
+  WHERE kind = 3 GROUP BY doc_id
+),
+assets AS (
+  SELECT d.doc_id, {_MM_MIME_SQL} AS mime,
+         CASE WHEN kind IN (1, 5) THEN NULL ELSE w END AS width,
+         CASE WHEN kind IN (1, 5) THEN NULL ELSE hh END AS height,
+         CASE WHEN kind IN (1, 5) THEN 1000.0 * n / 8000
+              WHEN kind = 3 THEN nf * 200.0 END AS duration_ms,
+         COALESCE(img.vs, jpg.vs, gif.vs, pcm.vs, mul.vs, y4m.vs) AS vs,
+         COALESCE(img.vc, jpg.vc, gif.vc, pcm.vc, mul.vc, y4m.vc) AS vc
+  FROM d
+  LEFT JOIN img USING (doc_id) LEFT JOIN jpg USING (doc_id)
+  LEFT JOIN gif USING (doc_id) LEFT JOIN pcm USING (doc_id)
+  LEFT JOIN mul USING (doc_id) LEFT JOIN y4m USING (doc_id)
+)
+SELECT mime,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(vc) AS BIGINT) AS total_values,
+       AVG(width) AS avg_width,
+       AVG(height) AS avg_height,
+       AVG(duration_ms) AS avg_duration_ms,
+       CASE WHEN mime LIKE 'audio/%'
+            THEN sqrt(CAST(SUM(vs) AS DOUBLE) / CAST(SUM(vc) AS DOUBLE))
+            ELSE CAST(SUM(vs) AS DOUBLE) / CAST(SUM(vc) AS DOUBLE) END
+         AS pooled_mean_value
+FROM assets GROUP BY mime
+"""
+
+_RESIZE_STATS_ORACLE = f"""
+{_MM_PARAMS_CTE},
+rimg AS (
+  SELECT doc_id, SUM(val) AS fs, COUNT(*) AS fc
+  FROM d,
+    LATERAL (SELECT unnest(generate_series(0, 7)) AS tj) a,
+    LATERAL (SELECT unnest(generate_series(0, 7)) AS tk) b,
+    LATERAL (SELECT unnest(generate_series(0, 2)) AS c) cc,
+    LATERAL (SELECT (((tj * hh) // 8) * w + (tk * w) // 8) * 3 + c AS i) ii,
+    LATERAL (SELECT CASE kind WHEN 0 THEN (s2 + 11 * i + (i * i) % 251) % 256
+                              WHEN 2 THEN (s3 + 13 * i + (i * i) % 241) % 256
+                              ELSE (s6 + 17 * i + (i * i) % 239) % 256 END AS val) vv
+  WHERE kind IN (0, 2, 4) GROUP BY doc_id
+),
+rjpg AS (
+  SELECT doc_id,
+         3 * SUM(128 + 5 * (((s5 + 7 * ((((tj * hh) // 8) // 8) * ((w + 7) // 8)
+                                        + ((tk * w) // 8) // 8)) % 51) - 25)) AS fs,
+         3 * COUNT(*) AS fc
+  FROM d,
+    LATERAL (SELECT unnest(generate_series(0, 7)) AS tj) a,
+    LATERAL (SELECT unnest(generate_series(0, 7)) AS tk) b
+  WHERE kind = 6 GROUP BY doc_id
+),
+rgif AS (
+  SELECT doc_id,
+         3 * SUM((s3 + 37 * ((s2 + 5 * p0 + (p0 * p0) % 199) % 256)) % 256) AS fs,
+         3 * COUNT(*) AS fc
+  FROM d,
+    LATERAL (SELECT unnest(generate_series(0, 7)) AS tj) a,
+    LATERAL (SELECT unnest(generate_series(0, 7)) AS tk) b,
+    LATERAL (SELECT ((tj * hh) // 8) * w + (tk * w) // 8 AS p0) pp
+  WHERE kind = 7 GROUP BY doc_id
+),
+rpcm AS (
+  SELECT doc_id, SUM(smp * smp) AS fs, COUNT(*) AS fc
+  FROM d,
+    LATERAL (SELECT unnest(generate_series(0, 3)) AS fj) a,
+    LATERAL (SELECT unnest(generate_series(0, 255)) AS t) b,
+    LATERAL (SELECT (fj * (n - 256)) // 3 + t AS i) ii,
+    LATERAL (SELECT (s7 + 29 * i + (i * i) % 233) % 4096 - 2048 AS smp) cs
+  WHERE kind = 1 GROUP BY doc_id
+),
+rmul AS (
+  SELECT doc_id, SUM(mag * mag) AS fs, COUNT(*) AS fc
+  FROM d,
+    LATERAL (SELECT unnest(generate_series(0, 3)) AS fj) a,
+    LATERAL (SELECT unnest(generate_series(0, 255)) AS t) b,
+    LATERAL (SELECT (fj * (n - 256)) // 3 + t AS i) ii,
+    {_MULAW_MAG_SQL}
+  WHERE kind = 5 GROUP BY doc_id
+),
+rvid AS (
+  SELECT doc_id, 3 * SUM((s12 + 19 * g + (g * g) % 251) % 256) AS fs,
+         3 * COUNT(*) AS fc
+  FROM d,
+    LATERAL (SELECT unnest(generate_series(0, 3)) AS fj) a,
+    LATERAL (SELECT unnest(generate_series(0, 7)) AS tj) b,
+    LATERAL (SELECT unnest(generate_series(0, 7)) AS tk) c,
+    LATERAL (SELECT ((fj * (nf - 1)) // 3) * w * hh
+                    + ((tj * hh) // 8) * w + (tk * w) // 8 AS g) gg
+  WHERE kind = 3 GROUP BY doc_id
+),
+rassets AS (
+  SELECT d.doc_id, {_MM_MIME_SQL} AS mime,
+         COALESCE(rimg.fs, rjpg.fs, rgif.fs, rpcm.fs, rmul.fs, rvid.fs) AS fs,
+         COALESCE(rimg.fc, rjpg.fc, rgif.fc, rpcm.fc, rmul.fc, rvid.fc) AS fc,
+         CASE WHEN kind IN (1, 5, 3) THEN 4 ELSE 64 END AS n_units
+  FROM d
+  LEFT JOIN rimg USING (doc_id) LEFT JOIN rjpg USING (doc_id)
+  LEFT JOIN rgif USING (doc_id) LEFT JOIN rpcm USING (doc_id)
+  LEFT JOIN rmul USING (doc_id) LEFT JOIN rvid USING (doc_id)
+)
+SELECT mime,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CASE WHEN mime LIKE 'audio/%'
+            THEN sqrt(CAST(SUM(fs) AS DOUBLE) / CAST(SUM(fc) AS DOUBLE))
+            ELSE CAST(SUM(fs) AS DOUBLE) / CAST(SUM(fc) AS DOUBLE) END
+         AS avg_feature,
+       CAST(SUM(n_units) AS BIGINT) AS total_units
+FROM rassets GROUP BY mime
+"""
+
+
+@register("mm_resize_stats", oracle=_RESIZE_STATS_ORACLE, section="L6", reverify=9)
+def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 feature-extract pipeline with a FULL oracle (r9, previously
+    rows-only): decode → 8×8 nearest-neighbor thumbnail (images, incl.
+    zlib/LZW/Huffman-compressed PNG+GIF+JPEG), evenly-spaced luma frame
+    thumbnails (video), pooled frame energy (audio) — all inside one
+    mapInPandas pass, rolled up per mime from EXACT integer sums. The
+    oracle re-derives every sampled pixel/sample from the synthesizer's
+    md5 seed via the closed-form content sequences (``_seq_bytes``,
+    ``_jpeg_block_values``) and replays the same nearest-neighbor /
+    frame-sampling index math in SQL; integer numerators make the
+    per-mime ratio bit-exact in any aggregation order. One wrong
+    decode byte, resize index, or frame offset fails the hash."""
+    feats = build_assets(spark, sf_dir).mapInPandas(resize_stats, RESIZE_STATS_SCHEMA)
+    g = feats.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("feat_sum").alias("_fs"),
+        F.sum("feat_count").alias("_fc"),
+        F.sum("n_units").alias("total_units"),
+    )
+    ratio = F.col("_fs").cast("double") / F.col("_fc").cast("double")
+    return g.select(
+        "mime",
+        "n_assets",
+        F.when(F.col("mime").startswith("audio/"), F.sqrt(ratio))
+        .otherwise(ratio)
+        .alias("avg_feature"),
+        "total_units",
     )
 
 
@@ -720,20 +1014,46 @@ def mm_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("asset_id", "mime", "width", "height", "duration_ms")
 
 
-@register("mm_decode_stats", oracle=None, section="L6")
+@register("mm_decode_stats", oracle=_DECODE_STATS_ORACLE, section="L6", reverify=9)
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6 multimodal pipeline: binary asset table → REAL decode kernel
-    (BMP/PPM header+pixel parse, WAV chunk walk + RMS) via mapInPandas,
-    aggregated per mime type. Rows-only (binary kernels aren't
-    SQL-expressible)."""
+    """L6 multimodal pipeline with a FULL oracle (r9, previously
+    rows-only): binary asset table → REAL decode kernel (PNG zlib
+    inflate + unfilter, JPEG Huffman + dequant + IDCT, GIF LZW, BMP/PPM
+    header+pixel parse, WAV chunk walk incl. μ-law expansion, Y4M frame
+    walk) via mapInPandas, aggregated per mime from EXACT integer
+    pixel/sample sums. The oracle re-derives every decoded value from
+    the synthesizer's md5 seed: content bytes are closed-form integer
+    sequences (``_seq_bytes``), the JPEG class is built from
+    exactly-roundtripping block constants (``_jpeg_block_values``), and
+    μ-law samples are canonical code points whose expansion is a SQL
+    one-liner. ``pooled_mean_value`` is SUM(value_sum)/SUM(value_count)
+    — an integer ratio, bit-exact in any aggregation order (audio
+    reports the pooled RMS, sqrt of the mean square). A single wrong
+    bit anywhere in the encode→decode path shifts an integer sum and
+    fails the hash. ``total_values`` counts decoded samples, not
+    payload bytes: compressed-container byte counts are an encoder
+    implementation detail, decoded volume is the invariant."""
     decoded = build_assets(spark, sf_dir).mapInPandas(decode_stats, DECODE_STATS_SCHEMA)
-    return decoded.groupBy("mime").agg(
+    g = decoded.groupBy("mime").agg(
         F.count(F.lit(1)).alias("n_assets"),
-        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("value_count").alias("total_values"),
         F.avg("width").alias("avg_width"),
         F.avg("height").alias("avg_height"),
         F.avg("duration_ms").alias("avg_duration_ms"),
-        F.avg("mean_value").alias("avg_mean_value"),
+        F.sum("value_sum").alias("_vs"),
+        F.sum("value_count").alias("_vc"),
+    )
+    ratio = F.col("_vs").cast("double") / F.col("_vc").cast("double")
+    return g.select(
+        "mime",
+        "n_assets",
+        "total_values",
+        "avg_width",
+        "avg_height",
+        "avg_duration_ms",
+        F.when(F.col("mime").startswith("audio/"), F.sqrt(ratio))
+        .otherwise(ratio)
+        .alias("pooled_mean_value"),
     )
 
 

@@ -484,6 +484,54 @@ def test_multimodal_resize_and_frame_sample(spark):
         assert r["n_assets"] > 0 and r["avg_feature"] > 0
 
 
+def test_jpeg_block_constant_roundtrip_exact():
+    """The mm full-oracle contract for the LOSSY class: images built
+    from `_jpeg_block_values` (per-8×8-block constants v = 128 + 5m)
+    decode back BIT-EXACTLY under quality-85 quantization, for BOTH the
+    baseline and progressive encoders. This is the property that lets a
+    DuckDB oracle state the decoded pixel sums of a Huffman-coded JPEG;
+    if a quant-table, DCT, or rounding change breaks it, this test
+    fails before the driver's hash does."""
+    from flink_realtime_2024_spark.operators._jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        _quality_tables,
+    )
+    from flink_realtime_2024_spark.operators.multimodal import _jpeg_block_values
+
+    ql, qc = _quality_tables(85)
+    # the exactness argument requires DC quant step 5 (so DC = 8m ⇄ 40m)
+    assert ql[0, 0] == 5 and qc[0, 0] == 5
+    for s, w, h in [(0, 8, 8), (7, 31, 9), (123, 17, 31), (255, 24, 24)]:
+        v = _jpeg_block_values(w, h, s)
+        px1 = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)[:h, :w]
+        px = np.repeat(px1[:, :, None], 3, axis=2)
+        for enc in (encode_jpeg, encode_jpeg_progressive):
+            assert np.array_equal(decode_jpeg(enc(px, quality=85)), px), (
+                f"lossy roundtrip not exact: {enc.__name__} {w}x{h} seed {s}"
+            )
+
+
+def test_mulaw_canonical_codes_roundtrip_exact():
+    """The other lossy-class oracle contract: samples synthesized as
+    μ-law EXPANSIONS of canonical code points survive compress→expand
+    unchanged (companding is the identity on its own output), so the
+    SQL expansion formula states the decoded values exactly."""
+    from flink_realtime_2024_spark.operators.multimodal import (
+        _mulaw_compress,
+        _mulaw_expand,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    samples = _mulaw_expand(codes)
+    assert np.array_equal(_mulaw_expand(_mulaw_compress(samples)), samples)
+    # and the SQL formula: mag = ((u%16)*8 + 132) * 2^((u//16)%8) - 132
+    u = (255 - codes.astype(np.int64)) % 256
+    mag = ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+    assert np.array_equal(np.abs(samples.astype(np.int64)), mag)
+
+
 def test_multimodal_pipeline_decodes_real_bytes(spark):
     """End-to-end: synthesized BMP/PPM/PNG/WAV(PCM+μ-law)/Y4M payloads
     flow through the mapInPandas decode kernel; spot-check a few assets
@@ -503,8 +551,8 @@ def test_multimodal_pipeline_decodes_real_bytes(spark):
         "image/gif", "audio/wav", "audio/basic+wav", "video/x-yuv4mpeg"
     }
     for mime, r in agg.items():
-        assert r["n_assets"] > 0 and r["total_bytes"] > 0
-        assert r["avg_mean_value"] is not None
+        assert r["n_assets"] > 0 and r["total_values"] > 0
+        assert r["pooled_mean_value"] is not None
         if mime.startswith("image/"):
             assert r["avg_width"] > 0 and r["avg_height"] > 0
         else:
