@@ -356,6 +356,29 @@ _SF3_QUERIES = (
 )
 
 
+def _staged_probe_dir(prefix: str, *params) -> str:
+    """Content-addressed staging dir for a probe corpus: the digest
+    covers the source fixture files (name/size/mtime_ns) plus the
+    probe parameters, so regenerating the fixture IN PLACE produces a
+    new dir instead of silently reusing a stale corpus — the same
+    stale-staging class the IVF index and hot staging already guard
+    against (stage_digest over size/mtime). Stale same-prefix siblings
+    are pruned to bound /tmp growth."""
+    from flink_realtime_2024_spark.sources.io import _prune_stale, stage_digest
+
+    parts = [os.path.normpath(SF_DIR)]
+    for f in sorted(os.listdir(SF_DIR)):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(SF_DIR, f))
+            parts += [f, st.st_size, st.st_mtime_ns]
+    digest = stage_digest(*parts, *params)
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    stem = f"{prefix}_{tag}"
+    dst = os.path.join(tempfile.gettempdir(), f"{stem}_{digest}")
+    _prune_stale(tempfile.gettempdir(), f"{stem}_", f"{stem}_{digest}")
+    return dst
+
+
 def _scale_probe(
     spark,
     builders,
@@ -375,10 +398,7 @@ def _scale_probe(
     near-dup structure rather than N-way exact duplicate groups."""
     import pyspark.sql.functions as F
 
-    probe_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"sfx{replication}_probe_{os.path.basename(SF_DIR.rstrip('/'))}",
-    )
+    probe_dir = _staged_probe_dir(f"sfx{replication}_probe", replication)
     marker = os.path.join(probe_dir, "_STAGED_OK_V2")
     t0 = time.perf_counter()
     if not os.path.exists(marker):
@@ -554,10 +574,7 @@ def _skew_probe(spark) -> dict:
     )
 
     replication, hot_fraction_target = 10, 0.3
-    probe_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"skew_probe_{os.path.basename(SF_DIR.rstrip('/'))}",
-    )
+    probe_dir = _staged_probe_dir("skew_probe", replication, hot_fraction_target)
     marker = os.path.join(probe_dir, "_STAGED_OK")
     key_off = 10_000_000
     t0 = time.perf_counter()

@@ -112,7 +112,11 @@ def parse_mp3(payload: bytes) -> dict:
             ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)
             | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
         )
-        off = 10 + size
+        # the syncsafe size excludes the 10-byte header AND the 10-byte
+        # footer an ID3v2.4 tag may append (flags bit 0x10) — skipping
+        # only `10 + size` on a footered tag would lose sync 10 bytes
+        # early and misclassify a valid file as corrupt
+        off = 10 + size + (10 if payload[5] & 0x10 else 0)
     n_frames = 0
     sample_rate = bitrate = None
     # integer sample tally per rate, divided once at the end: for the

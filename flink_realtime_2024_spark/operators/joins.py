@@ -371,9 +371,18 @@ def detect_hot_keys(
     memory is bounded by ``max_keys``; the sample pass is a
     scan+partial-agg, a small fraction of the join it protects. At
     100 TB this is the same pre-pass AQE's skew statistics do at
-    runtime, available to plans AQE can't rewrite."""
+    runtime, available to plans AQE can't rewrite.
+
+    NULL keys are excluded: they never match an equi-join predicate
+    (so salting them buys nothing), and `F.col(key).isin(hot_keys)`
+    can never select them anyway — without this filter a null-heavy
+    key column (the most common real skew source) would silently get
+    NO salting while its rows still hash to a single reducer. Callers
+    with null-skewed inputs should filter nulls before the join; inner
+    joins drop them by definition."""
     counts = (
         df.sample(fraction=sample_fraction, seed=7)
+        .filter(F.col(key).isNotNull())
         .groupBy(key)
         .count()
         .filter(F.col("count") >= min_sampled_rows)

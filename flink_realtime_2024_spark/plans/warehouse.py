@@ -287,13 +287,25 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             spark.conf.get("spark.sql.catalogImplementation", "in-memory")
             == "in-memory"
         ), "bucketed staging assumes a per-session in-memory catalog"
-        if spark.catalog.tableExists(name):
-            continue
         st = os.stat(os.path.join(sf_dir, f"{src}.parquet"))
         digest = stage_digest(
             os.path.normpath(sf_dir), src, st.st_size, st.st_mtime_ns, _N_BUCKETS
         )
         dst = os.path.join(tempfile.gettempdir(), f"bucketed_{name}_{digest}")
+        if spark.catalog.tableExists(name):
+            # the catalog entry pins the digest dir it was created on;
+            # an in-place fixture regeneration mid-session would make
+            # it serve STALE bucketed data (same class as the IVF
+            # stale-index bug, session-scoped). Trust it only if its
+            # LOCATION matches the freshly computed digest.
+            loc = (
+                spark.sql(f"DESCRIBE FORMATTED {name}")
+                .filter("col_name = 'Location'")
+                .first()["data_type"]
+            )
+            if loc.rstrip("/").endswith(f"_{digest}"):
+                continue
+            spark.sql(f"DROP TABLE {name}")  # external: files survive
         # same per-destination lock discipline as io.py's hot staging:
         # two in-process threads racing here would collide on the
         # scratch table and on the final CREATE TABLE (tableExists was

@@ -261,11 +261,14 @@ def stream_window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="stream_cumulate_out_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # integer-exact bucket arithmetic (pmod, no float division):
-        # window.start is 15-min aligned, so offset/900000 ∈ {0,1,2,3}
+        # integer-exact bucket arithmetic (pmod + integer `div`, no
+        # float division anywhere): window.start is 15-min aligned,
+        # so pmod(ms, 1h) div 15min ∈ {0,1,2,3}
         ms = F.unix_millis(F.col("window.start"))
         hour = ms - F.pmod(ms, F.lit(3600000))
-        step_idx = (F.pmod(ms, F.lit(3600000)) / F.lit(900000)).cast("int") + 1
+        step_idx = F.expr(
+            "CAST(pmod(unix_millis(window.start), 3600000) DIV 900000 AS INT) + 1"
+        )
         (
             batch_df.select(
                 hour.alias("window_start_ms"),

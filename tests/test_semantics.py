@@ -1628,6 +1628,17 @@ def test_mpeg_structure_codecs():
     assert p[:3] == b"ID3" and p[6:10] == bytes([0x00, 0x00, 0x07, 0x68])
     assert parse_mp3(p)["n_frames"] == 2
 
+    # ID3v2.4 with FOOTER flag (0x10): the syncsafe size covers only
+    # the tag body; a 10-byte "3DI" footer follows it. The skip must
+    # add those 10 bytes or sync is lost 10 bytes early (ADVICE r8).
+    bare = encode_mp3(n_frames=2, bitrate_idx=1, sr_idx=2, rng=rng)
+    body = bytes(range(1, 33))  # 32-byte tag body, no embedded 0xFF
+    tag = (
+        b"ID3\x04\x00\x10" + bytes([0, 0, 0, len(body)]) + body
+        + b"3DI\x04\x00\x10" + bytes([0, 0, 0, len(body)])
+    )
+    assert parse_mp3(tag + bare)["n_frames"] == 2
+
     with pytest.raises(ValueError):
         parse_mp3(b"\xff\xfb\x90\x00junk")  # truncated mid-frame loses sync
     # dirty-corpus inputs fail as ValueError, not IndexError/TypeError:
