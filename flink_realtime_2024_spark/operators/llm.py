@@ -2412,9 +2412,15 @@ def kmeans_assign(
 @register("llm_kmeans_clusters", oracle=None, section="L3")
 def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: corpus clustering by distributed k-means (the grouping step
-    behind SemDeDup-style curation and IVF index builds). Rows-only:
-    iterative — not SQL-expressible; determinism + quality are
-    pytest-asserted (fixed init, in-cluster cosine beats random)."""
+    behind SemDeDup-style curation and IVF index builds). Rows-only
+    because it is ITERATIVE (8 dependent Lloyd rounds — not expressible
+    as one SQL query for DuckDB), not because it is fuzzy: the
+    assignment is pinned EXACTLY equal to a single-node NumPy replay of
+    the same schedule by tests/test_semantics.py::
+    test_kmeans_equals_sequential_reference, which also proves the
+    exactness is robust (every round's min argmax margin ≥ 1e-9, four
+    orders above float-reduction noise) rather than lucky. Determinism
+    + quality-vs-1-cluster are separately pytest-asserted."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb).select("vec_id", "cluster_id")
 
@@ -2473,8 +2479,10 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas per cluster (``semdedup_pipeline``). At 100 TB,
     oversized clusters would be sub-sharded by a second-level
     clustering; cluster sizes here are ≤ a few hundred. Rows-only: the
-    cluster-scoped definition is iterative; pytest injects near-copies
-    and checks the flagged set exactly."""
+    cluster-scoped definition is iterative (it inherits the k-means
+    rounds — whose assignments ARE pinned exactly to a sequential NumPy
+    reference, see test_kmeans_equals_sequential_reference); pytest
+    injects near-copies and checks the flagged set exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup_pipeline(kmeans_assign(emb))
 

@@ -717,6 +717,71 @@ def test_bloom_decontaminate_equals_exact(spark):
     assert exact == bloom
 
 
+def test_kmeans_equals_sequential_reference(spark):
+    """EXACT assignment equivalence against a single-node NumPy replay
+    of the same schedule (init = first k vectors by vec_id, 8 Lloyd
+    rounds, mean → renormalize, empty cluster keeps its centroid).
+
+    Why exactness is legitimate to assert despite distributed float
+    summation: the only nondeterminism in the Spark path is the ORDER
+    in which per-batch partial sums are reduced, which perturbs each
+    centroid coordinate by at most ~n·ε ≈ 1e-13 relative. An argmax
+    assignment can only differ if some vector's best-vs-second-best
+    dot-product margin is below that noise floor — so this test also
+    measures the minimum margin at EVERY round of the reference replay
+    and asserts it is ≥ 1e-9, four orders of magnitude above the noise.
+    With that margin the distributed and sequential assignments are
+    equal by induction over rounds (equal assignments ⇒ same cluster
+    member sets ⇒ sums differ only in addition order ⇒ next-round
+    centroids within noise ⇒ equal assignments again), not by luck.
+    If a future fixture ever trips the margin guard, THAT failure —
+    not a flaky mismatch — is the signal the corpus has a genuine
+    decision-boundary tie and the id must stay rows-only."""
+    from flink_realtime_2024_spark.operators.llm import (
+        _KMEANS_K,
+        _KMEANS_ROUNDS,
+        kmeans_assign,
+    )
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    rows = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    k = min(_KMEANS_K, len(ids))
+    cent = E[order[:k]].copy()
+    min_margin = np.inf
+    for _ in range(_KMEANS_ROUNDS):
+        dots = E @ cent.T
+        part = np.partition(dots, dots.shape[1] - 2, axis=1)
+        min_margin = min(min_margin, float((part[:, -1] - part[:, -2]).min()))
+        a = dots.argmax(axis=1)
+        for c in range(k):
+            sel = E[a == c]
+            if len(sel):
+                m = sel.sum(axis=0) / len(sel)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cent[c] = m / nrm
+    dots = E @ cent.T
+    part = np.partition(dots, dots.shape[1] - 2, axis=1)
+    min_margin = min(min_margin, float((part[:, -1] - part[:, -2]).min()))
+    ref = dict(zip(ids.tolist(), dots.argmax(axis=1).tolist()))
+
+    assert min_margin >= 1e-9, (
+        f"argmax margin {min_margin} is within float-reduction noise: "
+        "exact equivalence is not assertable on this corpus"
+    )
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(load_table(spark, SF_DIR, "embeddings")).collect()
+    }
+    assert got == ref, (
+        f"distributed k-means diverged from the sequential reference on "
+        f"{sum(1 for v in got if got[v] != ref[v])}/{len(ref)} vectors"
+    )
+
+
 def test_kmeans_deterministic_and_better_than_random(spark):
     """Fixed init + fixed rounds ⇒ bit-stable assignment across runs;
     quality: mean cosine-to-own-centroid must beat assigning everything
