@@ -301,6 +301,7 @@ def _compact_summary(out: dict) -> dict:
 _SF1_QUERIES = (
     # LLM showcases
     "llm_dedup_minhash",
+    "llm_dedup_simhash",  # probed so banding recall is measured at scale
     "llm_knn_ivf_partitioned",
     "llm_decontaminate",
     "llm_fuzzy_pairs",
@@ -329,6 +330,7 @@ _SF3_REPLICATION = 30
 # manual 30× record, now regenerated per-round instead of transcribed)
 _SF3_QUERIES = (
     "llm_dedup_minhash",
+    "llm_dedup_simhash",  # probed so banding recall is measured at scale
     "llm_knn_ivf_partitioned",
     "llm_decontaminate",
     "llm_fuzzy_pairs",
@@ -450,6 +452,7 @@ def _scale_probe(
     probe: dict[str, dict] = {}
     try:
         _probe_queries(spark, builders, timings, query_names, probe_dir, probe, reps)
+        _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe)
     finally:
         # the replica tables stay on DISK (probe_dir is reused across
         # rounds); their in-memory hot caches must not outlive the
@@ -464,6 +467,99 @@ def _scale_probe(
         "staging_seconds": staging_s,
         "queries": probe,
     }
+
+
+def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> None:
+    """Banding recall measured ON THE REPLICATED PROBE CORPUS, not just
+    the base fixture: minhash recall is pytest-pinned ≥ 0.9 at sf0.01,
+    but banding recall is a function of corpus statistics, so the
+    10×/30× corpora get their own check (r8 verdict #3). Truth is an
+    exact brute-force scan over a SAMPLE — capped (~800 docs), sampled
+    per base-doc so all of a document's perturbed replicas (the probe
+    corpus's true near-dup structure) are in scope; the cap is
+    recorded alongside the recall. Minhash truth = shingle-Jaccard ≥
+    0.5 pairs; simhash truth = 64-bit hamming ≤ 3 pairs (where banding
+    recall is pigeonhole-1.0 — a sub-1.0 value here means the
+    degenerate-collision cap started binding at scale)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from flink_realtime_2024_spark.operators._util import widen
+    from flink_realtime_2024_spark.operators.llm import _shingle_hashes, simhash64
+
+    key_off = 10_000_000
+    base_k = max(800 // replication, 8)
+    base_ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id").orderBy("doc_id").limit(base_k).collect()
+    ]
+    sample = [b + i * key_off for b in base_ids for i in range(replication)]
+    sample_set = set(sample)
+
+    docs = (
+        load_table(spark, probe_dir, "documents")
+        .filter(F.col("doc_id").isin(sample))
+        .select("doc_id", "text")
+    )
+    rows = docs.collect()
+
+    def found_pairs(name):
+        got = (
+            builders[name](spark, probe_dir)
+            .filter(F.col("doc_a").isin(sample) & F.col("doc_b").isin(sample))
+            .select("doc_a", "doc_b")
+            .collect()
+        )
+        return {(min(r[0], r[1]), max(r[0], r[1])) for r in got}
+
+    # --- minhash: truth = exact shingle-Jaccard >= 0.5 on the sample
+    if "llm_dedup_minhash" in probe and "error" not in probe["llm_dedup_minhash"]:
+        sets = {r["doc_id"]: set(_shingle_hashes(r["text"])) for r in rows}
+        ids = sorted(sets)
+        sizes = {i: len(sets[i]) for i in ids}
+        truth = set()
+        for i, a in enumerate(ids):
+            sa, na = sets[a], sizes[a]
+            for b in ids[i + 1:]:
+                nb = sizes[b]
+                # |A∩B|/|A∪B| >= 0.5 needs min/max sizes >= 1/2 — skip
+                # the (vast majority of) size-incompatible pairs cheaply
+                if min(na, nb) * 2 < max(na, nb):
+                    continue
+                union = na + nb - len(sa & sets[b])
+                if union and (na + nb - union) / union >= 0.5:
+                    truth.add((a, b))
+        entry = probe["llm_dedup_minhash"]
+        entry["recall_sample_docs"] = len(rows)
+        entry["recall_true_pairs"] = len(truth)
+        entry["recall_vs_bruteforce"] = (
+            round(len(found_pairs("llm_dedup_minhash") & truth) / len(truth), 4)
+            if truth else None
+        )
+
+    # --- simhash: truth = exact hamming <= 3 on the sample
+    if "llm_dedup_simhash" in probe and "error" not in probe["llm_dedup_simhash"]:
+        fps = widen(docs).select("doc_id", simhash64("text").alias("fp")).collect()
+        fids = np.array([r["doc_id"] for r in fps], dtype=np.int64)
+        vals = np.array([r["fp"] for r in fps], dtype=np.int64).astype(np.uint64)
+        x = vals[:, None] ^ vals[None, :]
+        ham = np.zeros(x.shape, dtype=np.int64)
+        for _ in range(64):
+            ham += (x & 1).astype(np.int64)
+            x >>= np.uint64(1)
+        ii, jj = np.nonzero(np.triu(ham <= 3, k=1))
+        truth = {
+            (min(int(fids[i]), int(fids[j])), max(int(fids[i]), int(fids[j])))
+            for i, j in zip(ii, jj)
+        }
+        entry = probe["llm_dedup_simhash"]
+        entry["recall_sample_docs"] = len(fps)
+        entry["recall_true_pairs"] = len(truth)
+        entry["recall_vs_bruteforce"] = (
+            round(len(found_pairs("llm_dedup_simhash") & truth) / len(truth), 4)
+            if truth else None
+        )
 
 
 def _probe_queries(spark, builders, timings, query_names, probe_dir, probe, reps):
