@@ -259,6 +259,11 @@ def _compact_summary(out: dict) -> dict:
             if isinstance(q, dict) and "ratio_vs_base" in q
         ]
         secs = [q["sec"] for q in p["queries"].values() if isinstance(q, dict) and "sec" in q]
+        recalls = {
+            n: q["recall_vs_bruteforce"]
+            for n, q in p["queries"].items()
+            if isinstance(q, dict) and q.get("recall_vs_bruteforce") is not None
+        }
         c[probe_key] = {
             "replication": p.get("replication"),
             "n": len(secs),
@@ -266,6 +271,10 @@ def _compact_summary(out: dict) -> dict:
             "max_ratio": max(ratios) if ratios else None,
             "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
         }
+        if recalls:
+            # banding recall on the replicated corpus (exact sampled
+            # brute-force truth) — quality evidence, not just wall time
+            c[probe_key]["recall_vs_bruteforce"] = recalls
     sk = out.get("skew_probe")
     if sk and "salted_targeted_sec" in sk:
         c["skew_probe"] = {

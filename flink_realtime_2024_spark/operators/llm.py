@@ -2487,17 +2487,68 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pipeline(kmeans_assign(emb))
 
 
-@register("llm_knn_int8", oracle=None, section="L3")
+_KNN_INT8_ORACLE = f"""
+WITH coded AS (
+  SELECT vec_id, e,
+         CASE WHEN m = 0 THEN 1.0 ELSE m END AS scale,
+         list_transform(
+           e, x -> floor(x / (CASE WHEN m = 0 THEN 1.0 ELSE m END) + 0.5)
+         ) AS codes
+  FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS m
+    FROM embeddings
+  )
+), qset AS (
+  SELECT vec_id FROM embeddings WHERE vec_id % {_KNN_QUERY_MOD} = 0
+  ORDER BY vec_id LIMIT {_KNN_MAX_QUERIES}
+), i8 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(c.codes, q.codes) * c.scale * q.scale, 6) AS score
+  FROM coded q JOIN coded c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id IN (SELECT vec_id FROM qset)
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY round(list_dot_product(c.codes, q.codes) * c.scale * q.scale, 6) DESC,
+             c.vec_id
+  ) <= {_KNN_K}
+), exact AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM coded q JOIN coded c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id IN (SELECT vec_id FROM qset)
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY round(list_dot_product(q.e, c.e), 6) DESC, c.vec_id
+  ) <= {_KNN_K}
+), ex AS (
+  SELECT query_id, list(neighbor_id) AS nbrs, COUNT(*) AS n_exact
+  FROM exact GROUP BY query_id
+)
+SELECT i8.query_id, i8.neighbor_id, i8.score,
+       SUM(CASE WHEN list_contains(ex.nbrs, i8.neighbor_id) THEN 1 ELSE 0 END)
+         OVER (PARTITION BY i8.query_id) / n_exact AS recall_at_k_vs_exact
+FROM i8 JOIN ex ON ex.query_id = i8.query_id
+"""
+
+
+@register("llm_knn_int8", oracle=_KNN_INT8_ORACLE, section="L3", reverify=9)
 def llm_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: brute-force top-k over INT8 scalar-quantized embeddings — 4×
     memory/bandwidth reduction (the standard serving trick before PQ).
     Each vector stores int8 codes + one float scale (max|x|/127);
     scores are rescaled int dot products. Same fused plan as
     llm_knn_cosine: broadcast query codes, one mapInPandas scan with
-    per-batch partial top-k, one final row_number shuffle. Rows-only:
-    quantization noise is engine-specific; recall vs the exact kNN is
-    pytest-asserted and self-reported per row in
-    ``recall_at_k_vs_exact``."""
+    per-batch partial top-k, one final row_number shuffle.
+
+    FULL oracle (r9, previously rows-only): "quantization noise is
+    engine-specific" stopped being true once the quantizer was pinned
+    to ``floor(x/scale + 0.5)`` — a plain SQL expression — so DuckDB
+    re-derives the exact same int8 codes, the dot products are exact
+    integers (order-independent), the rescale is two float multiplies
+    in a fixed order, and ranking uses the same round-6 + id tiebreak
+    discipline that already oracle-checks llm_knn_cosine. Even the
+    ``recall_at_k_vs_exact`` column is replicated in SQL (int8 top-k
+    vs exact cosine top-k, both derived independently)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q_rows = (
         emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
@@ -2510,7 +2561,10 @@ def llm_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     qscale = np.abs(Q).max(axis=1) / 127.0
     qscale[qscale == 0] = 1.0
-    Q8 = np.round(Q / qscale[:, None]).astype(np.int8)
+    # half-up rounding (floor(x + 0.5)), NOT np.round's banker's mode:
+    # the quantizer must be a plain SQL expression so the DuckDB oracle
+    # can re-derive the exact same int8 codes
+    Q8 = np.floor(Q / qscale[:, None] + 0.5).astype(np.int8)
     sc = spark.sparkContext
     b = sc.broadcast((qids, Q8, qscale))
 
@@ -2529,7 +2583,7 @@ def llm_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             E = np.array(list(pdf["embedding"]), dtype=np.float64)
             escale = np.abs(E).max(axis=1) / 127.0
             escale[escale == 0] = 1.0
-            E8 = np.round(E / escale[:, None]).astype(np.int8)
+            E8 = np.floor(E / escale[:, None] + 0.5).astype(np.int8)
             # int32 accumulation of int8 dots, then rescale to float
             S = (E8.astype(np.int32) @ bQ8.astype(np.int32).T).astype(np.float64)
             S = np.round(S * escale[:, None] * bqs[None, :], 6)
