@@ -694,12 +694,20 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @F.pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over unigram tokens (md5-derived token hashes)."""
-    import hashlib
+    """64-bit SimHash over unigram tokens (md5-derived token hashes).
 
+    Tokenization is pinned to an EXPLICIT ASCII-whitespace class (not
+    str.split(), whose unicode whitespace set no SQL regex engine
+    reproduces) so the DuckDB oracle can re-derive every fingerprint
+    bit-for-bit: split on ``[ \\t\\n\\r\\f\\v]+``, drop empties,
+    dedupe, md5 each token."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"[ \t\n\r\f\v]+")
     out = []
     for t in text:
-        toks = set((t or "").lower().split())
+        toks = set(ws.split((t or "").lower())) - {""}
         acc = np.zeros(64, dtype=np.int64)
         for tok in toks:
             digest = hashlib.md5(tok.encode("utf-8")).digest()[:8]
@@ -717,7 +725,57 @@ def simhash64(text: pd.Series) -> pd.Series:
 _SIMHASH_BUCKET_CAP = 4096
 
 
-@register("llm_dedup_simhash", oracle=None, section="L2")
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS token
+  FROM documents,
+       LATERAL unnest(
+         regexp_split_to_array(lower(COALESCE(text, '')), '[ \\t\\n\\r\\f\\v]+')
+       ) AS u(t)
+  WHERE t <> ''
+), hx AS (
+  SELECT doc_id, md5(token) AS h FROM tok
+), bits AS (
+  -- bit b of a token's 64-bit hash = bit (3 - b%4) of hex digit b//4;
+  -- SimHash accumulates +1/-1 per token per bit
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1)
+                        >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM hx, LATERAL (SELECT unnest(generate_series(0, 63)) AS b) bb
+  GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << (63 - b)
+                  ELSE CAST(0 AS HUGEINT) END) AS fpu
+  FROM bits GROUP BY doc_id
+), docs_fp AS (
+  SELECT d.doc_id, COALESCE(fp.fpu, 0) AS fpu
+  FROM documents d LEFT JOIN fp USING (doc_id)
+), chunks AS (
+  SELECT doc_id, ci,
+         CAST((fpu // (CAST(1 AS HUGEINT) << (16 * ci))) % 65536 AS BIGINT) AS cv
+  FROM docs_fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS ci) cc
+), ok_keys AS (
+  SELECT ci, cv FROM chunks GROUP BY ci, cv
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {_SIMHASH_BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a
+  JOIN ok_keys k ON k.ci = a.ci AND k.cv = a.cv
+  JOIN chunks b ON b.ci = a.ci AND b.cv = a.cv AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(SUM(bit_count(xor(a.cv, b.cv))) AS INTEGER) AS hamming
+  FROM cand
+  JOIN chunks a ON a.doc_id = cand.doc_a
+  JOIN chunks b ON b.doc_id = cand.doc_b AND b.ci = a.ci
+  GROUP BY cand.doc_a, cand.doc_b
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+"""
+
+
+@register("llm_dedup_simhash", oracle=_SIMHASH_ORACLE, section="L2", reverify=9)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 SimHash near-dup: 64-bit fingerprints; candidates share at
     least one of four 16-bit chunks (pigeonhole ⇒ recall 1.0 for hamming
@@ -725,6 +783,14 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact popcount hamming ≤ 3, so the emitted pair set is exactly
     {pairs with hamming ≤ 3} (asserted equal to the brute-force O(n²)
     scan in tests/test_semantics.py).
+
+    FULL oracle (r9, previously rows-only): unlike minhash, nothing
+    here is probabilistic at fixed fingerprints — tokenization is a
+    pinned ASCII-whitespace split, token hashes are md5, and the ±1
+    bit accumulation, 16-bit banding, bucket cap, and popcount verify
+    are all integer algebra, so DuckDB re-derives every fingerprint
+    (verified bit-for-bit at sf0.001/0.01/0.1) and the exact pair set
+    independently.
 
     Pair generation is a distributed self-equi-join on
     (chunk_idx, chunk_val) — never a per-bucket collect_list array, so a
