@@ -238,18 +238,37 @@ _N_BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5 reliably
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-token shingles → stable uint64 hashes (crc32 of utf-8; fixed,
-    interpreter-independent — never Python's salted hash())."""
-    import zlib
+_ASCII_WS = None  # compiled lazily; pinned ASCII class, see _shingle_hashes
 
-    toks = text.lower().split()
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-token shingles → stable uint64 hashes (first 8 md5 bytes,
+    big-endian; fixed, interpreter-independent — never Python's salted
+    hash()). r9: md5 replaced crc32 and the tokenizer was pinned to an
+    explicit ASCII-whitespace split so the llm_dedup_minhash DuckDB
+    oracle can re-derive every hash (md5 is a SQL builtin; crc32 is
+    not, and str.split()'s unicode whitespace set is not a SQL regex).
+    md5 also hashes utf-8 bytes identically in both engines, so unlike
+    the winnow oracle this needs no ASCII-corpus precondition."""
+    import hashlib
+    import re
+
+    global _ASCII_WS
+    if _ASCII_WS is None:
+        _ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+    toks = [t for t in _ASCII_WS.split(text.lower()) if t]
     if len(toks) < k:
         shingles = [" ".join(toks)] if toks else [""]
     else:
         shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
     return np.unique(
-        np.array([zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64)
+        np.array(
+            [
+                int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+                for s in shingles
+            ],
+            dtype=np.uint64,
+        )
     )
 
 
@@ -343,7 +362,86 @@ def minhash_bands_from_hashes(sh: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@register("llm_dedup_minhash", oracle=None, section="L2", bench=True)
+# 61-bit hex → HUGEINT parse of md5's first 16 hex digits, with the
+# md5 value pre-bound to a lateral alias so it is computed once.
+_MD5_U64_TERMS = " + ".join(
+    f"CAST((strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) AS HUGEINT)"
+    f" * {16 ** (16 - p)}"
+    for p in range(1, 17)
+)
+_PERM_VALUES = ", ".join(
+    f"({i}, {int(_MH_A[i])}, {int(_MH_B[i])})" for i in range(_N_HASHES)
+)
+
+# Full-oracle recomputation of the MinHash+LSH pipeline in DuckDB.
+# Three facts make this expressible (r9; was rows-only "MinHash isn't
+# SQL-expressible"):
+# 1. The 64 permutation constants are FIXED module constants — they
+#    embed as a VALUES table; there is no runtime randomness anywhere.
+# 2. Shingle hashes are md5-derived (r9) — a SQL builtin over the same
+#    utf-8 bytes — and the permutation arithmetic is uint64-wrap +
+#    Mersenne mod, exactly replicable in HUGEINT.
+# 3. Banding groups by the 4-minima tuple. (Spark buckets by crc32 of
+#    the tuple's bytes; a crc collision merging distinct tuples could
+#    in principle add a candidate or trip the bucket cap differently —
+#    probability ~2^-32 per bucket, absent from every fixture scale.)
+_MINHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(lower(COALESCE(text, '')), '[ \\t\\n\\r\\f\\v]+'),
+           x -> x <> ''
+         ) AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_transform(generate_series(1, len(tk) - 2),
+                          i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+         ELSE [array_to_string(tk, ' ')] END AS gs
+  FROM toks
+), hashed AS (
+  SELECT DISTINCT doc_id, {_MD5_U64_TERMS} AS h
+  FROM grams,
+       LATERAL unnest(gs) AS u(g),
+       LATERAL (SELECT md5(g) AS hx) m
+), perms(hi, a, b) AS (
+  VALUES {_PERM_VALUES}
+), mins AS (
+  SELECT doc_id, hi,
+         MIN(((CAST(a AS HUGEINT) * h) % 18446744073709551616 + b)
+             % 18446744073709551616 % 2305843009213693951) AS mn
+  FROM hashed, perms GROUP BY doc_id, hi
+), band_sig AS (
+  SELECT doc_id, hi // 4 AS band, string_agg(mn::VARCHAR, ',' ORDER BY hi) AS sig
+  FROM mins GROUP BY doc_id, hi // 4
+), buckets AS (
+  SELECT band, sig FROM band_sig GROUP BY band, sig
+  HAVING COUNT(*) > 1 AND COUNT(*) <= 64
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_sig a
+  JOIN buckets k ON k.band = a.band AND k.sig = a.sig
+  JOIN band_sig b ON b.band = a.band AND b.sig = a.sig AND a.doc_id < b.doc_id
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN hashed ha ON ha.doc_id = c.doc_a
+  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.ni AS DOUBLE) / CAST(ca.n + cb.n - i.ni AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE round(CAST(i.ni AS DOUBLE) / CAST(ca.n + cb.n - i.ni AS DOUBLE), 4) >= 0.5
+"""
+
+
+@register("llm_dedup_minhash", oracle=_MINHASH_ORACLE, section="L2", bench=True, reverify=9)
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 near-dup detection: MinHash signatures → LSH band bucketing →
     candidate pairs per bucket → exact-Jaccard verification (≥ 0.5).
@@ -351,8 +449,17 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path (why there is NO cross join): equal band hash ⇒ same
     shuffle bucket; pairs are enumerated only inside buckets. Runaway
     buckets (degenerate text) are capped at 64 docs — cap + salt is the
-    documented skew strategy at 100 TB. Rows-only: MinHash isn't SQL-
-    expressible; tests/test_semantics.py cross-checks against brute force.
+    documented skew strategy at 100 TB.
+
+    FULL oracle (r9, previously rows-only): the banding is pseudo-random
+    but not random — the 64 permutation constants are fixed, shingle
+    hashes are md5 (a SQL builtin since r9; crc32 never was), and the
+    uint64-wrap + Mersenne-mod arithmetic replays exactly in HUGEINT, so
+    DuckDB re-derives signatures, buckets (by minima tuple), cap, and
+    the exact-Jaccard verdict independently — see _MINHASH_ORACLE.
+    tests/test_semantics.py additionally cross-checks recall against an
+    O(n²) brute-force scan, and the bench probes recall on the
+    replicated 10×/30× corpora.
 
     One-pass Python design: document text crosses into Python exactly
     once (shingle_hash_array); the persisted signature store feeds both
