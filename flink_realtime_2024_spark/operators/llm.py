@@ -825,11 +825,33 @@ def simhash64(text: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="int64")
 
 
-# Degenerate-collision guard for simhash banding: a chunk value shared by
+# Degenerate-collision guard for simhash banding: a bucket key shared by
 # more docs than this is dropped from candidate generation. Real near-dup
 # mega-clusters below the cap pass through intact (their quadratic pair
-# count is the answer, and the self-join distributes it).
+# count is the answer, and the self-join distributes it). With the
+# multi-block keys below (~32 bits each) this binds only on families
+# agreeing on 32+ specific fingerprint bits — near-identical docs —
+# never on mere vocabulary overlap.
 _SIMHASH_BUCKET_CAP = 4096
+
+# Multi-block banding (Manku, Jain & Das Sarma, WWW'07 — the scheme
+# Google ran simhash dedup with at web scale): split the 64-bit
+# fingerprint into 6 blocks (4×11 + 2×10 bits) and key candidate
+# buckets on every C(6,3) = 20 block TRIPLE. Pigeonhole: ≤3 flipped
+# bits touch ≤3 blocks, so ≥3 blocks are clean and at least one clean
+# triple exists — recall 1.0 for hamming ≤ 3, like the old 4×16-bit
+# chunks. The difference is the KEY WIDTH: 16-bit chunk values
+# mega-collide on low-entropy corpora (measured on the 30× bench
+# probe: one chunk value held 32,403 of 150k docs, the 4096 cap
+# dropped those buckets, and banding recall fell to 0.40), while
+# 32-bit triple keys keep expected bucket sizes ~n/2^32. Cost: 20
+# bucket rows per doc instead of 4 — still linear, still no cross
+# join.
+_SIMHASH_BLOCKS = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+_SIMHASH_TRIPLES = [
+    (a, b, c)
+    for a in range(6) for b in range(a + 1, 6) for c in range(b + 1, 6)
+]
 
 
 _SIMHASH_ORACLE = f"""
@@ -858,18 +880,31 @@ WITH tok AS (
 ), docs_fp AS (
   SELECT d.doc_id, COALESCE(fp.fpu, 0) AS fpu
   FROM documents d LEFT JOIN fp USING (doc_id)
+), blk AS (
+  SELECT doc_id,
+         list_transform(
+           [{", ".join(f"[{o}, {w}]" for o, w in _SIMHASH_BLOCKS)}],
+           p -> CAST((fpu // (CAST(1 AS HUGEINT) << p[1])) % (1 << p[2]) AS BIGINT)
+         ) AS bl
+  FROM docs_fp
+), combos(t, i0, i1, i2) AS (
+  VALUES {", ".join(f"({t}, {a}, {b}, {c})" for t, (a, b, c) in enumerate(_SIMHASH_TRIPLES))}
+), keys AS (
+  SELECT doc_id, t,
+         bl[i0 + 1] * 4194304 + bl[i1 + 1] * 2048 + bl[i2 + 1] AS kv
+  FROM blk, combos
+), ok_keys AS (
+  SELECT t, kv FROM keys GROUP BY t, kv
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {_SIMHASH_BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a
+  JOIN ok_keys k ON k.t = a.t AND k.kv = a.kv
+  JOIN keys b ON b.t = a.t AND b.kv = a.kv AND a.doc_id < b.doc_id
 ), chunks AS (
   SELECT doc_id, ci,
          CAST((fpu // (CAST(1 AS HUGEINT) << (16 * ci))) % 65536 AS BIGINT) AS cv
   FROM docs_fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS ci) cc
-), ok_keys AS (
-  SELECT ci, cv FROM chunks GROUP BY ci, cv
-  HAVING COUNT(*) > 1 AND COUNT(*) <= {_SIMHASH_BUCKET_CAP}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM chunks a
-  JOIN ok_keys k ON k.ci = a.ci AND k.cv = a.cv
-  JOIN chunks b ON b.ci = a.ci AND b.cv = a.cv AND a.doc_id < b.doc_id
 ), ham AS (
   SELECT cand.doc_a, cand.doc_b,
          CAST(SUM(bit_count(xor(a.cv, b.cv))) AS INTEGER) AS hamming
@@ -885,60 +920,67 @@ SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
 @register("llm_dedup_simhash", oracle=_SIMHASH_ORACLE, section="L2", reverify=9)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 SimHash near-dup: 64-bit fingerprints; candidates share at
-    least one of four 16-bit chunks (pigeonhole ⇒ recall 1.0 for hamming
-    ≤ 3 per 4-chunk split — banding again, no cross join); verified by
-    exact popcount hamming ≤ 3, so the emitted pair set is exactly
-    {pairs with hamming ≤ 3} (asserted equal to the brute-force O(n²)
-    scan in tests/test_semantics.py).
+    least one of the C(6,3) = 20 block-triple keys (Manku et al.
+    WWW'07 multi-block banding — pigeonhole ⇒ recall 1.0 for hamming
+    ≤ 3, since ≤3 flips leave some triple of the 6 blocks clean);
+    verified by exact popcount hamming ≤ 3, so the emitted pair set is
+    exactly {pairs with hamming ≤ 3} (asserted equal to the
+    brute-force O(n²) scan in tests/test_semantics.py).
+
+    Why triples and not the classic four 16-bit chunks: chunk-width
+    keys collapse on low-entropy corpora. Measured on the 30× bench
+    probe corpus (150k docs of small-vocabulary text), one 16-bit
+    chunk value was shared by 32,403 documents; the degenerate-bucket
+    cap dropped those buckets and banding recall fell to 0.40. The
+    ~32-bit triple keys keep expected bucket sizes ~n/2³², so the cap
+    binds only on families agreeing on 32+ specific bits —
+    near-identical documents whose quadratic pair count is the answer.
+    20 bucket rows per doc instead of 4: still linear, no cross join.
 
     FULL oracle (r9, previously rows-only): unlike minhash, nothing
     here is probabilistic at fixed fingerprints — tokenization is a
     pinned ASCII-whitespace split, token hashes are md5, and the ±1
-    bit accumulation, 16-bit banding, bucket cap, and popcount verify
-    are all integer algebra, so DuckDB re-derives every fingerprint
-    (verified bit-for-bit at sf0.001/0.01/0.1) and the exact pair set
-    independently.
+    bit accumulation, triple-key banding, bucket cap, and popcount
+    verify are all integer algebra, so DuckDB re-derives every
+    fingerprint (verified bit-for-bit at sf0.001/0.01/0.1) and the
+    exact pair set independently.
 
-    Pair generation is a distributed self-equi-join on
-    (chunk_idx, chunk_val) — never a per-bucket collect_list array, so a
-    large near-dup cluster (pairs quadratic in its size — inherent to
-    the answer) spreads across the shuffle instead of materializing as
-    one driver-sized row. Only DEGENERATE collisions (a 16-bit chunk
-    value shared by more docs than _SIMHASH_BUCKET_CAP without being
-    near-dups, e.g. all-empty documents hashing to 0) are dropped."""
+    Pair generation is a distributed self-equi-join on (table, key) —
+    never a per-bucket collect_list array, so a large near-dup cluster
+    spreads across the shuffle instead of materializing as one
+    driver-sized row."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fps = widen(docs).select("doc_id", simhash64("text").alias("fp"))
-    # posexplode keeps the chunk position in the key (chunk i of A must
-    # equal chunk i of B)
-    chunks = fps.select(
+    blocks = [
+        F.shiftrightunsigned("fp", off).bitwiseAND(F.lit((1 << w) - 1))
+        for off, w in _SIMHASH_BLOCKS
+    ]
+    triple_keys = [
+        blocks[a] * F.lit(1 << 22) + blocks[b] * F.lit(1 << 11) + blocks[c]
+        for a, b, c in _SIMHASH_TRIPLES
+    ]
+    # posexplode keeps the table index in the key (triple t of A must
+    # equal triple t of B)
+    keys_df = fps.select(
         "doc_id",
         "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("fp", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+        F.posexplode(F.array(*triple_keys)).alias("t", "kv"),
     )
     keys = (
-        chunks.groupBy("chunk_idx", "chunk_val")
+        keys_df.groupBy("t", "kv")
         .count()
         .filter((F.col("count") > 1) & (F.col("count") <= _SIMHASH_BUCKET_CAP))
-        .select("chunk_idx", "chunk_val")
+        .select("t", "kv")
     )
-    cand = chunks.join(keys, ["chunk_idx", "chunk_val"])
+    cand = keys_df.join(keys, ["t", "kv"])
     a = cand.select(
-        "chunk_idx", "chunk_val",
-        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"),
+        "t", "kv", F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")
     )
     b = cand.select(
-        "chunk_idx", "chunk_val",
-        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"),
+        "t", "kv", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")
     )
     pairs = (
-        a.join(b, ["chunk_idx", "chunk_val"])
+        a.join(b, ["t", "kv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -1495,10 +1537,18 @@ def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures × 8 tables; same signature in any table ⇒ candidate;
     exact dot-product verify ≥ 0.9. Banding keeps it cross-join-free.
 
-    The driver fixtures contain NO embedding near-dups (max off-diagonal
-    cosine ≈ 0.6 at every SF), so this correctly returns 0 rows there;
-    recall is validated in tests/test_semantics.py by injecting
-    synthetic perturbed duplicates through the same pipeline."""
+    Rows-only — and unlike minhash/simhash/int8 (flipped to full
+    oracles in r9) this one genuinely cannot flip: the bucketing is
+    the SIGN of a BLAS float matmul against 8×16×64 gaussian plane
+    constants, and a sign is unstable under summation-order ulps
+    whenever a dot product sits near 0 — no rounding discipline can
+    pin a sign the way round-6 pins a ranking score. (Embedding the
+    8,192 float literals in SQL would also make the oracle a blob, for
+    an id whose fixture output is empty anyway:) the driver fixtures
+    contain NO embedding near-dups (max off-diagonal cosine ≈ 0.6 at
+    every SF), so this correctly returns 0 rows there; no-false-
+    positives and injected-duplicate recall are validated in
+    tests/test_semantics.py through the same pipeline."""
     emb = load_table(spark, sf_dir, "embeddings")
     return neardup_cosine_pipeline(emb, threshold=0.9)
 
