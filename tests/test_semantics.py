@@ -484,6 +484,101 @@ def test_multimodal_resize_and_frame_sample(spark):
         assert r["n_assets"] > 0 and r["avg_feature"] > 0
 
 
+def test_oracle_primitives_cross_engine(duck):
+    """The five r9 oracle flips all rest on a handful of cross-engine
+    primitives. This pins each one DIRECTLY (not just through the
+    end-to-end hashes), so a drift in either engine's md5/regex/integer
+    semantics fails here with a named cause instead of as four
+    mysterious oracle mismatches.
+
+    1. `_md5_byte_sql(k)` == byte k of Python's md5(text) — the seed
+       extraction every mm_* oracle derives dims AND content from.
+    2. `_seq_bytes(n, a, b, p)` == its one-line SQL twin — the content
+       formula behind the mm pixel/sample oracles.
+    3. `_shingle_hashes` == the minhash oracle's hashed CTE — md5-based
+       shingle hashing + pinned ASCII tokenization.
+    4. `simhash64` == the simhash oracle's fp CTE — per-token md5 bit
+       accumulation packed MSB-first."""
+    import hashlib
+
+    import pandas as pd
+
+    from flink_realtime_2024_spark.operators.llm import _shingle_hashes, simhash64
+    from flink_realtime_2024_spark.operators.multimodal import _md5_byte_sql, _seq_bytes
+
+    # 1. seed bytes
+    rows = duck.execute(
+        "SELECT doc_id, COALESCE(text, '') AS t FROM documents ORDER BY doc_id LIMIT 50"
+    ).fetchall()
+    for k in (0, 5, 15):
+        got = dict(
+            duck.execute(
+                "WITH h AS (SELECT doc_id, md5(COALESCE(text, '')) AS hx "
+                "FROM documents ORDER BY doc_id LIMIT 50) "
+                f"SELECT doc_id, {_md5_byte_sql(k)} FROM h"
+            ).fetchall()
+        )
+        for doc_id, t in rows:
+            assert got[doc_id] == hashlib.md5(t.encode("utf-8")).digest()[k]
+
+    # 2. content sequence formula
+    for n, a, b, p in [(1, 0, 11, 251), (500, 255, 17, 239), (2883, 77, 13, 241)]:
+        sql = duck.execute(
+            "SELECT list_transform(generate_series(0, ? - 1), "
+            "i -> (? + ? * i + (i * i) % ?) % 256)", [n, a, b, p]
+        ).fetchone()[0]
+        assert np.array_equal(np.array(sql, dtype=np.int64), _seq_bytes(n, a, b, p))
+
+    # 3. shingle hashes (minhash oracle's `hashed` CTE, verbatim shape)
+    sql_sh = duck.execute("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(COALESCE(text, '')), '[ \t\n\r\f\v]+'),
+          x -> x <> '') AS tk
+        FROM documents ORDER BY doc_id LIMIT 50
+      ), grams AS (
+        SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+            list_transform(generate_series(1, len(tk) - 2),
+                           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+          ELSE [array_to_string(tk, ' ')] END AS gs
+        FROM toks
+      )
+      SELECT doc_id, list_sort(list_distinct(
+        [CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT AS HUGEINT) FOR g IN gs]
+      )) FROM grams
+    """).fetchall()
+    py_sh = {
+        doc_id: [int(x) for x in _shingle_hashes(t)] for doc_id, t in rows
+    }
+    for doc_id, hs in sql_sh:
+        assert [int(h) for h in hs] == py_sh[doc_id], f"shingle drift doc {doc_id}"
+
+    # 4. simhash fingerprints (simhash oracle's fp CTE)
+    sql_fp = dict(duck.execute("""
+      WITH tok AS (
+        SELECT DISTINCT doc_id, t AS token
+        FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50),
+             LATERAL unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                                                  '[ \t\n\r\f\v]+')) AS u(t)
+        WHERE t <> ''
+      ), hx AS (SELECT doc_id, md5(token) AS h FROM tok),
+      bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1)
+                              >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        FROM hx, LATERAL (SELECT unnest(generate_series(0, 63)) AS b) bb
+        GROUP BY doc_id, b
+      )
+      SELECT doc_id, SUM(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << (63 - b)
+                              ELSE CAST(0 AS HUGEINT) END)
+      FROM bits GROUP BY doc_id
+    """).fetchall())
+    py_fp = simhash64.func(pd.Series([t for _, t in rows]))
+    for (doc_id, _), f in zip(rows, py_fp):
+        f_u = int(f) + (1 << 64 if int(f) < 0 else 0)
+        assert int(sql_fp.get(doc_id, 0)) == f_u, f"simhash drift doc {doc_id}"
+
+
 def test_jpeg_block_constant_roundtrip_exact():
     """The mm full-oracle contract for the LOSSY class: images built
     from `_jpeg_block_values` (per-8×8-block constants v = 128 + 5m)
