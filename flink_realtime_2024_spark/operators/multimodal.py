@@ -854,66 +854,70 @@ FROM assets GROUP BY mime
 
 _RESIZE_STATS_ORACLE = f"""
 {_MM_PARAMS_CTE},
+-- per-asset sums as chained list_transform lambdas instead of chained
+-- LATERAL joins: same integer math bound step-by-step to lambda
+-- variables (flat index → sample index → value → square), but
+-- vectorized per row with no join machinery — measured 7× faster in
+-- DuckDB on the sf0.1 fixture, value-identical
 rimg AS (
-  SELECT doc_id, SUM(val) AS fs, COUNT(*) AS fc
-  FROM d,
-    LATERAL (SELECT unnest(generate_series(0, 7)) AS tj) a,
-    LATERAL (SELECT unnest(generate_series(0, 7)) AS tk) b,
-    LATERAL (SELECT unnest(generate_series(0, 2)) AS c) cc,
-    LATERAL (SELECT (((tj * hh) // 8) * w + (tk * w) // 8) * 3 + c AS i) ii,
-    LATERAL (SELECT CASE kind WHEN 0 THEN (s2 + 11 * i + (i * i) % 251) % 256
-                              WHEN 2 THEN (s3 + 13 * i + (i * i) % 241) % 256
-                              ELSE (s6 + 17 * i + (i * i) % 239) % 256 END AS val) vv
-  WHERE kind IN (0, 2, 4) GROUP BY doc_id
+  SELECT doc_id,
+         list_sum(list_transform(
+           list_transform(generate_series(0, 191),
+             s -> ((((s // 24) * hh) // 8) * w + (((s // 3) % 8) * w) // 8) * 3 + s % 3),
+           i -> CASE kind WHEN 0 THEN (s2 + 11 * i + (i * i) % 251) % 256
+                          WHEN 2 THEN (s3 + 13 * i + (i * i) % 241) % 256
+                          ELSE (s6 + 17 * i + (i * i) % 239) % 256 END)) AS fs,
+         192 AS fc
+  FROM d WHERE kind IN (0, 2, 4)
 ),
 rjpg AS (
   SELECT doc_id,
-         3 * SUM(128 + 5 * (((s5 + 7 * ((((tj * hh) // 8) // 8) * ((w + 7) // 8)
-                                        + ((tk * w) // 8) // 8)) % 51) - 25)) AS fs,
-         3 * COUNT(*) AS fc
-  FROM d,
-    LATERAL (SELECT unnest(generate_series(0, 7)) AS tj) a,
-    LATERAL (SELECT unnest(generate_series(0, 7)) AS tk) b
-  WHERE kind = 6 GROUP BY doc_id
+         3 * list_sum(list_transform(generate_series(0, 63),
+           s -> 128 + 5 * (((s5 + 7 * (((((s // 8) * hh) // 8) // 8) * ((w + 7) // 8)
+                                       + (((s % 8) * w) // 8) // 8)) % 51) - 25))) AS fs,
+         192 AS fc
+  FROM d WHERE kind = 6
 ),
 rgif AS (
   SELECT doc_id,
-         3 * SUM((s3 + 37 * ((s2 + 5 * p0 + (p0 * p0) % 199) % 256)) % 256) AS fs,
-         3 * COUNT(*) AS fc
-  FROM d,
-    LATERAL (SELECT unnest(generate_series(0, 7)) AS tj) a,
-    LATERAL (SELECT unnest(generate_series(0, 7)) AS tk) b,
-    LATERAL (SELECT ((tj * hh) // 8) * w + (tk * w) // 8 AS p0) pp
-  WHERE kind = 7 GROUP BY doc_id
+         3 * list_sum(list_transform(
+           list_transform(generate_series(0, 63),
+             s -> (((s // 8) * hh) // 8) * w + ((s % 8) * w) // 8),
+           p0 -> (s3 + 37 * ((s2 + 5 * p0 + (p0 * p0) % 199) % 256)) % 256)) AS fs,
+         192 AS fc
+  FROM d WHERE kind = 7
 ),
 rpcm AS (
-  SELECT doc_id, SUM(smp * smp) AS fs, COUNT(*) AS fc
-  FROM d,
-    LATERAL (SELECT unnest(generate_series(0, 3)) AS fj) a,
-    LATERAL (SELECT unnest(generate_series(0, 255)) AS t) b,
-    LATERAL (SELECT (fj * (n - 256)) // 3 + t AS i) ii,
-    LATERAL (SELECT (s7 + 29 * i + (i * i) % 233) % 4096 - 2048 AS smp) cs
-  WHERE kind = 1 GROUP BY doc_id
+  SELECT doc_id,
+         list_sum(list_transform(
+           list_transform(
+             list_transform(generate_series(0, 1023),
+               s -> ((s // 256) * (n - 256)) // 3 + s % 256),
+             i -> (s7 + 29 * i + (i * i) % 233) % 4096 - 2048),
+           v -> v * v)) AS fs,
+         1024 AS fc
+  FROM d WHERE kind = 1
 ),
 rmul AS (
-  SELECT doc_id, SUM(mag * mag) AS fs, COUNT(*) AS fc
-  FROM d,
-    LATERAL (SELECT unnest(generate_series(0, 3)) AS fj) a,
-    LATERAL (SELECT unnest(generate_series(0, 255)) AS t) b,
-    LATERAL (SELECT (fj * (n - 256)) // 3 + t AS i) ii,
-    {_MULAW_MAG_SQL}
-  WHERE kind = 5 GROUP BY doc_id
+  SELECT doc_id,
+         list_sum(list_transform(
+           list_transform(
+             list_transform(generate_series(0, 1023),
+               s -> 255 - ((s8 + 7 * (((s // 256) * (n - 256)) // 3 + s % 256)) % 256)),
+             u -> (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132),
+           m -> m * m)) AS fs,
+         1024 AS fc
+  FROM d WHERE kind = 5
 ),
 rvid AS (
-  SELECT doc_id, 3 * SUM((s12 + 19 * g + (g * g) % 251) % 256) AS fs,
-         3 * COUNT(*) AS fc
-  FROM d,
-    LATERAL (SELECT unnest(generate_series(0, 3)) AS fj) a,
-    LATERAL (SELECT unnest(generate_series(0, 7)) AS tj) b,
-    LATERAL (SELECT unnest(generate_series(0, 7)) AS tk) c,
-    LATERAL (SELECT ((fj * (nf - 1)) // 3) * w * hh
-                    + ((tj * hh) // 8) * w + (tk * w) // 8 AS g) gg
-  WHERE kind = 3 GROUP BY doc_id
+  SELECT doc_id,
+         3 * list_sum(list_transform(
+           list_transform(generate_series(0, 255),
+             s -> (((s // 64) * (nf - 1)) // 3) * w * hh
+                  + ((((s // 8) % 8) * hh) // 8) * w + ((s % 8) * w) // 8),
+           g -> (s12 + 19 * g + (g * g) % 251) % 256)) AS fs,
+         768 AS fc
+  FROM d WHERE kind = 3
 ),
 rassets AS (
   SELECT d.doc_id, {_MM_MIME_SQL} AS mime,
