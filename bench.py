@@ -392,6 +392,14 @@ def _staged_probe_dir(prefix: str, *params) -> str:
     stem = f"{prefix}_{tag}"
     dst = os.path.join(tempfile.gettempdir(), f"{stem}_{digest}")
     _prune_stale(tempfile.gettempdir(), f"{stem}_", f"{stem}_{digest}")
+    # pre-digest layouts used the bare stem as the dir name, which the
+    # underscore-suffixed prune prefix can never match — reclaim those
+    # multi-GB corpora explicitly or they are orphaned forever
+    import shutil
+
+    legacy = os.path.join(tempfile.gettempdir(), stem)
+    if os.path.isdir(legacy):
+        shutil.rmtree(legacy, ignore_errors=True)
     return dst
 
 
@@ -529,7 +537,7 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
 
     # --- minhash: truth = exact shingle-Jaccard >= 0.5 on the sample
     if "llm_dedup_minhash" in probe and "error" not in probe["llm_dedup_minhash"]:
-        sets = {r["doc_id"]: set(_shingle_hashes(r["text"])) for r in rows}
+        sets = {r["doc_id"]: set(_shingle_hashes(r["text"] or "")) for r in rows}
         ids = sorted(sets)
         sizes = {i: len(sets[i]) for i in ids}
         truth = set()

@@ -15,6 +15,8 @@ partition-parallel for 100 TB:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -238,7 +240,11 @@ _N_BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5 reliably
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 
 
-_ASCII_WS = None  # compiled lazily; pinned ASCII class, see _shingle_hashes
+# THE pinned tokenizer split — single-sourced for every Python-side
+# hasher (_shingle_hashes, simhash64); the SQL oracles embed the same
+# class literally, and tests/test_semantics.py::
+# test_oracle_primitives_cross_engine pins the two sides to each other.
+_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -251,11 +257,7 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     md5 also hashes utf-8 bytes identically in both engines, so unlike
     the winnow oracle this needs no ASCII-corpus precondition."""
     import hashlib
-    import re
 
-    global _ASCII_WS
-    if _ASCII_WS is None:
-        _ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
     toks = [t for t in _ASCII_WS.split(text.lower()) if t]
     if len(toks) < k:
         shingles = [" ".join(toks)] if toks else [""]
@@ -806,15 +808,14 @@ def simhash64(text: pd.Series) -> pd.Series:
     Tokenization is pinned to an EXPLICIT ASCII-whitespace class (not
     str.split(), whose unicode whitespace set no SQL regex engine
     reproduces) so the DuckDB oracle can re-derive every fingerprint
-    bit-for-bit: split on ``[ \\t\\n\\r\\f\\v]+``, drop empties,
-    dedupe, md5 each token."""
+    bit-for-bit: split on ``_ASCII_WS`` (the module-level pinned
+    pattern shared with ``_shingle_hashes``), drop empties, dedupe,
+    md5 each token."""
     import hashlib
-    import re
 
-    ws = re.compile(r"[ \t\n\r\f\v]+")
     out = []
     for t in text:
-        toks = set(ws.split((t or "").lower())) - {""}
+        toks = set(_ASCII_WS.split((t or "").lower())) - {""}
         acc = np.zeros(64, dtype=np.int64)
         for tok in toks:
             digest = hashlib.md5(tok.encode("utf-8")).digest()[:8]

@@ -292,28 +292,29 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             os.path.normpath(sf_dir), src, st.st_size, st.st_mtime_ns, _N_BUCKETS
         )
         dst = os.path.join(tempfile.gettempdir(), f"bucketed_{name}_{digest}")
-        if spark.catalog.tableExists(name):
-            # the catalog entry pins the digest dir it was created on;
-            # an in-place fixture regeneration mid-session would make
-            # it serve STALE bucketed data (same class as the IVF
-            # stale-index bug, session-scoped). Trust it only if its
-            # LOCATION matches the freshly computed digest.
-            loc = (
-                spark.sql(f"DESCRIBE FORMATTED {name}")
-                .filter("col_name = 'Location'")
-                .first()["data_type"]
-            )
-            if loc.rstrip("/").endswith(f"_{digest}"):
-                continue
-            spark.sql(f"DROP TABLE {name}")  # external: files survive
         # same per-destination lock discipline as io.py's hot staging:
         # two in-process threads racing here would collide on the
-        # scratch table and on the final CREATE TABLE (tableExists was
-        # checked before either write began); uuid keeps the scratch
-        # name unique even across lock-free callers in other sessions
+        # scratch table, the final CREATE TABLE, AND the staleness
+        # check's DROP (the loser would describe/drop a table the
+        # winner just replaced) — so the whole check-drop-build-create
+        # sequence sits under one lock; uuid keeps the scratch name
+        # unique even across lock-free callers in other sessions
         with stage_lock(dst):
             if spark.catalog.tableExists(name):
-                continue  # the thread we waited on registered it
+                # the catalog entry pins the digest dir it was created
+                # on; an in-place fixture regeneration mid-session
+                # would make it serve STALE bucketed data (same class
+                # as the IVF stale-index bug, session-scoped). Trust
+                # it only if its LOCATION matches the fresh digest.
+                row = (
+                    spark.sql(f"DESCRIBE FORMATTED {name}")
+                    .filter("col_name = 'Location'")
+                    .first()
+                )
+                loc = row["data_type"] if row else None
+                if loc and loc.rstrip("/").endswith(f"_{digest}"):
+                    continue  # fresh (possibly via the thread we waited on)
+                spark.sql(f"DROP TABLE IF EXISTS {name}")  # external: files survive
             if not os.path.isdir(dst):
                 import uuid
 
