@@ -474,7 +474,14 @@ def _scale_probe(
     probe: dict[str, dict] = {}
     try:
         _probe_queries(spark, builders, timings, query_names, probe_dir, probe, reps)
-        _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe)
+        try:
+            _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe)
+        except Exception as e:
+            # shared-setup failure (sample collect, probe-corpus scan):
+            # record it, keep the per-query timings already gathered
+            probe["_recall_setup_error"] = {
+                "error": f"{type(e).__name__}: {e}"[:200]
+            }
     finally:
         # the replica tables stay on DISK (probe_dir is reused across
         # rounds); their in-memory hot caches must not outlive the
@@ -517,7 +524,6 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
         .select("doc_id").orderBy("doc_id").limit(base_k).collect()
     ]
     sample = [b + i * key_off for b in base_ids for i in range(replication)]
-    sample_set = set(sample)
 
     docs = (
         load_table(spark, probe_dir, "documents")
@@ -535,8 +541,20 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
         )
         return {(min(r[0], r[1]), max(r[0], r[1])) for r in got}
 
+    # Per-metric error isolation (r9 advice): a failure in one recall
+    # pass (e.g. driver memory on the brute force, or a builder error)
+    # must degrade to an error entry on that probe id, not abort the
+    # whole scale probe and lose the already-collected timings —
+    # mirroring _probe_queries' per-query guard.
+    def _guarded(name, fn):
+        if name in probe and "error" not in probe[name]:
+            try:
+                fn()
+            except Exception as e:
+                probe[name]["recall_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # --- minhash: truth = exact shingle-Jaccard >= 0.5 on the sample
-    if "llm_dedup_minhash" in probe and "error" not in probe["llm_dedup_minhash"]:
+    def _minhash_recall():
         sets = {r["doc_id"]: set(_shingle_hashes(r["text"] or "")) for r in rows}
         ids = sorted(sets)
         sizes = {i: len(sets[i]) for i in ids}
@@ -560,8 +578,10 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
             if truth else None
         )
 
+    _guarded("llm_dedup_minhash", _minhash_recall)
+
     # --- simhash: truth = exact hamming <= 3 on the sample
-    if "llm_dedup_simhash" in probe and "error" not in probe["llm_dedup_simhash"]:
+    def _simhash_truth():
         fps = widen(docs).select("doc_id", simhash64("text").alias("fp")).collect()
         fids = np.array([r["doc_id"] for r in fps], dtype=np.int64)
         vals = np.array([r["fp"] for r in fps], dtype=np.int64).astype(np.uint64)
@@ -575,13 +595,28 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
             (min(int(fids[i]), int(fids[j])), max(int(fids[i]), int(fids[j])))
             for i, j in zip(ii, jj)
         }
-        entry = probe["llm_dedup_simhash"]
-        entry["recall_sample_docs"] = len(fps)
-        entry["recall_true_pairs"] = len(truth)
-        entry["recall_vs_bruteforce"] = (
-            round(len(found_pairs("llm_dedup_simhash") & truth) / len(truth), 4)
-            if truth else None
-        )
+        return len(fps), truth
+
+    # the hamming≤3 truth set is shared by every simhash banding config
+    # probed (default triple-key + the pair-key knob) — compute it once
+    sim_cache: dict = {}
+
+    def _simhash_recall(name):
+        def run():
+            if not sim_cache:
+                sim_cache["v"] = _simhash_truth()
+            n_docs, truth = sim_cache["v"]
+            entry = probe[name]
+            entry["recall_sample_docs"] = n_docs
+            entry["recall_true_pairs"] = len(truth)
+            entry["recall_vs_bruteforce"] = (
+                round(len(found_pairs(name) & truth) / len(truth), 4)
+                if truth else None
+            )
+        return run
+
+    _guarded("llm_dedup_simhash", _simhash_recall("llm_dedup_simhash"))
+    _guarded("llm_dedup_simhash_b5", _simhash_recall("llm_dedup_simhash_b5"))
 
 
 def _probe_queries(spark, builders, timings, query_names, probe_dir, probe, reps):

@@ -1,6 +1,9 @@
-"""Driver simulation per .claude/skills/verify/SKILL.md: vanilla
-SparkSession, sf0.01, every queries() entry vs its DuckDB oracle using
-the same comparison the driver's gate applies (tests/parity.py).
+"""Driver simulation: a from-scratch vanilla SparkSession (none of the
+test suite's fixtures or session tuning), sf0.01, every queries() entry
+run against its DuckDB oracle using the same comparison the driver's
+gate applies (tests/parity.py) — the same recipe the per-round
+verification driver follows, so a green run here predicts a green
+CORRECTNESS_r{N}.json.
 
 Usage: python driver_sim.py [--sf /root/testdata/sf0.01] [name ...]
 Exit 0 iff every checked query matches (rows-only ids must merely run).

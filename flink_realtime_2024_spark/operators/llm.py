@@ -254,8 +254,13 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     explicit ASCII-whitespace split so the llm_dedup_minhash DuckDB
     oracle can re-derive every hash (md5 is a SQL builtin; crc32 is
     not, and str.split()'s unicode whitespace set is not a SQL regex).
-    md5 also hashes utf-8 bytes identically in both engines, so unlike
-    the winnow oracle this needs no ASCII-corpus precondition."""
+    md5 itself hashes utf-8 bytes identically in both engines, so the
+    HASHING step needs no ASCII-corpus precondition — but the lower()
+    that precedes it still does: Python str.lower() and DuckDB lower()
+    diverge on some non-ASCII codepoints (e.g. U+0130 lowercases to two
+    codepoints in Python), so full oracle parity shares the winnow
+    oracle's ASCII-corpus precondition
+    (tests/test_semantics.py::test_winnow_oracle_ascii_precondition)."""
     import hashlib
 
     toks = [t for t in _ASCII_WS.split(text.lower()) if t]
@@ -350,7 +355,13 @@ def minhash_bands_from_hashes(sh: pd.Series) -> pd.Series:
     chunk = 512  # docs per matrix — caps the intermediate at ~40 MB
     vals = sh.tolist()
     for lo in range(0, len(vals), chunk):
-        seg = [np.asarray(h, dtype=np.uint64) for h in vals[lo : lo + chunk]]
+        # hashes ≥ 2^63 round-trip the LongType signature store as
+        # negative ints — reinterpret the int64 bits as uint64 EXPLICITLY
+        # (NumPy ≥ 2.0 rejects out-of-range Python ints for uint64 casts)
+        seg = [
+            np.asarray(h, dtype=np.int64).view(np.uint64)
+            for h in vals[lo : lo + chunk]
+        ]
         if not seg:
             continue
         lengths = np.array([len(h) for h in seg])
