@@ -316,6 +316,7 @@ _SF1_QUERIES = (
     # LLM showcases
     "llm_dedup_minhash",
     "llm_dedup_simhash",  # probed so banding recall is measured at scale
+    "llm_dedup_simhash_b5",  # the cheap-banding knob — same recall truth
     "llm_knn_ivf_partitioned",
     "llm_decontaminate",
     "llm_fuzzy_pairs",
@@ -345,6 +346,7 @@ _SF3_REPLICATION = 30
 _SF3_QUERIES = (
     "llm_dedup_minhash",
     "llm_dedup_simhash",  # probed so banding recall is measured at scale
+    "llm_dedup_simhash_b5",  # the cheap-banding knob — same recall truth
     "llm_knn_ivf_partitioned",
     "llm_decontaminate",
     "llm_fuzzy_pairs",

@@ -848,25 +848,65 @@ _SIMHASH_BUCKET_CAP = 4096
 
 # Multi-block banding (Manku, Jain & Das Sarma, WWW'07 — the scheme
 # Google ran simhash dedup with at web scale): split the 64-bit
-# fingerprint into 6 blocks (4×11 + 2×10 bits) and key candidate
-# buckets on every C(6,3) = 20 block TRIPLE. Pigeonhole: ≤3 flipped
-# bits touch ≤3 blocks, so ≥3 blocks are clean and at least one clean
-# triple exists — recall 1.0 for hamming ≤ 3, like the old 4×16-bit
-# chunks. The difference is the KEY WIDTH: 16-bit chunk values
-# mega-collide on low-entropy corpora (measured on the 30× bench
-# probe: one chunk value held 32,403 of 150k docs, the 4096 cap
-# dropped those buckets, and banding recall fell to 0.40), while
-# 32-bit triple keys keep expected bucket sizes ~n/2^32. Cost: 20
-# bucket rows per doc instead of 4 — still linear, still no cross
-# join.
-_SIMHASH_BLOCKS = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
-_SIMHASH_TRIPLES = [
-    (a, b, c)
-    for a in range(6) for b in range(a + 1, 6) for c in range(b + 1, 6)
-]
+# fingerprint into n blocks and key candidate buckets on every
+# combination of `keep` blocks. Pigeonhole: ≤(n−keep) flipped bits
+# touch ≤(n−keep) blocks, so ≥keep blocks are clean and at least one
+# clean combination exists — recall 1.0 for hamming ≤ n−keep.
+#
+# Two registered configurations, both guaranteeing hamming ≤ 3
+# (r9 verdict #3 — the banding width is a measured knob, not a fixed
+# choice):
+# - b6k3 (default): 6 blocks (4×11 + 2×10 bits), C(6,3) = 20 triple
+#   keys of ~32 bits. Chosen over the classic 4×16-bit chunks after a
+#   measured recall collapse: one 16-bit chunk value held 32,403 of
+#   150k docs on the low-entropy 30× probe corpus, the 4096 cap
+#   dropped those buckets, and recall fell to 0.40. 32-bit keys keep
+#   expected accidental bucket sizes ~n/2^32.
+# - b5k2: 5 blocks (4×13 + 1×12 bits), C(5,2) = 10 pair keys of ~26
+#   bits — HALF the bucket rows per doc (shuffle volume) at the price
+#   of 64× more accidental key collisions (~n/2^26); same pigeonhole
+#   bound (3 flips touch ≤3 of 5 blocks → ≥2 clean → a clean pair).
+#   The cheaper choice when the corpus is high-entropy or the
+#   candidate verify step dominates.
+_SIMHASH_SCHEMES: dict[str, tuple[list[tuple[int, int]], int]] = {
+    "b6k3": ([(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)], 3),
+    "b5k2": ([(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)], 2),
+}
 
 
-_SIMHASH_ORACLE = f"""
+def _simhash_combos(scheme: str) -> list[tuple[int, ...]]:
+    import itertools
+
+    blocks, keep = _SIMHASH_SCHEMES[scheme]
+    return list(itertools.combinations(range(len(blocks)), keep))
+
+
+def _simhash_key_mults(scheme: str) -> list[int]:
+    """Collision-free packing of a `keep`-tuple of block values into one
+    BIGINT key: every position shifted by the max block width."""
+    blocks, keep = _SIMHASH_SCHEMES[scheme]
+    wmax = max(w for _, w in blocks)
+    return [1 << (wmax * (keep - 1 - j)) for j in range(keep)]
+
+
+def _simhash_oracle_sql(scheme: str) -> str:
+    """DuckDB re-derivation of the full SimHash pipeline for a banding
+    scheme: fingerprints from per-token md5 bits, block extraction,
+    combo keys, bucket cap, exact popcount verify — all integer
+    algebra, generated from the same scheme table the Spark side
+    uses so the two can never drift."""
+    blocks, keep = _SIMHASH_SCHEMES[scheme]
+    combos = _simhash_combos(scheme)
+    mults = _simhash_key_mults(scheme)
+    combo_cols = ", ".join(f"i{j}" for j in range(keep))
+    combo_rows = ", ".join(
+        "(" + ", ".join(str(v) for v in (t, *c)) + ")" for t, c in enumerate(combos)
+    )
+    key_expr = " + ".join(
+        f"bl[i{j} + 1] * {m}" if m > 1 else f"bl[i{j} + 1]"
+        for j, m in enumerate(mults)
+    )
+    return f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, t AS token
   FROM documents,
@@ -895,15 +935,14 @@ WITH tok AS (
 ), blk AS (
   SELECT doc_id,
          list_transform(
-           [{", ".join(f"[{o}, {w}]" for o, w in _SIMHASH_BLOCKS)}],
+           [{", ".join(f"[{o}, {w}]" for o, w in blocks)}],
            p -> CAST((fpu // (CAST(1 AS HUGEINT) << p[1])) % (1 << p[2]) AS BIGINT)
          ) AS bl
   FROM docs_fp
-), combos(t, i0, i1, i2) AS (
-  VALUES {", ".join(f"({t}, {a}, {b}, {c})" for t, (a, b, c) in enumerate(_SIMHASH_TRIPLES))}
+), combos(t, {combo_cols}) AS (
+  VALUES {combo_rows}
 ), keys AS (
-  SELECT doc_id, t,
-         bl[i0 + 1] * 4194304 + bl[i1 + 1] * 2048 + bl[i2 + 1] AS kv
+  SELECT doc_id, t, {key_expr} AS kv
   FROM blk, combos
 ), ok_keys AS (
   SELECT t, kv FROM keys GROUP BY t, kv
@@ -929,7 +968,64 @@ SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
 """
 
 
-@register("llm_dedup_simhash", oracle=_SIMHASH_ORACLE, section="L2", reverify=9)
+def simhash_pairs(docs: DataFrame, scheme: str = "b6k3") -> DataFrame:
+    """SimHash near-dup pair detection over a (doc_id, text) frame:
+    64-bit fingerprints, multi-block banding per `scheme`
+    (see ``_SIMHASH_SCHEMES``), exact popcount hamming ≤ 3 verify.
+    Output = exactly {pairs with hamming ≤ 3} for both schemes
+    (pigeonhole — pytest-pinned per scheme in tests/test_semantics.py).
+
+    Pair generation is a distributed self-equi-join on (combo index,
+    key) — never a per-bucket collect_list array, so a large near-dup
+    cluster spreads across the shuffle instead of materializing as one
+    driver-sized row."""
+    blocks_def, _ = _SIMHASH_SCHEMES[scheme]
+    mults = _simhash_key_mults(scheme)
+    fps = widen(docs).select("doc_id", simhash64("text").alias("fp"))
+    blocks = [
+        F.shiftrightunsigned("fp", off).bitwiseAND(F.lit((1 << w) - 1))
+        for off, w in blocks_def
+    ]
+    combo_keys = []
+    for combo in _simhash_combos(scheme):
+        key = blocks[combo[0]] * F.lit(mults[0])
+        for j, bi in enumerate(combo[1:], start=1):
+            key = key + blocks[bi] * F.lit(mults[j])
+        combo_keys.append(key)
+    # posexplode keeps the combo index in the key (combo t of A must
+    # equal combo t of B)
+    keys_df = fps.select(
+        "doc_id",
+        "fp",
+        F.posexplode(F.array(*combo_keys)).alias("t", "kv"),
+    )
+    keys = (
+        keys_df.groupBy("t", "kv")
+        .count()
+        .filter((F.col("count") > 1) & (F.col("count") <= _SIMHASH_BUCKET_CAP))
+        .select("t", "kv")
+    )
+    cand = keys_df.join(keys, ["t", "kv"])
+    a = cand.select(
+        "t", "kv", F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")
+    )
+    b = cand.select(
+        "t", "kv", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")
+    )
+    return (
+        a.join(b, ["t", "kv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+@register("llm_dedup_simhash", oracle=_simhash_oracle_sql("b6k3"), section="L2", reverify=9)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 SimHash near-dup: 64-bit fingerprints; candidates share at
     least one of the C(6,3) = 20 block-triple keys (Manku et al.
@@ -957,52 +1053,32 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint (verified bit-for-bit at sf0.001/0.01/0.1) and the
     exact pair set independently.
 
-    Pair generation is a distributed self-equi-join on (table, key) —
-    never a per-bucket collect_list array, so a large near-dup cluster
-    spreads across the shuffle instead of materializing as one
-    driver-sized row."""
+    Pair generation: see ``simhash_pairs`` (the shared kernel both
+    banding configs run through)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fps = widen(docs).select("doc_id", simhash64("text").alias("fp"))
-    blocks = [
-        F.shiftrightunsigned("fp", off).bitwiseAND(F.lit((1 << w) - 1))
-        for off, w in _SIMHASH_BLOCKS
-    ]
-    triple_keys = [
-        blocks[a] * F.lit(1 << 22) + blocks[b] * F.lit(1 << 11) + blocks[c]
-        for a, b, c in _SIMHASH_TRIPLES
-    ]
-    # posexplode keeps the table index in the key (triple t of A must
-    # equal triple t of B)
-    keys_df = fps.select(
-        "doc_id",
-        "fp",
-        F.posexplode(F.array(*triple_keys)).alias("t", "kv"),
-    )
-    keys = (
-        keys_df.groupBy("t", "kv")
-        .count()
-        .filter((F.col("count") > 1) & (F.col("count") <= _SIMHASH_BUCKET_CAP))
-        .select("t", "kv")
-    )
-    cand = keys_df.join(keys, ["t", "kv"])
-    a = cand.select(
-        "t", "kv", F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")
-    )
-    b = cand.select(
-        "t", "kv", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")
-    )
-    pairs = (
-        a.join(b, ["t", "kv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .distinct()
-    )
-    return pairs
+    return simhash_pairs(docs, scheme="b6k3")
+
+
+@register(
+    "llm_dedup_simhash_b5",
+    oracle=_simhash_oracle_sql("b5k2"),
+    section="L2",
+)
+def llm_dedup_simhash_b5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 SimHash near-dup, cheap-banding configuration: C(5,2) = 10
+    pair keys over 5 blocks instead of the default C(6,3) = 20 triple
+    keys over 6 (r9 verdict #3 — the banding width as a measured knob).
+    Identical output contract to ``llm_dedup_simhash`` (exactly the
+    hamming ≤ 3 pair set — the pigeonhole guarantee holds for both:
+    3 flipped bits touch ≤3 of 5 blocks, leaving ≥2 clean → at least
+    one clean pair key), so the two results are asserted EQUAL in
+    tests/test_semantics.py. The trade is shuffle rows (10/doc vs
+    20/doc) against accidental key collisions (~26-bit vs ~32-bit
+    keys); bench_detail.json carries both configs' walls + recall at
+    10×/30× so the default is picked with numbers, not taste. FULL
+    oracle, generated from the same scheme table as the Spark side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_pairs(docs, scheme="b5k2")
 
 
 # =============================================================================

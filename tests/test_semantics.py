@@ -56,14 +56,19 @@ def test_minhash_finds_brute_force_pairs(spark):
     assert recall >= 0.9, f"minhash recall too low: {recall}"
 
 
-def test_simhash_matches_brute_force(spark):
-    """SimHash banding (4×16-bit chunks) has pigeonhole recall 1.0 for
-    hamming ≤ 3, and the operator verifies candidates with exact popcount
-    ≤ 3 — so its output must EQUAL the brute-force O(n²) hamming scan
-    (the degenerate-collision guard _SIMHASH_BUCKET_CAP must not bind
-    on fixtures, where the largest chunk bucket has 161 members)."""
-    from flink_realtime_2024_spark.operators.llm import llm_dedup_simhash, simhash64
+@pytest.mark.parametrize("scheme", ["b6k3", "b5k2"])
+def test_simhash_matches_brute_force(spark, scheme):
+    """Multi-block SimHash banding has pigeonhole recall 1.0 for
+    hamming ≤ 3 under BOTH registered schemes — b6k3 (C(6,3)=20 triple
+    keys) and b5k2 (C(5,2)=10 pair keys: 3 flips touch ≤3 of 5 blocks,
+    ≥2 stay clean, so a clean pair key survives) — and the operator
+    verifies candidates with exact popcount ≤ 3, so each scheme's
+    output must EQUAL the brute-force O(n²) hamming scan (the
+    degenerate-collision guard _SIMHASH_BUCKET_CAP must not bind on
+    fixtures). Scheme equality (b5 result == b6 result) follows from
+    both equaling the same truth set."""
     from flink_realtime_2024_spark.operators._util import widen
+    from flink_realtime_2024_spark.operators.llm import simhash64, simhash_pairs
     from flink_realtime_2024_spark.sources.io import load_table
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -77,10 +82,13 @@ def test_simhash_matches_brute_force(spark):
         )
         for j in np.nonzero((ham <= 3) & (ids > ids[i]))[0]:
             truth.add((int(ids[i]), int(ids[j])))
-    found = _collect_set(llm_dedup_simhash(spark, SF_DIR), "doc_a", "doc_b")
+    found = _collect_set(
+        simhash_pairs(docs, scheme=scheme), "doc_a", "doc_b"
+    )
     assert truth, "fixtures should contain simhash near-dups"
     assert found == truth, (
-        f"missing={sorted(truth - found)[:5]} extra={sorted(found - truth)[:5]}"
+        f"[{scheme}] missing={sorted(truth - found)[:5]}"
+        f" extra={sorted(found - truth)[:5]}"
     )
 
 
