@@ -421,10 +421,27 @@ WITH toks AS (
 ), perms(hi, a, b) AS (
   VALUES {_PERM_VALUES}
 ), mins AS (
+  -- (a*h mod 2^64 + b) mod 2^64 mod (2^61-1), in shift/mask algebra:
+  -- HUGEINT % is ~50x slower than & / >> in DuckDB (measured 6.1 s vs
+  -- 0.12 s over sf0.01's 1.67M perm-hash pairs — this one expression
+  -- was the whole driver-sim tail for the id, r9 verdict #6).
+  -- x % 2^64 == x & (2^64-1) for x >= 0; and with p = 2^61-1,
+  -- 2^61 === 1 (mod p), so u % p == (u>>61) + (u & p) minus p at most
+  -- once (the fold is < 2p: u>>61 <= 7, u&p <= p-1... <= p+7 total).
   SELECT doc_id, hi,
-         MIN(((CAST(a AS HUGEINT) * h) % 18446744073709551616 + b)
-             % 18446744073709551616 % 2305843009213693951) AS mn
-  FROM hashed, perms GROUP BY doc_id, hi
+         MIN(CASE WHEN m >= 2305843009213693951
+                  THEN m - 2305843009213693951 ELSE m END) AS mn
+  FROM (
+    SELECT doc_id, hi,
+           (u >> 61) + (u & CAST(2305843009213693951 AS HUGEINT)) AS m
+    FROM (
+      SELECT doc_id, hi,
+             (((CAST(a AS HUGEINT) * h)
+               & CAST(18446744073709551615 AS HUGEINT)) + b)
+             & CAST(18446744073709551615 AS HUGEINT) AS u
+      FROM hashed, perms
+    )
+  ) GROUP BY doc_id, hi
 ), band_sig AS (
   SELECT doc_id, hi // 4 AS band, string_agg(mn::VARCHAR, ',' ORDER BY hi) AS sig
   FROM mins GROUP BY doc_id, hi // 4
