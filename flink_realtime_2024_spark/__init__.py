@@ -19,3 +19,62 @@ Layout (SURVEY.md §7):
 __version__ = "0.1.0"
 
 from . import plans  # noqa: F401  (importing registers all queries)
+
+# ---------------------------------------------------------------------------
+# Public API (r9 verdict #5): the registered queries take (spark, sf_dir)
+# fixture pairs, but the kernels beneath them are DataFrame-in /
+# DataFrame-out and run on ANY user data with the right columns — this
+# is the surface a 100 TB pipeline actually imports. Everything listed
+# in __all__ is covered by tests/test_public_api.py, which imports ONLY
+# these names and runs them on freshly written user parquet (no repo
+# fixtures). See README "Using the library on your own data".
+# ---------------------------------------------------------------------------
+from .operators.joins import (  # noqa: E402
+    detect_hot_keys,
+    salted_join,
+    salted_join_targeted,
+)
+from .operators.llm import (  # noqa: E402
+    connected_components,
+    minhash_pairs,
+    neardup_cosine_pipeline,
+    shingle_hash_array,
+    simhash64,
+    simhash_pairs,
+    winnow_pipeline,
+)
+from .operators.multimodal import (  # noqa: E402
+    decode_audio,
+    decode_image,
+    decode_video,
+    encode_bmp,
+    encode_wav,
+)
+from .plans.registry import all_queries  # noqa: E402
+from .session import get_spark  # noqa: E402
+
+__all__ = [
+    # session
+    "get_spark",
+    # near-duplicate detection (doc_id, text) → pair/cluster frames
+    "minhash_pairs",        # MinHash+LSH banding, exact-Jaccard verify
+    "simhash_pairs",        # 64-bit SimHash, multi-block banding, hamming<=3
+    "winnow_pipeline",      # rolling-hash winnowing fingerprint overlap
+    "connected_components", # pair edges → cluster ids (large/small-star)
+    "neardup_cosine_pipeline",  # embedding-cosine near-dup pairs
+    # column expressions / UDFs for custom pipelines
+    "simhash64",            # text column → 64-bit fingerprint column
+    "shingle_hash_array",   # text column → sorted unique shingle hashes
+    # skew-aware joins (any key-typed frames)
+    "detect_hot_keys",
+    "salted_join",
+    "salted_join_targeted",
+    # multimodal payload kernels (bytes → dict; wrap in mapInPandas)
+    "decode_image",
+    "decode_audio",
+    "decode_video",
+    "encode_bmp",
+    "encode_wav",
+    # the full registered-query catalog {name: Query}
+    "all_queries",
+]

@@ -500,7 +500,22 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     store is exactly what you'd materialize to parquet.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    store = widen(docs).select(
+    return minhash_pairs(docs)
+
+
+def minhash_pairs(
+    docs: DataFrame, threshold: float = 0.5, bucket_cap: int = 64
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs over a (doc_id, text) frame — the
+    reusable kernel behind ``llm_dedup_minhash`` (see its docstring for
+    the full design + oracle notes). Returns (doc_a, doc_b, jaccard)
+    with exact shingle-Jaccard ≥ ``threshold``; LSH banding (16×4 of 64
+    minhashes) generates candidates, so recall is probabilistic
+    (~1.0 at the default 0.5 threshold — measured each round on 10×/30×
+    replicated corpora) while precision is exact. NOTE: the registered
+    query's DuckDB oracle re-derives the DEFAULT parameters; callers
+    may tune them, the oracle contract covers the defaults."""
+    store = widen(docs.select("doc_id", "text")).select(
         "doc_id", shingle_hash_array("text").alias("sh")
     ).persist()
     sigs = store.select(
@@ -510,7 +525,7 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         sigs.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= 64))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
     )
     # pairs (i<j) inside each bucket, dedup across bands
     pairs = (
@@ -533,7 +548,7 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
         .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
     )
     return verified
 
