@@ -358,6 +358,18 @@ def _compact_summary(out: dict, detail_digest: str) -> dict:
             c[probe_key]["recall_vs_bruteforce"] = {
                 n.replace("llm_dedup_", ""): r for n, r in recalls.items()
             }
+            # component-level recall, only where it adds information
+            # beyond pair recall (i.e. when the cap-degrade chain or a
+            # banding miss left pairs unemitted but families connected)
+            conn = {
+                n.replace("llm_dedup_", ""): q["recall_connected"]
+                for n, q in p["queries"].items()
+                if isinstance(q, dict)
+                and q.get("recall_connected") is not None
+                and q.get("recall_connected") != q.get("recall_vs_bruteforce")
+            }
+            if conn:
+                c[probe_key]["recall_connected"] = conn
     sk = out.get("skew_probe")
     if sk and "salted_targeted_sec" in sk:
         c["skew_probe"] = {
@@ -646,6 +658,28 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
         )
         return {(min(r[0], r[1]), max(r[0], r[1])) for r in got}
 
+    def connected_recall(found, truth):
+        """Component-level recall: fraction of true pairs whose
+        endpoints land in one connected component of the found pair
+        graph. This is the metric the cap-degrade chain (r10) is
+        designed for — inside a mega-family the operator deliberately
+        emits O(n) chain pairs, not the quadratic pair list, so pair
+        recall under-reports what downstream clustering recovers."""
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in found:
+            parent[find(a)] = find(b)
+        if not truth:
+            return None
+        hit = sum(1 for a, b in truth if find(a) == find(b))
+        return round(hit / len(truth), 4)
+
     # Per-metric error isolation (r9 advice): a failure in one recall
     # pass (e.g. driver memory on the brute force, or a builder error)
     # must degrade to an error entry on that probe id, not abort the
@@ -675,13 +709,14 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
                 union = na + nb - len(sa & sets[b])
                 if union and (na + nb - union) / union >= 0.5:
                     truth.add((a, b))
+        found = found_pairs("llm_dedup_minhash")
         entry = probe["llm_dedup_minhash"]
         entry["recall_sample_docs"] = len(rows)
         entry["recall_true_pairs"] = len(truth)
         entry["recall_vs_bruteforce"] = (
-            round(len(found_pairs("llm_dedup_minhash") & truth) / len(truth), 4)
-            if truth else None
+            round(len(found & truth) / len(truth), 4) if truth else None
         )
+        entry["recall_connected"] = connected_recall(found, truth)
 
     _guarded("llm_dedup_minhash", _minhash_recall)
 
@@ -711,13 +746,14 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
             if not sim_cache:
                 sim_cache["v"] = _simhash_truth()
             n_docs, truth = sim_cache["v"]
+            found = found_pairs(name)
             entry = probe[name]
             entry["recall_sample_docs"] = n_docs
             entry["recall_true_pairs"] = len(truth)
             entry["recall_vs_bruteforce"] = (
-                round(len(found_pairs(name) & truth) / len(truth), 4)
-                if truth else None
+                round(len(found & truth) / len(truth), 4) if truth else None
             )
+            entry["recall_connected"] = connected_recall(found, truth)
         return run
 
     _guarded("llm_dedup_simhash", _simhash_recall("llm_dedup_simhash"))

@@ -445,14 +445,31 @@ WITH toks AS (
 ), band_sig AS (
   SELECT doc_id, hi // 4 AS band, string_agg(mn::VARCHAR, ',' ORDER BY hi) AS sig
   FROM mins GROUP BY doc_id, hi // 4
+), bucket_counts AS (
+  SELECT band, sig, COUNT(*) AS cnt FROM band_sig GROUP BY band, sig
 ), buckets AS (
-  SELECT band, sig FROM band_sig GROUP BY band, sig
-  HAVING COUNT(*) > 1 AND COUNT(*) <= 64
+  SELECT band, sig FROM bucket_counts WHERE cnt > 1 AND cnt <= 64
+), big_buckets AS (
+  SELECT band, sig FROM bucket_counts WHERE cnt > 64
+), chain AS (
+  -- oversized buckets degrade to a doc_id-sorted consecutive CHAIN
+  -- (r10: they were DROPPED before, which the 100x probe measured as
+  -- recall 0.0 on >64-doc duplicate families) — O(n) pairs that keep
+  -- the family connected for downstream clustering
+  SELECT band, sig, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+  FROM band_sig JOIN big_buckets USING (band, sig)
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM band_sig a
-  JOIN buckets k ON k.band = a.band AND k.sig = a.sig
-  JOIN band_sig b ON b.band = a.band AND b.sig = a.sig AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band_sig a
+    JOIN buckets k ON k.band = a.band AND k.sig = a.sig
+    JOIN band_sig b ON b.band = a.band AND b.sig = a.sig AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM chain l
+    JOIN chain r ON r.band = l.band AND r.sig = l.sig AND r.rn = l.rn + 1
+  )
 ), counts AS (
   SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id
 ), inter AS (
@@ -478,8 +495,10 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale path (why there is NO cross join): equal band hash ⇒ same
     shuffle bucket; pairs are enumerated only inside buckets. Runaway
-    buckets (degenerate text) are capped at 64 docs — cap + salt is the
-    documented skew strategy at 100 TB.
+    buckets (degenerate text or mega duplicate-families) cap the
+    all-pairs enumeration at 64 docs and degrade to a connectivity
+    chain past it (r10 — the 100× probe measured the old drop-the-
+    bucket behavior at recall 0.0 on 100-replica families).
 
     FULL oracle (r9, previously rows-only): the banding is pseudo-random
     but not random — the 64 permutation constants are fixed, shingle
@@ -511,10 +530,16 @@ def minhash_pairs(
     the full design + oracle notes). Returns (doc_a, doc_b, jaccard)
     with exact shingle-Jaccard ≥ ``threshold``; LSH banding (16×4 of 64
     minhashes) generates candidates, so recall is probabilistic
-    (~1.0 at the default 0.5 threshold — measured each round on 10×/30×
-    replicated corpora) while precision is exact. NOTE: the registered
-    query's DuckDB oracle re-derives the DEFAULT parameters; callers
-    may tune them, the oracle contract covers the defaults."""
+    (~1.0 at the default 0.5 threshold — measured each round on
+    10×/30×/100× replicated corpora) while precision is exact.
+    Buckets larger than ``bucket_cap`` emit a doc_id-sorted chain
+    instead of all pairs: pair-level recall inside a mega-family is
+    deliberately partial (the quadratic pair list IS the cost being
+    capped) but the family stays one connected component for
+    clustering — measured as recall_connected in the bench probes.
+    NOTE: the registered query's DuckDB oracle re-derives the DEFAULT
+    parameters; callers may tune them, the oracle contract covers the
+    defaults."""
     store = widen(docs.select("doc_id", "text")).select(
         "doc_id", shingle_hash_array("text").alias("sh")
     ).persist()
@@ -522,20 +547,58 @@ def minhash_pairs(
         "doc_id",
         F.posexplode(minhash_bands_from_hashes("sh")).alias("band", "band_hash"),
     )
-    buckets = (
-        sigs.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
-    )
-    # pairs (i<j) inside each bucket, dedup across bands
-    pairs = (
-        buckets.select(
-            F.explode("ids").alias("doc_a"), F.col("ids")
+    # pair generation as a distributed self-equi-join on (band, hash) —
+    # r10 rewrite: the old collect_list-of-ids bucket row was a latent
+    # driver-sized-row hazard (a 10M-doc boilerplate family would
+    # materialize as ONE array row), the same shape the simhash kernel
+    # always avoided
+    counts = sigs.groupBy("band", "band_hash").count()
+    small = counts.filter(
+        (F.col("count") > 1) & (F.col("count") <= bucket_cap)
+    ).select("band", "band_hash")
+    # oversized buckets degrade to a doc_id-sorted consecutive CHAIN —
+    # r10: they were DROPPED before, which the new 100x probe measured
+    # as recall 0.0 on duplicate families larger than the cap (every
+    # family bucket vanished). A chain keeps the family connected for
+    # downstream clustering at O(n) pairs, preserving the cap's actual
+    # purpose (bounding the quadratic all-pairs enumeration); the
+    # exact-Jaccard verify still prunes accidental chain neighbors.
+    # The single-partition window per oversized bucket is O(n log n)
+    # rows on one reducer — bounded straggler, not a correctness or
+    # memory cliff, and only for buckets past the cap.
+    big = counts.filter(F.col("count") > bucket_cap).select("band", "band_hash")
+    s = sigs.join(small, ["band", "band_hash"])
+    pairs_small = (
+        s.select("band", "band_hash", F.col("doc_id").alias("doc_a"))
+        .join(
+            s.select("band", "band_hash", F.col("doc_id").alias("doc_b")),
+            ["band", "band_hash"],
         )
-        .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
+        .select("doc_a", "doc_b")
     )
+    from pyspark.sql.window import Window
+
+    chain = sigs.join(big, ["band", "band_hash"]).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("band", "band_hash").orderBy("doc_id")
+        ),
+    )
+    pairs_chain = (
+        chain.select("band", "band_hash", "rn", F.col("doc_id").alias("doc_a"))
+        .join(
+            chain.select(
+                "band",
+                "band_hash",
+                (F.col("rn") - 1).alias("rn"),
+                F.col("doc_id").alias("doc_b"),
+            ),
+            ["band", "band_hash", "rn"],
+        )
+        .select("doc_a", "doc_b")
+    )
+    pairs = pairs_small.unionByName(pairs_chain).distinct()
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     verified = (
@@ -869,13 +932,14 @@ def simhash64(text: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="int64")
 
 
-# Degenerate-collision guard for simhash banding: a bucket key shared by
-# more docs than this is dropped from candidate generation. Real near-dup
+# Degenerate-collision guard for simhash banding: a bucket key shared
+# by more docs than this caps the all-pairs enumeration; past the cap
+# the bucket degrades to a (fingerprint, doc_id)-sorted chain (r10 —
+# capped buckets were DROPPED before, which the 100× probe measured as
+# recall 0.78/0.61 on a low-entropy 500k-doc corpus). Real near-dup
 # mega-clusters below the cap pass through intact (their quadratic pair
-# count is the answer, and the self-join distributes it). With the
-# multi-block keys below (~32 bits each) this binds only on families
-# agreeing on 32+ specific fingerprint bits — near-identical docs —
-# never on mere vocabulary overlap.
+# count is the answer, and the self-join distributes it); above it, the
+# chain keeps duplicate families connected at O(n) pairs.
 _SIMHASH_BUCKET_CAP = 4096
 
 # Multi-block banding (Manku, Jain & Das Sarma, WWW'07 — the scheme
@@ -965,7 +1029,7 @@ WITH tok AS (
   SELECT d.doc_id, COALESCE(fp.fpu, 0) AS fpu
   FROM documents d LEFT JOIN fp USING (doc_id)
 ), blk AS (
-  SELECT doc_id,
+  SELECT doc_id, fpu,
          list_transform(
            [{", ".join(f"[{o}, {w}]" for o, w in blocks)}],
            p -> CAST((fpu // (CAST(1 AS HUGEINT) << p[1])) % (1 << p[2]) AS BIGINT)
@@ -974,16 +1038,34 @@ WITH tok AS (
 ), combos(t, {combo_cols}) AS (
   VALUES {combo_rows}
 ), keys AS (
-  SELECT doc_id, t, {key_expr} AS kv
+  SELECT doc_id, fpu, t, {key_expr} AS kv
   FROM blk, combos
+), key_counts AS (
+  SELECT t, kv, COUNT(*) AS cnt FROM keys GROUP BY t, kv
 ), ok_keys AS (
-  SELECT t, kv FROM keys GROUP BY t, kv
-  HAVING COUNT(*) > 1 AND COUNT(*) <= {_SIMHASH_BUCKET_CAP}
+  SELECT t, kv FROM key_counts WHERE cnt > 1 AND cnt <= {_SIMHASH_BUCKET_CAP}
+), big_keys AS (
+  SELECT t, kv FROM key_counts WHERE cnt > {_SIMHASH_BUCKET_CAP}
+), chain AS (
+  -- oversized buckets degrade to a (fingerprint, doc_id)-sorted chain
+  -- instead of being dropped (r10; identical fingerprints adjacent,
+  -- so duplicate families inside accidental mega buckets stay
+  -- connected; the popcount verify prunes accidental neighbors)
+  SELECT k.doc_id, k.t, k.kv,
+         ROW_NUMBER() OVER (PARTITION BY k.t, k.kv ORDER BY k.fpu, k.doc_id) AS rn
+  FROM keys k JOIN big_keys USING (t, kv)
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM keys a
-  JOIN ok_keys k ON k.t = a.t AND k.kv = a.kv
-  JOIN keys b ON b.t = a.t AND b.kv = a.kv AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM keys a
+    JOIN ok_keys k ON k.t = a.t AND k.kv = a.kv
+    JOIN keys b ON b.t = a.t AND b.kv = a.kv AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT LEAST(l.doc_id, r.doc_id) AS doc_a,
+           GREATEST(l.doc_id, r.doc_id) AS doc_b
+    FROM chain l
+    JOIN chain r ON r.t = l.t AND r.kv = l.kv AND r.rn = l.rn + 1
+  )
 ), chunks AS (
   SELECT doc_id, ci,
          CAST((fpu // (CAST(1 AS HUGEINT) << (16 * ci))) % 65536 AS BIGINT) AS cv
@@ -1000,12 +1082,19 @@ SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
 """
 
 
-def simhash_pairs(docs: DataFrame, scheme: str = "b6k3") -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    scheme: str = "b6k3",
+    bucket_cap: int = _SIMHASH_BUCKET_CAP,
+) -> DataFrame:
     """SimHash near-dup pair detection over a (doc_id, text) frame:
     64-bit fingerprints, multi-block banding per `scheme`
     (see ``_SIMHASH_SCHEMES``), exact popcount hamming ≤ 3 verify.
-    Output = exactly {pairs with hamming ≤ 3} for both schemes
-    (pigeonhole — pytest-pinned per scheme in tests/test_semantics.py).
+    While no bucket exceeds ``bucket_cap``, output = exactly {pairs
+    with hamming ≤ 3} for both schemes (pigeonhole — pytest-pinned per
+    scheme in tests/test_semantics.py); oversized buckets degrade to a
+    (fp, doc_id)-sorted chain — connectivity preserved at O(n) pairs,
+    pinned by test_lsh_bucket_cap_degrades_to_chain.
 
     Pair generation is a distributed self-equi-join on (combo index,
     key) — never a per-bucket collect_list array, so a large near-dup
@@ -1031,12 +1120,10 @@ def simhash_pairs(docs: DataFrame, scheme: str = "b6k3") -> DataFrame:
         "fp",
         F.posexplode(F.array(*combo_keys)).alias("t", "kv"),
     )
-    keys = (
-        keys_df.groupBy("t", "kv")
-        .count()
-        .filter((F.col("count") > 1) & (F.col("count") <= _SIMHASH_BUCKET_CAP))
-        .select("t", "kv")
-    )
+    counts = keys_df.groupBy("t", "kv").count()
+    keys = counts.filter(
+        (F.col("count") > 1) & (F.col("count") <= bucket_cap)
+    ).select("t", "kv")
     cand = keys_df.join(keys, ["t", "kv"])
     a = cand.select(
         "t", "kv", F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")
@@ -1044,9 +1131,46 @@ def simhash_pairs(docs: DataFrame, scheme: str = "b6k3") -> DataFrame:
     b = cand.select(
         "t", "kv", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")
     )
-    return (
+    pairs_small = (
         a.join(b, ["t", "kv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+    )
+    # oversized buckets (low-entropy corpora: many distinct docs agree
+    # on one ~26/32-bit key) degrade to a consecutive CHAIN instead of
+    # being dropped (r10 — the 100× probe measured the drop at recall
+    # 0.78/0.61). Chain order is (fp, doc_id): identical fingerprints
+    # sort adjacent, so a duplicate family inside an accidental mega
+    # bucket stays connected (hamming 0 links survive the verify),
+    # while accidental neighbors are pruned by the exact popcount.
+    from pyspark.sql.window import Window
+
+    big = counts.filter(F.col("count") > bucket_cap).select("t", "kv")
+    chain = keys_df.join(big, ["t", "kv"]).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("t", "kv").orderBy("fp", "doc_id")),
+    )
+    pairs_chain = (
+        chain.select(
+            "t", "kv", "rn",
+            F.col("doc_id").alias("id_l"), F.col("fp").alias("fp_l"),
+        )
+        .join(
+            chain.select(
+                "t", "kv", (F.col("rn") - 1).alias("rn"),
+                F.col("doc_id").alias("id_r"), F.col("fp").alias("fp_r"),
+            ),
+            ["t", "kv", "rn"],
+        )
+        .select(
+            F.least("id_l", "id_r").alias("doc_a"),
+            F.greatest("id_l", "id_r").alias("doc_b"),
+            F.col("fp_l").alias("fp_a"),
+            F.col("fp_r").alias("fp_b"),
+        )
+    )
+    return (
+        pairs_small.unionByName(pairs_chain)
         .select(
             "doc_a",
             "doc_b",

@@ -2028,3 +2028,40 @@ def test_html_extract_expr_on_foreign_markup(spark):
     assert r["n_kept"] == 1
     assert r["main_prefix"].startswith("Actual article text")
     assert "<" not in r["main_prefix"]
+
+
+def test_lsh_bucket_cap_degrades_to_chain(spark):
+    """r10 (found by the 100× probe): buckets past the degenerate-
+    collision cap must NOT be dropped — a duplicate family larger than
+    the cap previously vanished entirely (measured recall 0.0 on
+    100-replica families). The cap's contract is now: all-pairs up to
+    the cap, a sorted consecutive CHAIN past it — O(n) pairs that keep
+    the family ONE connected component while still bounding the
+    quadratic enumeration."""
+    from flink_realtime_2024_spark import (
+        connected_components,
+        minhash_pairs,
+        simhash_pairs,
+    )
+
+    n = 8
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+         for i in range(1, n + 1)],
+        "doc_id long, text string",
+    )
+    all_pairs = n * (n - 1) // 2  # 28 — what an uncapped bucket emits
+
+    for kernel, kwargs in (
+        (minhash_pairs, {"bucket_cap": 4}),
+        (simhash_pairs, {"bucket_cap": 4}),
+        (simhash_pairs, {"scheme": "b5k2", "bucket_cap": 4}),
+    ):
+        pairs = kernel(docs, **kwargs).select("doc_a", "doc_b")
+        got = pairs.count()
+        assert 0 < got < all_pairs, (kernel.__name__, kwargs, got)
+        comp = connected_components(pairs, "doc_a", "doc_b")
+        clusters = {r["cluster_id"] for r in comp.collect()}
+        members = {r["doc_id"] for r in comp.collect()}
+        assert members == set(range(1, n + 1)), (kernel.__name__, kwargs)
+        assert len(clusters) == 1, (kernel.__name__, kwargs)
