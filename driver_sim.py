@@ -43,8 +43,23 @@ print(f"entry() smoke: {len(rows)} rows OK", flush=True)
 import duckdb  # noqa: E402
 
 con = duckdb.connect()
+import os  # noqa: E402
+
+# Resource fences for the oracle engine: at sf0.01 (the driver's gate)
+# these never bind; at the sf1-equivalent evidence runs the two LSH
+# re-derivation oracles are 10^8-row aggregates that OOM'd/filled /tmp
+# when DuckDB sized itself against a machine it shares with a Spark JVM.
+con.execute(f"SET memory_limit='{os.environ.get('SIM_DUCK_MEM', '24GB')}'")
+spill = os.environ.get("SIM_DUCK_TMP", "/root/duck_spill")
+os.makedirs(spill, exist_ok=True)
+con.execute(f"SET temp_directory='{spill}'")
+
 for n in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.execute(f"CREATE VIEW {n} AS SELECT * FROM read_parquet('{SF}/{n}.parquet')")
+    p = f"{SF}/{n}.parquet"
+    # fixture tables are single files; staged/replicated corpora (the
+    # sf1-equivalent parity run) are Spark-written part-file DIRECTORIES
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {n} AS SELECT * FROM read_parquet('{src}')")
 
 queries = e.queries()
 oracles = e.oracle_sql()

@@ -413,7 +413,12 @@ WITH toks AS (
                           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
          ELSE [array_to_string(tk, ' ')] END AS gs
   FROM toks
-), hashed AS (
+), hashed AS MATERIALIZED (
+  -- MATERIALIZED (here and band_sig): DuckDB inlines CTEs, so the
+  -- multiply-referenced heavy aggregates re-evaluate once per
+  -- reference, CONCURRENTLY — at the sf1-equivalent corpus that
+  -- tripled a 2.5x10^8-row aggregate and overflowed a 64 GB spill
+  -- volume. Materializing pins single evaluation; results unchanged.
   SELECT DISTINCT doc_id, {_MD5_U64_TERMS} AS h
   FROM grams,
        LATERAL unnest(gs) AS u(g),
@@ -442,7 +447,7 @@ WITH toks AS (
       FROM hashed, perms
     )
   ) GROUP BY doc_id, hi
-), band_sig AS (
+), band_sig AS MATERIALIZED (
   SELECT doc_id, hi // 4 AS band, string_agg(mn::VARCHAR, ',' ORDER BY hi) AS sig
   FROM mins GROUP BY doc_id, hi // 4
 ), bucket_counts AS (
@@ -1025,7 +1030,11 @@ WITH tok AS (
          SUM(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << (63 - b)
                   ELSE CAST(0 AS HUGEINT) END) AS fpu
   FROM bits GROUP BY doc_id
-), docs_fp AS (
+), docs_fp AS MATERIALIZED (
+  -- MATERIALIZED (and keys below): DuckDB inlines CTE references, so
+  -- every re-reference of docs_fp/keys would re-derive the WHOLE
+  -- fingerprint pipeline (the 3x10^8-row bits aggregate) — measured
+  -- overflowing a 64 GB spill volume at the sf1-equivalent corpus.
   SELECT d.doc_id, COALESCE(fp.fpu, 0) AS fpu
   FROM documents d LEFT JOIN fp USING (doc_id)
 ), blk AS (
@@ -1037,10 +1046,10 @@ WITH tok AS (
   FROM docs_fp
 ), combos(t, {combo_cols}) AS (
   VALUES {combo_rows}
-), keys AS (
+), keys AS MATERIALIZED (
   SELECT doc_id, fpu, t, {key_expr} AS kv
   FROM blk, combos
-), key_counts AS (
+), key_counts AS MATERIALIZED (
   SELECT t, kv, COUNT(*) AS cnt FROM keys GROUP BY t, kv
 ), ok_keys AS (
   SELECT t, kv FROM key_counts WHERE cnt > 1 AND cnt <= {_SIMHASH_BUCKET_CAP}
