@@ -26,11 +26,19 @@ only = [a for a in args if not a.startswith("--")]
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-spark = (
-    SparkSession.builder.master("local[8]")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+_builder = SparkSession.builder.master("local[8]").config(
+    "spark.ui.enabled", "false"
 )
+# Vanilla by default (the driver's gate gives us no conf). The
+# sf1-equivalent evidence runs collect multi-million-row results
+# through the driver — size it for those via env, never by default.
+import os as _os  # noqa: E402
+
+if _os.environ.get("SIM_SPARK_DRIVER_MEM"):
+    _builder = _builder.config(
+        "spark.driver.memory", _os.environ["SIM_SPARK_DRIVER_MEM"]
+    )
+spark = _builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e  # noqa: E402
