@@ -41,6 +41,10 @@ def materialize(df) -> None:
 
 
 def main() -> None:
+    # headroom for the 100× probe tier: the default 8g driver JVM (this
+    # is local mode — driver IS the executor) OOM'd under 60M-row
+    # probes stacked on a full headline run; the machine has 128 GiB.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -601,12 +605,15 @@ def _scale_probe(
             }
     finally:
         # the replica tables stay on DISK (probe_dir is reused across
-        # rounds); their in-memory hot caches must not outlive the
-        # probe — stacking 10× + 30× cached copies in one JVM was the
-        # r6 'stream_dedup needs 8g driver' memory pressure
-        from flink_realtime_2024_spark.sources.io import drop_hot_cache
+        # rounds); nothing cached may outlive the probe — stacking
+        # 10×+30× hot caches was the r6 'stream_dedup needs 8g driver'
+        # pressure, and the kernels' internal persists (LSH signature
+        # stores) leaked until the 100× tier OOM'd the JVM (r10).
+        # Hot base-table caches rebuild lazily; headline timings are
+        # already recorded and probe reps are min-of-N.
+        from flink_realtime_2024_spark.sources.io import drop_all_caches
 
-        drop_hot_cache(probe_dir)
+        drop_all_caches(spark)
     return {
         "replication": replication,
         "base_sf": _sf_from_dir(SF_DIR),

@@ -548,10 +548,14 @@ def minhash_pairs(
     store = widen(docs.select("doc_id", "text")).select(
         "doc_id", shingle_hash_array("text").alias("sh")
     ).persist()
+    # persisted: sigs feeds three subtrees (bucket counts, the small-
+    # bucket self-join's two sides, the chain) — without the persist
+    # each evaluation re-runs the banding UDF over every document
+    # (measured 3.4× the base wall, r10). 16 int rows/doc: tiny.
     sigs = store.select(
         "doc_id",
         F.posexplode(minhash_bands_from_hashes("sh")).alias("band", "band_hash"),
-    )
+    ).persist()
     # pair generation as a distributed self-equi-join on (band, hash) —
     # r10 rewrite: the old collect_list-of-ids bucket row was a latent
     # driver-sized-row hazard (a 10M-doc boilerplate family would
@@ -1124,11 +1128,15 @@ def simhash_pairs(
         combo_keys.append(key)
     # posexplode keeps the combo index in the key (combo t of A must
     # equal combo t of B)
+    # persisted: keys_df feeds the bucket counts, both self-join sides,
+    # and the chain — unpersisted, each evaluation re-runs the simhash
+    # UDF over every document (the minhash twin measured 3.4× base
+    # wall from exactly this, r10). 10-20 int rows/doc: tiny.
     keys_df = fps.select(
         "doc_id",
         "fp",
         F.posexplode(F.array(*combo_keys)).alias("t", "kv"),
-    )
+    ).persist()
     counts = keys_df.groupBy("t", "kv").count()
     keys = counts.filter(
         (F.col("count") > 1) & (F.col("count") <= bucket_cap)

@@ -170,6 +170,21 @@ def drop_hot_cache(sf_dir: str) -> None:
         del _HOT[key]
 
 
+def drop_all_caches(spark) -> None:
+    """Clear EVERY cached/persisted dataset and reset the hot-table
+    registry (re-cached lazily on next load_table). For long-lived
+    measurement sessions: kernel-internal persists (the LSH signature
+    stores, exploded key frames) have no owner to unpersist them, and
+    across a full bench run — 37 headline queries × reps plus four
+    probe tiers up to 100× — the leaked blocks squeezed execution
+    memory until the 100× probe OOM'd an 8 GiB driver JVM (r10)."""
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    _HOT.clear()
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
