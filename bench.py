@@ -400,10 +400,24 @@ def _compact_summary(out: dict, detail_digest: str) -> dict:
         c["query_errors"] = sorted(out["query_errors"])
     # hard guarantee: stay inside the driver's ~2 KB tail capture with
     # generous margin. Everything dropped here is in the detail file.
+    # Degradation ladder (never crash, never overflow — a bad round
+    # with many query_errors plus three populated probe blocks must
+    # still print a parseable line): optional extras first, then
+    # per-probe recall dicts, then error-list truncation, then whole
+    # probe blocks.
     for victim in ("streaming_events_per_sec", "skew_probe", "top_deltas"):
         if len(json.dumps(c)) > 1200:
             c.pop(victim, None)
-    assert len(json.dumps(c)) <= 1800, "compact bench line overflow"
+    for probe_key in ("sf1_probe", "sf3_probe", "sf10_probe"):
+        for field in ("recall_connected", "recall_vs_bruteforce"):
+            if len(json.dumps(c)) > 1500 and probe_key in c:
+                c[probe_key].pop(field, None)
+    if len(json.dumps(c)) > 1500 and "query_errors" in c:
+        errs = c["query_errors"]
+        c["query_errors"] = errs[:5] + [f"...and {len(errs) - 5} more"]
+    for probe_key in ("sf1_probe", "sf3_probe", "sf10_probe"):
+        if len(json.dumps(c)) > 1700:
+            c.pop(probe_key, None)
     return c
 
 
@@ -555,7 +569,13 @@ def _scale_probe(
                 "_rep", F.explode(F.sequence(F.lit(0), F.lit(replication - 1)))
             )
             for key in keys:
-                r = r.withColumn(key, F.col(key) + F.col("_rep") * F.lit(key_off))
+                # LONG multiply: an int32 _rep * key_off product wraps
+                # silently past replication 214 under ansi=false (the
+                # old union form computed offsets in Python ints)
+                r = r.withColumn(
+                    key,
+                    F.col(key) + F.col("_rep").cast("long") * F.lit(key_off),
+                )
             if perturb_col is not None:
                 col = perturb_col
                 r = r.withColumn(

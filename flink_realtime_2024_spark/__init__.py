@@ -52,10 +52,16 @@ from .operators.multimodal import (  # noqa: E402
 )
 from .plans.registry import all_queries  # noqa: E402
 from .session import get_spark  # noqa: E402
+from .sources.io import drop_all_caches  # noqa: E402
 
 __all__ = [
     # session
     "get_spark",
+    # cache release: the near-dup kernels persist() internal frames
+    # (signature stores) that outlive the returned DataFrame — a
+    # long-lived session running many kernel calls should call this
+    # between batches (it clears ALL cached datasets)
+    "drop_all_caches",
     # near-duplicate detection (doc_id, text) → pair/cluster frames
     "minhash_pairs",        # MinHash+LSH banding, exact-Jaccard verify
     "simhash_pairs",        # 64-bit SimHash, multi-block banding, hamming<=3

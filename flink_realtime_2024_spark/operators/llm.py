@@ -994,12 +994,14 @@ def _simhash_key_mults(scheme: str) -> list[int]:
     return [1 << (wmax * (keep - 1 - j)) for j in range(keep)]
 
 
-def _simhash_oracle_sql(scheme: str) -> str:
+def _simhash_oracle_sql(scheme: str, bucket_cap: int = _SIMHASH_BUCKET_CAP) -> str:
     """DuckDB re-derivation of the full SimHash pipeline for a banding
     scheme: fingerprints from per-token md5 bits, block extraction,
     combo keys, bucket cap, exact popcount verify — all integer
     algebra, generated from the same scheme table the Spark side
-    uses so the two can never drift."""
+    uses so the two can never drift. ``bucket_cap`` is parameterized
+    so the cross-engine chain test can force oversized buckets on a
+    tiny corpus (the registered ids use the module default)."""
     blocks, keep = _SIMHASH_SCHEMES[scheme]
     combos = _simhash_combos(scheme)
     mults = _simhash_key_mults(scheme)
@@ -1056,16 +1058,26 @@ WITH tok AS (
 ), key_counts AS MATERIALIZED (
   SELECT t, kv, COUNT(*) AS cnt FROM keys GROUP BY t, kv
 ), ok_keys AS (
-  SELECT t, kv FROM key_counts WHERE cnt > 1 AND cnt <= {_SIMHASH_BUCKET_CAP}
+  SELECT t, kv FROM key_counts WHERE cnt > 1 AND cnt <= {bucket_cap}
 ), big_keys AS (
-  SELECT t, kv FROM key_counts WHERE cnt > {_SIMHASH_BUCKET_CAP}
+  SELECT t, kv FROM key_counts WHERE cnt > {bucket_cap}
 ), chain AS (
   -- oversized buckets degrade to a (fingerprint, doc_id)-sorted chain
   -- instead of being dropped (r10; identical fingerprints adjacent,
   -- so duplicate families inside accidental mega buckets stay
-  -- connected; the popcount verify prunes accidental neighbors)
+  -- connected; the popcount verify prunes accidental neighbors).
+  -- Chain order = the SIGNED int64 reinterpretation of the
+  -- fingerprint, because that is the order Spark's LongType sort
+  -- gives: fpu alone would order mixed-sign buckets differently and
+  -- the two engines' chains (hence pair sets) would diverge.
   SELECT k.doc_id, k.t, k.kv,
-         ROW_NUMBER() OVER (PARTITION BY k.t, k.kv ORDER BY k.fpu, k.doc_id) AS rn
+         ROW_NUMBER() OVER (
+           PARTITION BY k.t, k.kv
+           ORDER BY CASE WHEN k.fpu >= 9223372036854775808
+                         THEN k.fpu - 18446744073709551616
+                         ELSE k.fpu END,
+                    k.doc_id
+         ) AS rn
   FROM keys k JOIN big_keys USING (t, kv)
 ), cand AS (
   SELECT DISTINCT doc_a, doc_b FROM (

@@ -156,20 +156,6 @@ def _hot_staged_copy(spark: SparkSession, sf_dir: str, name: str, df: DataFrame)
     return spark.read.parquet(dst)
 
 
-def drop_hot_cache(sf_dir: str) -> None:
-    """Unpersist every hot-cached table staged from ``sf_dir`` (the
-    bench's scale probes stage 10×/30× replica dirs — leaving those
-    caches resident across probes stacked ~40× of storage pressure on
-    one JVM and was the real cause of r6's 'stream_dedup needs 8g
-    driver' note; the probe data itself lives on disk)."""
-    for key in [k for k in _HOT if k[1] == sf_dir]:
-        try:
-            _HOT[key].unpersist()
-        except Exception:
-            pass
-        del _HOT[key]
-
-
 def drop_all_caches(spark) -> None:
     """Clear EVERY cached/persisted dataset and reset the hot-table
     registry (re-cached lazily on next load_table). For long-lived

@@ -83,8 +83,11 @@ def test_winnow_and_components_on_user_parquet(spark, tmp_path):
     pairs = winnow_pipeline(docs).select("doc_a", "doc_b")
     clusters = connected_components(pairs, "doc_a", "doc_b")
     by_id = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
-    if 1 in by_id and 2 in by_id:  # winnow found the dup family
-        assert by_id[1] == by_id[2]
+    # the exact-dup pair MUST be found and co-clustered — an
+    # unconditional contract, not an if-found check (a vacuous pass
+    # here would leave the winnow public path untested)
+    assert 1 in by_id and 2 in by_id, sorted(by_id)
+    assert by_id[1] == by_id[2]
 
 
 def test_simhash64_is_a_plain_column_expr(spark, tmp_path):

@@ -2065,3 +2065,59 @@ def test_lsh_bucket_cap_degrades_to_chain(spark):
         members = {r["doc_id"] for r in comp.collect()}
         assert members == set(range(1, n + 1)), (kernel.__name__, kwargs)
         assert len(clusters) == 1, (kernel.__name__, kwargs)
+
+
+def test_simhash_chain_order_matches_oracle_on_mixed_sign_bucket(spark, tmp_path):
+    """Cross-engine pin for the cap-degrade chain's SORT ORDER (r10
+    review find): Spark sorts chain members by the SIGNED int64
+    fingerprint, so the generated DuckDB oracle must reinterpret its
+    unsigned fpu as signed before ordering — on a bucket containing
+    fingerprints of BOTH signs, unsigned ordering gives a different
+    adjacency and hence a different emitted pair set. The corpus here
+    is constructed (searched offline) so that eleven docs share one
+    b6k3 banding key with mixed-sign fingerprints; bucket_cap=2 forces
+    that bucket through the chain path in both engines, and the
+    signed-vs-unsigned orderings provably emit DIFFERENT pair sets on
+    it (21 vs 22 pairs, 7-pair symmetric difference, measured) — so
+    this test fails against an oracle that sorts by raw fpu."""
+    import duckdb
+
+    from flink_realtime_2024_spark.operators._util import widen
+    from flink_realtime_2024_spark.operators.llm import (
+        _simhash_oracle_sql,
+        simhash64,
+        simhash_pairs,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    rows = [(i + 1, f"{base} {w}") for i, w in enumerate(
+        ["w190tok", "w404tok", "w717tok", "w754tok", "w758tok", "w1900tok",
+         "w2600tok", "w3047tok", "w3060tok", "w4044tok", "w4698tok"]
+    )]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = [
+        r["fp"]
+        for r in widen(docs).select(simhash64("text").alias("fp")).collect()
+    ]
+    assert {f < 0 for f in fps} == {True, False}, "need mixed-sign fps"
+
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    oracle = {
+        (r[0], r[1], r[2])
+        for r in con.execute(_simhash_oracle_sql("b6k3", bucket_cap=2)).fetchall()
+    }
+    got = {
+        tuple(r)
+        for r in simhash_pairs(docs, scheme="b6k3", bucket_cap=2).collect()
+    }
+    assert got == oracle, (
+        f"spark-only={sorted(got - oracle)} oracle-only={sorted(oracle - got)}"
+    )
