@@ -340,18 +340,37 @@ def jaccard_prefix_len(set_size, threshold: float = 0.5) -> "F.Column":
     return (s - ceil_ts + 1).cast("int")
 
 
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def minhash_bands_from_hashes(sh: pd.Series) -> pd.Series:
-    """64 minhashes → 16 band hashes from precomputed shingle hashes
-    (pure numpy — no string work).
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("bands", T.ArrayType(T.LongType())),
+            T.StructField("sig", T.StringType()),
+        ]
+    )
+)
+def minhash_bands_from_hashes(sh: pd.Series) -> pd.DataFrame:
+    """64 minhashes → (16 band hashes, full-signature md5) from
+    precomputed shingle hashes (pure numpy — no string work beyond the
+    one md5 per doc).
+
+    ``sig`` (r11) is md5 of the comma-joined 64 minima in permutation
+    order — an engine-portable similarity-adjacency key for the
+    oversized-bucket chain: docs with IDENTICAL full signatures sort
+    adjacent, so an accidental mega bucket that interleaves two exact
+    duplicate families chains each family contiguously instead of
+    emitting only cross-family links that the Jaccard verify then
+    prunes (r10 advice). DuckDB re-derives the same value as
+    ``md5(string_agg(mn::VARCHAR, ',' ORDER BY hi))``.
 
     Fully vectorized across the Arrow batch: all documents' shingle
     hashes are concatenated, the 64 permutations applied as one matrix
     op, and per-document minima taken with ``np.minimum.reduceat`` —
     chunked to bound the (64 × total_shingles) intermediate."""
+    import hashlib
     import zlib
 
-    out: list[list[int]] = []
+    bands_out: list[list[int]] = []
+    sig_out: list[str] = []
     chunk = 512  # docs per matrix — caps the intermediate at ~40 MB
     vals = sh.tolist()
     for lo in range(0, len(vals), chunk):
@@ -370,9 +389,17 @@ def minhash_bands_from_hashes(sh: pd.Series) -> pd.Series:
         starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
         mins = np.minimum.reduceat(M, starts, axis=1)  # (64, n_docs)
         for i in range(len(seg)):
-            bands = mins[:, i].reshape(_N_BANDS, _ROWS_PER_BAND)
-            out.append([zlib.crc32(np.ascontiguousarray(b).tobytes()) for b in bands])
-    return pd.Series(out)
+            col = mins[:, i]
+            bands = col.reshape(_N_BANDS, _ROWS_PER_BAND)
+            bands_out.append(
+                [zlib.crc32(np.ascontiguousarray(b).tobytes()) for b in bands]
+            )
+            sig_out.append(
+                hashlib.md5(
+                    ",".join(str(int(v)) for v in col).encode()
+                ).hexdigest()
+            )
+    return pd.DataFrame({"bands": bands_out, "sig": sig_out})
 
 
 # 61-bit hex → HUGEINT parse of md5's first 16 hex digits, with the
@@ -382,6 +409,36 @@ _MD5_U64_TERMS = " + ".join(
     f" * {16 ** (16 - p)}"
     for p in range(1, 17)
 )
+
+# Engine-portable 60-bit doc hash for oversized-bucket SEGMENTATION
+# (r11): first 15 hex digits of md5(doc_id rendered as a decimal
+# string), parsed as a non-negative BIGINT. md5 is a builtin in both
+# engines and 15 hex digits (60 bits) fit signed 64-bit exactly, so
+# Spark's conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) and
+# the DuckDB strpos polynomial below produce the identical value —
+# used as (hash % nseg) to scatter a mega bucket across segments
+# without any engine-specific hash function (xxhash64 has no DuckDB
+# twin; crc32 has no DuckDB builtin).
+_MD5_SEG_TERMS = " + ".join(
+    f"(strpos('0123456789abcdef', substr(sx, {p}, 1)) - 1)"
+    f" * {16 ** (15 - p)}"
+    for p in range(1, 16)
+)
+
+# CTE fragment: doc_id → dh (the 60-bit segmentation hash), appended to
+# both LSH oracles. LATERAL pre-binds the md5 so it's computed once.
+_DOC_SEG_CTE = f"""doc_seg AS (
+  SELECT doc_id, {_MD5_SEG_TERMS} AS dh
+  FROM documents, LATERAL (SELECT md5(doc_id::VARCHAR) AS sx) s
+)"""
+
+
+def _seg_hash(col) -> "F.Column":
+    """Spark twin of ``_MD5_SEG_TERMS`` — see that constant's note."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
 _PERM_VALUES = ", ".join(
     f"({i}, {int(_MH_A[i])}, {int(_MH_B[i])})" for i in range(_N_HASHES)
 )
@@ -398,7 +455,13 @@ _PERM_VALUES = ", ".join(
 #    the tuple's bytes; a crc collision merging distinct tuples could
 #    in principle add a candidate or trip the bucket cap differently —
 #    probability ~2^-32 per bucket, absent from every fixture scale.)
-_MINHASH_ORACLE = f"""
+def _minhash_oracle_sql(bucket_cap: int = 64) -> str:
+    """DuckDB re-derivation of the full MinHash+LSH pipeline (see the
+    comment block above for why this is expressible at all).
+    ``bucket_cap`` is parameterized so the cross-engine chain test can
+    force oversized buckets on a tiny corpus; the registered id uses
+    the module default (64), matching the Spark kernel's default."""
+    return f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(
@@ -450,20 +513,52 @@ WITH toks AS (
 ), band_sig AS MATERIALIZED (
   SELECT doc_id, hi // 4 AS band, string_agg(mn::VARCHAR, ',' ORDER BY hi) AS sig
   FROM mins GROUP BY doc_id, hi // 4
-), bucket_counts AS (
+), doc_sig AS MATERIALIZED (
+  -- full-signature md5 (all 64 minima in permutation order) — the
+  -- similarity-adjacency key for the oversized-bucket chain; the
+  -- Spark kernel computes the identical value in its pandas UDF
+  SELECT doc_id, md5(string_agg(mn::VARCHAR, ',' ORDER BY hi)) AS fsig
+  FROM mins GROUP BY doc_id
+), {_DOC_SEG_CTE}, bucket_counts AS (
   SELECT band, sig, COUNT(*) AS cnt FROM band_sig GROUP BY band, sig
 ), buckets AS (
-  SELECT band, sig FROM bucket_counts WHERE cnt > 1 AND cnt <= 64
+  SELECT band, sig FROM bucket_counts WHERE cnt > 1 AND cnt <= {bucket_cap}
 ), big_buckets AS (
-  SELECT band, sig FROM bucket_counts WHERE cnt > 64
+  SELECT band, sig, (cnt + {bucket_cap - 1}) // {bucket_cap} AS nseg
+  FROM bucket_counts WHERE cnt > {bucket_cap}
+), over_docs AS MATERIALIZED (
+  -- oversized buckets degrade to SEGMENTED chains + star stitching
+  -- instead of one bucket-wide chain (r11 — the single chain put the
+  -- whole mega bucket through one ROW_NUMBER partition; at 10M docs
+  -- that is a single-reducer sort on the Spark side). Segment =
+  -- portable 60-bit doc hash mod ceil(n/cap), so every window
+  -- partition holds ~cap docs.
+  SELECT b.band, b.sig, b.doc_id, ds.fsig, g.dh % bb.nseg AS seg
+  FROM band_sig b
+  JOIN big_buckets bb ON bb.band = b.band AND bb.sig = b.sig
+  JOIN doc_sig ds ON ds.doc_id = b.doc_id
+  JOIN doc_seg g ON g.doc_id = b.doc_id
 ), chain AS (
-  -- oversized buckets degrade to a doc_id-sorted consecutive CHAIN
-  -- (r10: they were DROPPED before, which the 100x probe measured as
-  -- recall 0.0 on >64-doc duplicate families) — O(n) pairs that keep
-  -- the family connected for downstream clustering
-  SELECT band, sig, doc_id,
-         ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
-  FROM band_sig JOIN big_buckets USING (band, sig)
+  -- within-segment chain, ordered by (full-signature md5, doc_id):
+  -- identical-signature duplicate families sort adjacent, so their
+  -- links survive the exact-Jaccard verify even when the bucket
+  -- interleaves families (r10 advice — doc_id-only ordering made
+  -- every link cross-family on interleaved buckets)
+  SELECT band, sig, seg, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY band, sig, seg
+                            ORDER BY fsig, doc_id) AS rn
+  FROM over_docs
+), seg_reps AS (
+  SELECT band, sig, seg, MIN(doc_id) AS rep
+  FROM over_docs GROUP BY band, sig, seg
+), bucket_hub AS (
+  SELECT band, sig, MIN(rep) AS hub FROM seg_reps GROUP BY band, sig
+), fam_reps AS (
+  SELECT band, sig, fsig, seg, MIN(doc_id) AS rep
+  FROM over_docs GROUP BY band, sig, fsig, seg
+), fam_hub AS (
+  SELECT band, sig, fsig, MIN(rep) AS hub
+  FROM fam_reps GROUP BY band, sig, fsig
 ), cand AS (
   SELECT DISTINCT doc_a, doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -471,9 +566,27 @@ WITH toks AS (
     JOIN buckets k ON k.band = a.band AND k.sig = a.sig
     JOIN band_sig b ON b.band = a.band AND b.sig = a.sig AND a.doc_id < b.doc_id
     UNION ALL
-    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+    -- segment chains
+    SELECT LEAST(l.doc_id, r.doc_id), GREATEST(l.doc_id, r.doc_id)
     FROM chain l
-    JOIN chain r ON r.band = l.band AND r.sig = l.sig AND r.rn = l.rn + 1
+    JOIN chain r ON r.band = l.band AND r.sig = l.sig AND r.seg = l.seg
+                AND r.rn = l.rn + 1
+    UNION ALL
+    -- star: every segment's min doc links to the bucket's min doc, so
+    -- a pure-family mega bucket stays ONE component across segments
+    SELECT LEAST(sr.rep, bh.hub), GREATEST(sr.rep, bh.hub)
+    FROM seg_reps sr
+    JOIN bucket_hub bh ON bh.band = sr.band AND bh.sig = sr.sig
+    WHERE sr.rep <> bh.hub
+    UNION ALL
+    -- family stitch: per full-signature group, every segment's min
+    -- doc links to the group's min doc — identical-signature families
+    -- stay connected across segments even inside interleaved buckets
+    SELECT LEAST(fr.rep, fh.hub), GREATEST(fr.rep, fh.hub)
+    FROM fam_reps fr
+    JOIN fam_hub fh ON fh.band = fr.band AND fh.sig = fr.sig
+                   AND fh.fsig = fr.fsig
+    WHERE fr.rep <> fh.hub
   )
 ), counts AS (
   SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id
@@ -493,7 +606,10 @@ WHERE round(CAST(i.ni AS DOUBLE) / CAST(ca.n + cb.n - i.ni AS DOUBLE), 4) >= 0.5
 """
 
 
-@register("llm_dedup_minhash", oracle=_MINHASH_ORACLE, section="L2", bench=True, reverify=9)
+_MINHASH_ORACLE = _minhash_oracle_sql()
+
+
+@register("llm_dedup_minhash", oracle=_MINHASH_ORACLE, section="L2", bench=True, reverify=11)
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 near-dup detection: MinHash signatures → LSH band bucketing →
     candidate pairs per bucket → exact-Jaccard verification (≥ 0.5).
@@ -501,9 +617,11 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path (why there is NO cross join): equal band hash ⇒ same
     shuffle bucket; pairs are enumerated only inside buckets. Runaway
     buckets (degenerate text or mega duplicate-families) cap the
-    all-pairs enumeration at 64 docs and degrade to a connectivity
-    chain past it (r10 — the 100× probe measured the old drop-the-
-    bucket behavior at recall 0.0 on 100-replica families).
+    all-pairs enumeration at 64 docs and degrade to SEGMENTED
+    connectivity chains + star stitching past it (r10 introduced the
+    chain after the 100× probe measured the old drop-the-bucket
+    behavior at recall 0.0 on 100-replica families; r11 segmented it
+    to kill the per-bucket single-reducer sort — see minhash_pairs).
 
     FULL oracle (r9, previously rows-only): the banding is pseudo-random
     but not random — the 64 permutation constants are fixed, shingle
@@ -537,25 +655,60 @@ def minhash_pairs(
     minhashes) generates candidates, so recall is probabilistic
     (~1.0 at the default 0.5 threshold — measured each round on
     10×/30×/100× replicated corpora) while precision is exact.
-    Buckets larger than ``bucket_cap`` emit a doc_id-sorted chain
-    instead of all pairs: pair-level recall inside a mega-family is
-    deliberately partial (the quadratic pair list IS the cost being
-    capped) but the family stays one connected component for
-    clustering — measured as recall_connected in the bench probes.
+
+    Buckets larger than ``bucket_cap`` degrade to SEGMENTED chains +
+    star stitching instead of all pairs (r11; r10 used one bucket-wide
+    doc_id-sorted chain, whose row_number window put the entire mega
+    bucket through a single reducer — the last single-task sort in the
+    100 TB path). Per oversized bucket of n docs:
+
+    - segment = portable-md5(doc_id) mod ceil(n/cap), so every window
+      partition holds ~cap docs;
+    - within each segment, a chain ordered by (full-signature md5,
+      doc_id) — identical-signature duplicate families sort adjacent,
+      so their links survive the verify even when a bucket interleaves
+      families (r10 advice: doc_id-only order made every link
+      cross-family there);
+    - a star links each segment's min doc to the bucket's min doc, so
+      a pure-family mega bucket stays ONE component across segments;
+    - a family stitch links, per full-signature group, each segment's
+      min doc to the group's min doc.
+
+    All four structures are O(n) pairs; pair-level recall inside a
+    mega-family is deliberately partial (the quadratic pair list IS
+    the cost being capped) but the family stays one connected
+    component for clustering — measured as recall_connected in the
+    bench probes.
+
+    Cache ownership (r10 verdict): the kernel eagerly materializes the
+    verified pairs via ``localCheckpoint`` and unpersists its internal
+    signature frames before returning, so a caller looping the kernel
+    accumulates no storage. The checkpoint blocks themselves are freed
+    by Spark's ContextCleaner when the returned frame is GC'd. (On a
+    real multi-executor cluster, localCheckpoint blocks are lost with
+    their executor — for a 100 TB run, materialize the pair output to
+    a parquet stage instead; in this single-JVM harness the trade is
+    free.)
+
     NOTE: the registered query's DuckDB oracle re-derives the DEFAULT
     parameters; callers may tune them, the oracle contract covers the
     defaults."""
     store = widen(docs.select("doc_id", "text")).select(
         "doc_id", shingle_hash_array("text").alias("sh")
     ).persist()
-    # persisted: sigs feeds three subtrees (bucket counts, the small-
-    # bucket self-join's two sides, the chain) — without the persist
-    # each evaluation re-runs the banding UDF over every document
-    # (measured 3.4× the base wall, r10). 16 int rows/doc: tiny.
-    sigs = store.select(
-        "doc_id",
-        F.posexplode(minhash_bands_from_hashes("sh")).alias("band", "band_hash"),
-    ).persist()
+    # persisted: sigs feeds several subtrees (bucket counts, the small-
+    # bucket self-join's two sides, the chain/star/stitch) — without
+    # the persist each evaluation re-runs the banding UDF over every
+    # document (measured 3.4× the base wall, r10). 16 rows/doc: tiny.
+    sigs = (
+        store.select("doc_id", minhash_bands_from_hashes("sh").alias("bs"))
+        .select(
+            "doc_id",
+            F.col("bs.sig").alias("fsig"),
+            F.posexplode("bs.bands").alias("band", "band_hash"),
+        )
+        .persist()
+    )
     # pair generation as a distributed self-equi-join on (band, hash) —
     # r10 rewrite: the old collect_list-of-ids bucket row was a latent
     # driver-sized-row hazard (a 10M-doc boilerplate family would
@@ -565,17 +718,11 @@ def minhash_pairs(
     small = counts.filter(
         (F.col("count") > 1) & (F.col("count") <= bucket_cap)
     ).select("band", "band_hash")
-    # oversized buckets degrade to a doc_id-sorted consecutive CHAIN —
-    # r10: they were DROPPED before, which the new 100x probe measured
-    # as recall 0.0 on duplicate families larger than the cap (every
-    # family bucket vanished). A chain keeps the family connected for
-    # downstream clustering at O(n) pairs, preserving the cap's actual
-    # purpose (bounding the quadratic all-pairs enumeration); the
-    # exact-Jaccard verify still prunes accidental chain neighbors.
-    # The single-partition window per oversized bucket is O(n log n)
-    # rows on one reducer — bounded straggler, not a correctness or
-    # memory cliff, and only for buckets past the cap.
-    big = counts.filter(F.col("count") > bucket_cap).select("band", "band_hash")
+    big = counts.filter(F.col("count") > bucket_cap).select(
+        "band",
+        "band_hash",
+        F.expr(f"(count + {bucket_cap - 1}) DIV {bucket_cap}").alias("nseg"),
+    )
     s = sigs.join(small, ["band", "band_hash"])
     pairs_small = (
         s.select("band", "band_hash", F.col("doc_id").alias("doc_a"))
@@ -588,26 +735,72 @@ def minhash_pairs(
     )
     from pyspark.sql.window import Window
 
-    chain = sigs.join(big, ["band", "band_hash"]).withColumn(
+    over = (
+        sigs.join(big, ["band", "band_hash"])
+        .withColumn("seg", F.pmod(_seg_hash("doc_id"), F.col("nseg")))
+        .select("band", "band_hash", "seg", "doc_id", "fsig")
+    )
+    chain = over.withColumn(
         "rn",
         F.row_number().over(
-            Window.partitionBy("band", "band_hash").orderBy("doc_id")
+            Window.partitionBy("band", "band_hash", "seg").orderBy(
+                "fsig", "doc_id"
+            )
         ),
     )
     pairs_chain = (
-        chain.select("band", "band_hash", "rn", F.col("doc_id").alias("doc_a"))
+        chain.select(
+            "band", "band_hash", "seg", "rn", F.col("doc_id").alias("id_l")
+        )
         .join(
             chain.select(
                 "band",
                 "band_hash",
+                "seg",
                 (F.col("rn") - 1).alias("rn"),
-                F.col("doc_id").alias("doc_b"),
+                F.col("doc_id").alias("id_r"),
             ),
-            ["band", "band_hash", "rn"],
+            ["band", "band_hash", "seg", "rn"],
         )
-        .select("doc_a", "doc_b")
+        .select(
+            F.least("id_l", "id_r").alias("doc_a"),
+            F.greatest("id_l", "id_r").alias("doc_b"),
+        )
     )
-    pairs = pairs_small.unionByName(pairs_chain).distinct()
+    seg_reps = over.groupBy("band", "band_hash", "seg").agg(
+        F.min("doc_id").alias("rep")
+    )
+    bucket_hub = seg_reps.groupBy("band", "band_hash").agg(
+        F.min("rep").alias("hub")
+    )
+    pairs_star = (
+        seg_reps.join(bucket_hub, ["band", "band_hash"])
+        .filter(F.col("rep") != F.col("hub"))
+        .select(
+            F.least("rep", "hub").alias("doc_a"),
+            F.greatest("rep", "hub").alias("doc_b"),
+        )
+    )
+    fam_reps = over.groupBy("band", "band_hash", "fsig", "seg").agg(
+        F.min("doc_id").alias("rep")
+    )
+    fam_hub = fam_reps.groupBy("band", "band_hash", "fsig").agg(
+        F.min("rep").alias("hub")
+    )
+    pairs_stitch = (
+        fam_reps.join(fam_hub, ["band", "band_hash", "fsig"])
+        .filter(F.col("rep") != F.col("hub"))
+        .select(
+            F.least("rep", "hub").alias("doc_a"),
+            F.greatest("rep", "hub").alias("doc_b"),
+        )
+    )
+    pairs = (
+        pairs_small.unionByName(pairs_chain)
+        .unionByName(pairs_star)
+        .unionByName(pairs_stitch)
+        .distinct()
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     verified = (
@@ -622,6 +815,11 @@ def minhash_pairs(
         .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    # deterministic cache release (r10 verdict #8): materialize, then
+    # unpersist the kernel-internal frames — see the docstring.
+    verified = verified.localCheckpoint(eager=True)
+    sigs.unpersist()
+    store.unpersist()
     return verified
 
 
@@ -1055,30 +1253,50 @@ WITH tok AS (
 ), keys AS MATERIALIZED (
   SELECT doc_id, fpu, t, {key_expr} AS kv
   FROM blk, combos
-), key_counts AS MATERIALIZED (
+), {_DOC_SEG_CTE}, key_counts AS MATERIALIZED (
   SELECT t, kv, COUNT(*) AS cnt FROM keys GROUP BY t, kv
 ), ok_keys AS (
   SELECT t, kv FROM key_counts WHERE cnt > 1 AND cnt <= {bucket_cap}
 ), big_keys AS (
-  SELECT t, kv FROM key_counts WHERE cnt > {bucket_cap}
+  SELECT t, kv, (cnt + {bucket_cap - 1}) // {bucket_cap} AS nseg
+  FROM key_counts WHERE cnt > {bucket_cap}
+), over_docs AS MATERIALIZED (
+  -- oversized buckets degrade to SEGMENTED chains + star stitching
+  -- instead of one bucket-wide chain (r11 — the single chain put the
+  -- whole mega bucket through one ROW_NUMBER partition, a
+  -- single-reducer sort on the Spark side). Segment = portable
+  -- 60-bit doc hash mod ceil(n/cap) — every partition holds ~cap docs.
+  SELECT k.t, k.kv, k.doc_id, k.fpu, g.dh % bk.nseg AS seg
+  FROM keys k
+  JOIN big_keys bk ON bk.t = k.t AND bk.kv = k.kv
+  JOIN doc_seg g ON g.doc_id = k.doc_id
 ), chain AS (
-  -- oversized buckets degrade to a (fingerprint, doc_id)-sorted chain
-  -- instead of being dropped (r10; identical fingerprints adjacent,
-  -- so duplicate families inside accidental mega buckets stay
-  -- connected; the popcount verify prunes accidental neighbors).
-  -- Chain order = the SIGNED int64 reinterpretation of the
-  -- fingerprint, because that is the order Spark's LongType sort
-  -- gives: fpu alone would order mixed-sign buckets differently and
-  -- the two engines' chains (hence pair sets) would diverge.
-  SELECT k.doc_id, k.t, k.kv,
+  -- within-segment chain ordered by fingerprint: identical
+  -- fingerprints adjacent, so duplicate families inside accidental
+  -- mega buckets stay connected; the popcount verify prunes
+  -- accidental neighbors. Chain order = the SIGNED int64
+  -- reinterpretation of the fingerprint, because that is the order
+  -- Spark's LongType sort gives: fpu alone would order mixed-sign
+  -- buckets differently and the two engines' chains (hence pair
+  -- sets) would diverge.
+  SELECT doc_id, t, kv, seg,
          ROW_NUMBER() OVER (
-           PARTITION BY k.t, k.kv
-           ORDER BY CASE WHEN k.fpu >= 9223372036854775808
-                         THEN k.fpu - 18446744073709551616
-                         ELSE k.fpu END,
-                    k.doc_id
+           PARTITION BY t, kv, seg
+           ORDER BY CASE WHEN fpu >= 9223372036854775808
+                         THEN fpu - 18446744073709551616
+                         ELSE fpu END,
+                    doc_id
          ) AS rn
-  FROM keys k JOIN big_keys USING (t, kv)
+  FROM over_docs
+), seg_reps AS (
+  SELECT t, kv, seg, MIN(doc_id) AS rep FROM over_docs GROUP BY t, kv, seg
+), key_hub AS (
+  SELECT t, kv, MIN(rep) AS hub FROM seg_reps GROUP BY t, kv
+), fam_reps AS (
+  SELECT t, kv, fpu, seg, MIN(doc_id) AS rep
+  FROM over_docs GROUP BY t, kv, fpu, seg
+), fam_hub AS (
+  SELECT t, kv, fpu, MIN(rep) AS hub FROM fam_reps GROUP BY t, kv, fpu
 ), cand AS (
   SELECT DISTINCT doc_a, doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1086,10 +1304,26 @@ WITH tok AS (
     JOIN ok_keys k ON k.t = a.t AND k.kv = a.kv
     JOIN keys b ON b.t = a.t AND b.kv = a.kv AND a.doc_id < b.doc_id
     UNION ALL
+    -- segment chains
     SELECT LEAST(l.doc_id, r.doc_id) AS doc_a,
            GREATEST(l.doc_id, r.doc_id) AS doc_b
     FROM chain l
-    JOIN chain r ON r.t = l.t AND r.kv = l.kv AND r.rn = l.rn + 1
+    JOIN chain r ON r.t = l.t AND r.kv = l.kv AND r.seg = l.seg
+                AND r.rn = l.rn + 1
+    UNION ALL
+    -- star: every segment's min doc links to the bucket's min doc, so
+    -- a pure-family mega bucket stays ONE component across segments
+    SELECT LEAST(sr.rep, kh.hub), GREATEST(sr.rep, kh.hub)
+    FROM seg_reps sr JOIN key_hub kh ON kh.t = sr.t AND kh.kv = sr.kv
+    WHERE sr.rep <> kh.hub
+    UNION ALL
+    -- family stitch: per identical-fingerprint group, every segment's
+    -- min doc links to the group's min doc — hamming-0 links that
+    -- always survive the verify
+    SELECT LEAST(fr.rep, fh.hub), GREATEST(fr.rep, fh.hub)
+    FROM fam_reps fr
+    JOIN fam_hub fh ON fh.t = fr.t AND fh.kv = fr.kv AND fh.fpu = fr.fpu
+    WHERE fr.rep <> fh.hub
   )
 ), chunks AS (
   SELECT doc_id, ci,
@@ -1117,9 +1351,14 @@ def simhash_pairs(
     (see ``_SIMHASH_SCHEMES``), exact popcount hamming ≤ 3 verify.
     While no bucket exceeds ``bucket_cap``, output = exactly {pairs
     with hamming ≤ 3} for both schemes (pigeonhole — pytest-pinned per
-    scheme in tests/test_semantics.py); oversized buckets degrade to a
-    (fp, doc_id)-sorted chain — connectivity preserved at O(n) pairs,
-    pinned by test_lsh_bucket_cap_degrades_to_chain.
+    scheme in tests/test_semantics.py); oversized buckets degrade to
+    SEGMENTED (fp, doc_id)-sorted chains plus per-bucket star and
+    per-fingerprint family-stitch links (r11; see minhash_pairs for
+    the segmentation rationale) — connectivity preserved at O(n)
+    pairs with no single-reducer sort, pinned by
+    test_lsh_bucket_cap_degrades_to_chain. The kernel eagerly
+    materializes its result and releases its internal caches before
+    returning.
 
     Pair generation is a distributed self-equi-join on (combo index,
     key) — never a per-bucket collect_list array, so a large near-dup
@@ -1166,30 +1405,45 @@ def simhash_pairs(
         .select("doc_a", "doc_b", "fp_a", "fp_b")
     )
     # oversized buckets (low-entropy corpora: many distinct docs agree
-    # on one ~26/32-bit key) degrade to a consecutive CHAIN instead of
-    # being dropped (r10 — the 100× probe measured the drop at recall
-    # 0.78/0.61). Chain order is (fp, doc_id): identical fingerprints
-    # sort adjacent, so a duplicate family inside an accidental mega
-    # bucket stays connected (hamming 0 links survive the verify),
-    # while accidental neighbors are pruned by the exact popcount.
+    # on one ~26/32-bit key) degrade to SEGMENTED chains + star
+    # stitching instead of being dropped (r10 measured the drop at
+    # recall 0.78/0.61; r11 replaced the single bucket-wide chain,
+    # whose row_number window was a single-reducer sort on a 10M-doc
+    # bucket). Segment = portable doc hash mod ceil(n/cap); chain
+    # order inside a segment is (fp, doc_id) so identical fingerprints
+    # sort adjacent; a per-bucket star plus a per-fingerprint family
+    # stitch keep families connected ACROSS segments (hamming-0 stitch
+    # links always survive the verify), while accidental neighbors are
+    # pruned by the exact popcount.
     from pyspark.sql.window import Window
 
-    big = counts.filter(F.col("count") > bucket_cap).select("t", "kv")
-    chain = keys_df.join(big, ["t", "kv"]).withColumn(
+    big = counts.filter(F.col("count") > bucket_cap).select(
+        "t",
+        "kv",
+        F.expr(f"(count + {bucket_cap - 1}) DIV {bucket_cap}").alias("nseg"),
+    )
+    over = (
+        keys_df.join(big, ["t", "kv"])
+        .withColumn("seg", F.pmod(_seg_hash("doc_id"), F.col("nseg")))
+        .select("t", "kv", "seg", "doc_id", "fp")
+    )
+    chain = over.withColumn(
         "rn",
-        F.row_number().over(Window.partitionBy("t", "kv").orderBy("fp", "doc_id")),
+        F.row_number().over(
+            Window.partitionBy("t", "kv", "seg").orderBy("fp", "doc_id")
+        ),
     )
     pairs_chain = (
         chain.select(
-            "t", "kv", "rn",
+            "t", "kv", "seg", "rn",
             F.col("doc_id").alias("id_l"), F.col("fp").alias("fp_l"),
         )
         .join(
             chain.select(
-                "t", "kv", (F.col("rn") - 1).alias("rn"),
+                "t", "kv", "seg", (F.col("rn") - 1).alias("rn"),
                 F.col("doc_id").alias("id_r"), F.col("fp").alias("fp_r"),
             ),
-            ["t", "kv", "rn"],
+            ["t", "kv", "seg", "rn"],
         )
         .select(
             F.least("id_l", "id_r").alias("doc_a"),
@@ -1198,8 +1452,42 @@ def simhash_pairs(
             F.col("fp_r").alias("fp_b"),
         )
     )
-    return (
+    # min_by carries the representative's fingerprint through the aggs
+    # so the verify never re-joins the (UDF-derived) fingerprint frame
+    seg_reps = over.groupBy("t", "kv", "seg").agg(
+        F.min("doc_id").alias("rep"), F.min_by("fp", "doc_id").alias("rep_fp")
+    )
+    key_hub = seg_reps.groupBy("t", "kv").agg(
+        F.min("rep").alias("hub"), F.min_by("rep_fp", "rep").alias("hub_fp")
+    )
+    pairs_star = (
+        seg_reps.join(key_hub, ["t", "kv"])
+        .filter(F.col("rep") != F.col("hub"))
+        .select(
+            F.least("rep", "hub").alias("doc_a"),
+            F.greatest("rep", "hub").alias("doc_b"),
+            F.col("rep_fp").alias("fp_a"),
+            F.col("hub_fp").alias("fp_b"),
+        )
+    )
+    fam_reps = over.groupBy("t", "kv", "fp", "seg").agg(
+        F.min("doc_id").alias("rep")
+    )
+    fam_hub = fam_reps.groupBy("t", "kv", "fp").agg(F.min("rep").alias("hub"))
+    pairs_stitch = (
+        fam_reps.join(fam_hub, ["t", "kv", "fp"])
+        .filter(F.col("rep") != F.col("hub"))
+        .select(
+            F.least("rep", "hub").alias("doc_a"),
+            F.greatest("rep", "hub").alias("doc_b"),
+            F.col("fp").alias("fp_a"),
+            F.col("fp").alias("fp_b"),
+        )
+    )
+    result = (
         pairs_small.unionByName(pairs_chain)
+        .unionByName(pairs_star)
+        .unionByName(pairs_stitch)
         .select(
             "doc_a",
             "doc_b",
@@ -1208,9 +1496,16 @@ def simhash_pairs(
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+    # deterministic cache release (r10 verdict #8): materialize, then
+    # unpersist the kernel-internal key frame — a caller looping the
+    # kernel accumulates no storage (see minhash_pairs docstring for
+    # the localCheckpoint-at-scale caveat).
+    result = result.localCheckpoint(eager=True)
+    keys_df.unpersist()
+    return result
 
 
-@register("llm_dedup_simhash", oracle=_simhash_oracle_sql("b6k3"), section="L2", reverify=9)
+@register("llm_dedup_simhash", oracle=_simhash_oracle_sql("b6k3"), section="L2", reverify=11)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 SimHash near-dup: 64-bit fingerprints; candidates share at
     least one of the C(6,3) = 20 block-triple keys (Manku et al.
@@ -1248,6 +1543,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dedup_simhash_b5",
     oracle=_simhash_oracle_sql("b5k2"),
     section="L2",
+    reverify=11,
 )
 def llm_dedup_simhash_b5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 SimHash near-dup, cheap-banding configuration: C(5,2) = 10

@@ -2078,7 +2078,8 @@ def test_simhash_chain_order_matches_oracle_on_mixed_sign_bucket(spark, tmp_path
     b6k3 banding key with mixed-sign fingerprints; bucket_cap=2 forces
     that bucket through the chain path in both engines, and the
     signed-vs-unsigned orderings provably emit DIFFERENT pair sets on
-    it (21 vs 22 pairs, 7-pair symmetric difference, measured) — so
+    it — re-measured after the r11 segmentation rewrite: 23 pairs
+    under signed order, 4-pair symmetric difference vs unsigned — so
     this test fails against an oracle that sorts by raw fpu."""
     import duckdb
 
@@ -2121,3 +2122,137 @@ def test_simhash_chain_order_matches_oracle_on_mixed_sign_bucket(spark, tmp_path
     assert got == oracle, (
         f"spark-only={sorted(got - oracle)} oracle-only={sorted(oracle - got)}"
     )
+
+
+def test_lsh_mega_bucket_segmentation_bounds_partitions_and_pairs(spark):
+    """r11 (verdict #1): an oversized bucket must never become a
+    single-reducer sort. The kernels segment mega buckets by a
+    portable doc hash mod ceil(n/cap), so every row_number window
+    partition holds ~cap docs; star + family-stitch links keep the
+    family ONE component across segments at O(n) total pairs. This
+    pins all three contracts on a 600-doc duplicate family with
+    cap=16 (the r10 single chain would have sorted all 600 rows × 16
+    bands in one task each)."""
+    from flink_realtime_2024_spark.operators._util import widen
+    from flink_realtime_2024_spark.operators.llm import (
+        _seg_hash,
+        minhash_bands_from_hashes,
+        minhash_pairs,
+        shingle_hash_array,
+        simhash_pairs,
+    )
+    from flink_realtime_2024_spark import connected_components
+
+    n, cap = 600, 16
+    nseg = (n + cap - 1) // cap  # 38
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+         for i in range(1, n + 1)],
+        "doc_id long, text string",
+    )
+
+    # 1) window-partition bound: rebuild the kernel's (bucket, seg)
+    # grouping from its own building blocks and assert no partition
+    # exceeds 4×cap (expected size is exactly cap under a uniform
+    # hash; 4× absorbs binomial variance with huge margin)
+    sigs = (
+        widen(docs)
+        .select("doc_id", shingle_hash_array("text").alias("sh"))
+        .select("doc_id", minhash_bands_from_hashes("sh").alias("bs"))
+        .select("doc_id", F.posexplode("bs.bands").alias("band", "band_hash"))
+    )
+    max_part = (
+        sigs.withColumn("seg", F.pmod(_seg_hash("doc_id"), F.lit(nseg)))
+        .groupBy("band", "band_hash", "seg")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_part <= 4 * cap, f"segment partition {max_part} > {4 * cap}"
+
+    # 2) + 3) O(n) pair output and full connectivity, both kernels
+    for kernel, kwargs in (
+        (minhash_pairs, {"bucket_cap": cap}),
+        (simhash_pairs, {"bucket_cap": cap}),
+    ):
+        pairs = kernel(docs, **kwargs).select("doc_a", "doc_b")
+        got = pairs.count()
+        assert 0 < got <= 10 * n, (kernel.__name__, got)  # vs n(n-1)/2=179700
+        comp = connected_components(pairs, "doc_a", "doc_b").collect()
+        assert {r["doc_id"] for r in comp} == set(range(1, n + 1)), kernel.__name__
+        assert len({r["cluster_id"] for r in comp}) == 1, kernel.__name__
+
+
+def test_minhash_segmented_chain_matches_oracle(spark, tmp_path):
+    """Cross-engine pin for the r11 minhash segmentation: two 6-doc
+    exact duplicate families with bucket_cap=4 force every family
+    bucket through the segmented chain + star + stitch path (nseg=2)
+    in BOTH engines; the emitted (doc_a, doc_b, jaccard) sets must be
+    identical — any drift in the portable segmentation hash, the
+    full-signature chain order, or the stitch algebra fails here at
+    sf-test speed instead of at the sf0.01 driver gate."""
+    import duckdb
+
+    from flink_realtime_2024_spark.operators.llm import (
+        _minhash_oracle_sql,
+        minhash_pairs,
+    )
+    from flink_realtime_2024_spark import connected_components
+
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fam_b = "one two three four five six seven eight nine ten eleven"
+    rows = [(i, fam_a) for i in range(1, 7)] + [
+        (100 + i, fam_b) for i in range(1, 7)
+    ] + [(900, "lone wolf document completely different from both families")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    oracle = {
+        (r[0], r[1], float(r[2]))
+        for r in con.execute(_minhash_oracle_sql(bucket_cap=4)).fetchall()
+    }
+    pairs = minhash_pairs(docs, bucket_cap=4)
+    got = {(r[0], r[1], float(r[2])) for r in pairs.collect()}
+    assert got == oracle, (
+        f"spark-only={sorted(got - oracle)} oracle-only={sorted(oracle - got)}"
+    )
+    comp = connected_components(
+        pairs.select("doc_a", "doc_b"), "doc_a", "doc_b"
+    ).collect()
+    clusters = {}
+    for r in comp:
+        clusters.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    assert set(range(1, 7)) in clusters.values()
+    assert {100 + i for i in range(1, 7)} in clusters.values()
+
+
+def test_lsh_kernels_release_their_caches(spark):
+    """r10 verdict #8: the LSH kernels persist internal frames (the
+    signature store, the exploded key frame); a library consumer
+    looping the kernel must not accumulate storage. The kernels now
+    materialize their result eagerly and unpersist before returning —
+    after a kernel call returns, the SQL cache manager must be empty
+    again."""
+    from flink_realtime_2024_spark.operators.llm import (
+        minhash_pairs,
+        simhash_pairs,
+    )
+    from flink_realtime_2024_spark.sources.io import drop_all_caches
+
+    drop_all_caches(spark)
+    cache_manager = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_manager.isEmpty()
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared tokens alpha beta")
+         for i in range(1, 40)],
+        "doc_id long, text string",
+    )
+    for kernel in (minhash_pairs, simhash_pairs):
+        out = kernel(docs)
+        out.collect()
+        assert cache_manager.isEmpty(), kernel.__name__
