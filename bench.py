@@ -513,17 +513,29 @@ _SF10_REPLICATION = 100
 # decade past the 30× point, so super-linear-in-work growth can't hide
 # between the probe tiers. Dedup recall is measured on this corpus too
 # (800-doc sampled brute-force truth, same as 10×/30×).
+# r11 rotation (r10 verdict #5): the r10 set (decontaminate,
+# inner_hash, order_wide, hash_groupby, pareto_abc, agg_merge) is
+# evidenced and cause-tagged in PLANS.md — rotate in the next tier of
+# never-probed-at-100× ids so cumulative 100× coverage reaches ~20.
+# The LSH trio stays every round: it carries the recall_connected
+# contract for the mega-bucket segmentation (r11) and the banding-knob
+# numbers.
 _SF10_QUERIES = (
     "flagship_revenue_by_nation",
     "llm_dedup_minhash",
     "llm_dedup_simhash",
     "llm_dedup_simhash_b5",
-    "llm_decontaminate",
-    "join_inner_hash",
-    "warehouse_order_wide",
-    "agg_hash_groupby",
-    "analytics_pareto_abc",
-    "stream_agg_merge",
+    # --- new at 100× this round ---
+    "llm_decontaminate_bloom",   # Bloom scale path vs the exact join's 26.6×
+    "warehouse_bucketed_join",   # bucketed co-located join at real volume
+    "cdc_latest_row",            # changelog latest-row materialization
+    "stream_dedup",              # streaming state at 10M events
+    "llm_knn_ivf_partitioned",   # partition-pruned ANN probe path
+    "llm_fuzzy_pairs",           # edit-distance candidate pairs
+    "llm_wordcount",             # explode-heavy text path
+    "window_session",            # gaps-and-islands sessionization
+    "analytics_rfm_segments",    # distributed rank (de-single-partitioned r6)
+    "llm_mix_schedule",          # corpus mix scheduling
 )
 
 
@@ -873,6 +885,7 @@ def _streaming_probe(spark) -> dict:
     throughput (r6: a cold stream_dedup read 2× slow purely from
     staging)."""
     from flink_realtime_2024_spark.plans.registry import all_queries
+    from flink_realtime_2024_spark.streaming.jobs import last_stream_breakdown
 
     n_events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
     qs = all_queries()
@@ -883,15 +896,49 @@ def _streaming_probe(spark) -> dict:
         try:
             wall = float("inf")
             for _ in range(2):
+                last_stream_breakdown.clear()
                 t0 = time.perf_counter()
                 qs[name].builder(spark, SF_DIR).write.mode("overwrite").format(
                     "noop"
                 ).save()
                 wall = min(wall, time.perf_counter() - t0)
+            # per-stage attribution (r10 verdict #6): what bounds the
+            # events/s — source replay (latestOffset/getBatch), engine
+            # work (addBatch), or checkpoint I/O (walCommit/
+            # commitOffsets/stateOperators)? Snapshot from the WARM
+            # (second) run, the one min-of-2 usually keeps; summed
+            # durationMs across all micro-batches and, for ids that
+            # drive several streams, across every run_stream call.
+            stages: dict[str, int] = {}
+            batches = 0
+            for bd in last_stream_breakdown.values():
+                batches += bd["batches"]
+                for k, v in bd["duration_ms"].items():
+                    stages[k] = stages.get(k, 0) + v
             probe[name] = {
                 "wall_sec": round(wall, 3),
                 "events_per_sec": int(n_events / wall),
+                "micro_batches": batches,
+                "duration_ms": dict(
+                    sorted(stages.items(), key=lambda kv: -kv[1])
+                ),
             }
+            # the one tuning lever the breakdown points at: addBatch
+            # (per-batch engine+sink work) dominates, so measure the
+            # same id with 2 files per trigger (half the batches) to
+            # quantify what batch-granularity amortization buys. Knob
+            # stays at 1 by default — the semantic tests need the
+            # multi-batch replay.
+            os.environ["SPARK_GRAFT_STREAM_FILES_PER_TRIGGER"] = "2"
+            try:
+                t0 = time.perf_counter()
+                qs[name].builder(spark, SF_DIR).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                w2 = time.perf_counter() - t0
+                probe[name]["events_per_sec_files2"] = int(n_events / w2)
+            finally:
+                os.environ.pop("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", None)
         except Exception as e:
             probe[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
     return {"n_events": n_events, "queries": probe}

@@ -125,20 +125,53 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch loader so batch twins share expressions."""
     prepare(spark)
     staged = _staged_events_dir(spark, sf_dir)
+    # micro-batch granularity: 1 file per trigger by default — the
+    # semantic tests (checkpoint resume, cross-batch dedup, late
+    # re-fire) rely on the replay arriving as multiple batches. The
+    # env knob exists because the r11 streaming attribution showed
+    # addBatch (per-batch engine+sink work) bounds throughput at ~85%
+    # of wall; batching more files per trigger amortizes the fixed
+    # per-batch cost — a deployment replaying history can raise it,
+    # the bench probe measures both settings.
+    fpt = int(os.environ.get("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "1"))
     raw = (
         spark.readStream.schema(spark.read.parquet(staged).schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", fpt)
         .parquet(staged)
     )
     return events_ts_to_timestamp(raw)
 
 
+# Per-stage attribution of the LAST run_stream call (r10 verdict #6:
+# the streaming probe reported events/s without saying what bounds it).
+# Keyed by checkpoint_tag; values sum StreamingQueryProgress.durationMs
+# across every micro-batch of the run, plus batch/row counts — read by
+# bench.py's streaming probe right after each timed run. A plain module
+# dict, not a listener: availableNow runs are synchronous, so
+# recentProgress is complete by the time awaitTermination returns.
+last_stream_breakdown: dict[str, dict] = {}
+
+
 def run_stream(df_writer, checkpoint_tag: str):
     """Start with availableNow (process everything, then stop) + a fresh
-    checkpoint dir (S11), await termination."""
+    checkpoint dir (S11), await termination. Records a per-stage
+    durationMs breakdown into ``last_stream_breakdown``."""
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{checkpoint_tag}_")
     q = df_writer.option("checkpointLocation", ckpt).trigger(availableNow=True).start()
     q.awaitTermination()
+    stages: dict[str, int] = {}
+    batches = 0
+    rows = 0
+    for p in q.recentProgress:
+        batches += 1
+        rows += p.get("numInputRows", 0) or 0
+        for k, v in (p.get("durationMs") or {}).items():
+            stages[k] = stages.get(k, 0) + int(v)
+    last_stream_breakdown[checkpoint_tag] = {
+        "batches": batches,
+        "input_rows": rows,
+        "duration_ms": stages,
+    }
     return q
 
 
