@@ -714,7 +714,12 @@ def minhash_pairs(
     # driver-sized-row hazard (a 10M-doc boilerplate family would
     # materialize as ONE array row), the same shape the simhash kernel
     # always avoided
-    counts = sigs.groupBy("band", "band_hash").count()
+    # persisted: counts feeds the small filter, the big filter, AND the
+    # isEmpty gate below — unpersisted it re-aggregates the 16-rows/doc
+    # key frame once per consumer (measured +1.5 s on the sf0.1 bench
+    # where the mega-bucket machinery never even fires). One tiny row
+    # per bucket.
+    counts = sigs.groupBy("band", "band_hash").count().persist()
     small = counts.filter(
         (F.col("count") > 1) & (F.col("count") <= bucket_cap)
     ).select("band", "band_hash")
@@ -733,74 +738,86 @@ def minhash_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
-    from pyspark.sql.window import Window
+    over = None
+    if big.isEmpty():
+        # the common corpus has no oversized buckets at the default cap
+        # — skip planning the chain/star/stitch subtrees entirely (a
+        # data-dependent driver-side branch: the kernel materializes
+        # eagerly anyway, and the three empty subtrees measured +1.5 s
+        # of stage overhead per call at sf0.1)
+        pairs = pairs_small.distinct()
+    else:
+        from pyspark.sql.window import Window
 
-    over = (
-        sigs.join(big, ["band", "band_hash"])
-        .withColumn("seg", F.pmod(_seg_hash("doc_id"), F.col("nseg")))
-        .select("band", "band_hash", "seg", "doc_id", "fsig")
-    )
-    chain = over.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("band", "band_hash", "seg").orderBy(
-                "fsig", "doc_id"
-            )
-        ),
-    )
-    pairs_chain = (
-        chain.select(
-            "band", "band_hash", "seg", "rn", F.col("doc_id").alias("id_l")
+        # persisted: over feeds the chain window + three aggregations —
+        # bounded by the oversized buckets' rows (≤ the key frame size)
+        over = (
+            sigs.join(big, ["band", "band_hash"])
+            .withColumn("seg", F.pmod(_seg_hash("doc_id"), F.col("nseg")))
+            .select("band", "band_hash", "seg", "doc_id", "fsig")
+            .persist()
         )
-        .join(
-            chain.select(
-                "band",
-                "band_hash",
-                "seg",
-                (F.col("rn") - 1).alias("rn"),
-                F.col("doc_id").alias("id_r"),
+        chain = over.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("band", "band_hash", "seg").orderBy(
+                    "fsig", "doc_id"
+                )
             ),
-            ["band", "band_hash", "seg", "rn"],
         )
-        .select(
-            F.least("id_l", "id_r").alias("doc_a"),
-            F.greatest("id_l", "id_r").alias("doc_b"),
+        pairs_chain = (
+            chain.select(
+                "band", "band_hash", "seg", "rn", F.col("doc_id").alias("id_l")
+            )
+            .join(
+                chain.select(
+                    "band",
+                    "band_hash",
+                    "seg",
+                    (F.col("rn") - 1).alias("rn"),
+                    F.col("doc_id").alias("id_r"),
+                ),
+                ["band", "band_hash", "seg", "rn"],
+            )
+            .select(
+                F.least("id_l", "id_r").alias("doc_a"),
+                F.greatest("id_l", "id_r").alias("doc_b"),
+            )
         )
-    )
-    seg_reps = over.groupBy("band", "band_hash", "seg").agg(
-        F.min("doc_id").alias("rep")
-    )
-    bucket_hub = seg_reps.groupBy("band", "band_hash").agg(
-        F.min("rep").alias("hub")
-    )
-    pairs_star = (
-        seg_reps.join(bucket_hub, ["band", "band_hash"])
-        .filter(F.col("rep") != F.col("hub"))
-        .select(
-            F.least("rep", "hub").alias("doc_a"),
-            F.greatest("rep", "hub").alias("doc_b"),
+        seg_reps = over.groupBy("band", "band_hash", "seg").agg(
+            F.min("doc_id").alias("rep")
         )
-    )
-    fam_reps = over.groupBy("band", "band_hash", "fsig", "seg").agg(
-        F.min("doc_id").alias("rep")
-    )
-    fam_hub = fam_reps.groupBy("band", "band_hash", "fsig").agg(
-        F.min("rep").alias("hub")
-    )
-    pairs_stitch = (
-        fam_reps.join(fam_hub, ["band", "band_hash", "fsig"])
-        .filter(F.col("rep") != F.col("hub"))
-        .select(
-            F.least("rep", "hub").alias("doc_a"),
-            F.greatest("rep", "hub").alias("doc_b"),
+        bucket_hub = seg_reps.groupBy("band", "band_hash").agg(
+            F.min("rep").alias("hub")
         )
-    )
-    pairs = (
-        pairs_small.unionByName(pairs_chain)
-        .unionByName(pairs_star)
-        .unionByName(pairs_stitch)
-        .distinct()
-    )
+        pairs_star = (
+            seg_reps.join(bucket_hub, ["band", "band_hash"])
+            .filter(F.col("rep") != F.col("hub"))
+            .select(
+                F.least("rep", "hub").alias("doc_a"),
+                F.greatest("rep", "hub").alias("doc_b"),
+            )
+        )
+        fam_reps = over.groupBy("band", "band_hash", "fsig", "seg").agg(
+            F.min("doc_id").alias("rep")
+        )
+        fam_hub = fam_reps.groupBy("band", "band_hash", "fsig").agg(
+            F.min("rep").alias("hub")
+        )
+        pairs_stitch = (
+            fam_reps.join(fam_hub, ["band", "band_hash", "fsig"])
+            .filter(F.col("rep") != F.col("hub"))
+            .select(
+                F.least("rep", "hub").alias("doc_a"),
+                F.greatest("rep", "hub").alias("doc_b"),
+            )
+        )
+        pairs = (
+            pairs_small.unionByName(pairs_chain)
+            .unionByName(pairs_star)
+            .unionByName(pairs_stitch)
+            .distinct()
+        )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     verified = (
@@ -818,6 +835,9 @@ def minhash_pairs(
     # deterministic cache release (r10 verdict #8): materialize, then
     # unpersist the kernel-internal frames — see the docstring.
     verified = verified.localCheckpoint(eager=True)
+    counts.unpersist()
+    if over is not None:
+        over.unpersist()
     sigs.unpersist()
     store.unpersist()
     return verified
@@ -1388,7 +1408,9 @@ def simhash_pairs(
         "fp",
         F.posexplode(F.array(*combo_keys)).alias("t", "kv"),
     ).persist()
-    counts = keys_df.groupBy("t", "kv").count()
+    # persisted: counts feeds the ok/big filters and the isEmpty gate
+    # (one tiny row per bucket — see the minhash twin)
+    counts = keys_df.groupBy("t", "kv").count().persist()
     keys = counts.filter(
         (F.col("count") > 1) & (F.col("count") <= bucket_cap)
     ).select("t", "kv")
@@ -1422,10 +1444,31 @@ def simhash_pairs(
         "kv",
         F.expr(f"(count + {bucket_cap - 1}) DIV {bucket_cap}").alias("nseg"),
     )
+    if big.isEmpty():
+        # no oversized buckets (the common case at the default 4096
+        # cap): skip the chain/star/stitch subtrees — same driver-side
+        # data-dependent branch as the minhash twin
+        result = (
+            pairs_small.select(
+                "doc_a",
+                "doc_b",
+                F.bit_count(
+                    F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
+            .distinct()
+        )
+        result = result.localCheckpoint(eager=True)
+        counts.unpersist()
+        keys_df.unpersist()
+        return result
+    # persisted: over feeds the chain window + three aggregations
     over = (
         keys_df.join(big, ["t", "kv"])
         .withColumn("seg", F.pmod(_seg_hash("doc_id"), F.col("nseg")))
         .select("t", "kv", "seg", "doc_id", "fp")
+        .persist()
     )
     chain = over.withColumn(
         "rn",
@@ -1501,6 +1544,8 @@ def simhash_pairs(
     # kernel accumulates no storage (see minhash_pairs docstring for
     # the localCheckpoint-at-scale caveat).
     result = result.localCheckpoint(eager=True)
+    counts.unpersist()
+    over.unpersist()
     keys_df.unpersist()
     return result
 
