@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
@@ -681,9 +682,12 @@ def minhash_pairs(
     bench probes.
 
     Cache ownership (r10 verdict): the kernel eagerly materializes the
-    verified pairs via ``localCheckpoint`` and unpersists its internal
-    signature frames before returning, so a caller looping the kernel
-    accumulates no storage. The checkpoint blocks themselves are freed
+    verified pairs via ``localCheckpoint`` (DISK_ONLY — a mega-family
+    corpus emits tens of millions of pairs, and memory-level checkpoint
+    blocks materialize each partition as one array: the default level
+    OOM'd a 16 GiB JVM on the 100× probe, r11) and unpersists its
+    internal signature frames before returning, so a caller looping the
+    kernel accumulates no storage. The checkpoint blocks themselves are freed
     by Spark's ContextCleaner when the returned frame is GC'd. (On a
     real multi-executor cluster, localCheckpoint blocks are lost with
     their executor — for a 100 TB run, materialize the pair output to
@@ -834,7 +838,9 @@ def minhash_pairs(
     )
     # deterministic cache release (r10 verdict #8): materialize, then
     # unpersist the kernel-internal frames — see the docstring.
-    verified = verified.localCheckpoint(eager=True)
+    verified = verified.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     counts.unpersist()
     if over is not None:
         over.unpersist()
@@ -1459,7 +1465,9 @@ def simhash_pairs(
             .filter(F.col("hamming") <= 3)
             .distinct()
         )
-        result = result.localCheckpoint(eager=True)
+        result = result.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
         counts.unpersist()
         keys_df.unpersist()
         return result
@@ -1543,7 +1551,9 @@ def simhash_pairs(
     # unpersist the kernel-internal key frame — a caller looping the
     # kernel accumulates no storage (see minhash_pairs docstring for
     # the localCheckpoint-at-scale caveat).
-    result = result.localCheckpoint(eager=True)
+    result = result.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     counts.unpersist()
     over.unpersist()
     keys_df.unpersist()
