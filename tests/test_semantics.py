@@ -2231,6 +2231,65 @@ def test_minhash_segmented_chain_matches_oracle(spark, tmp_path):
     assert {100 + i for i in range(1, 7)} in clusters.values()
 
 
+def test_minhash_interleaved_families_in_shared_bucket(spark, tmp_path):
+    """Adversarial pin for the r11 fsig-ordered chain (r10 advice #1):
+    two exact 6-doc duplicate families whose texts have shingle-Jaccard
+    0.2632 (< 0.5 — cross-family links MUST be pruned) but whose
+    band-2 and band-11 minima COLLIDE (searched offline), with doc_ids
+    interleaved (evens vs odds) so a doc_id-ordered chain through the
+    shared bucket would alternate families on every link. With
+    bucket_cap=4 the shared 12-doc buckets go through the segmented
+    chain + stitch path in both engines. Pins: exact oracle lockstep on
+    the interleaved-bucket configuration, zero cross-family pairs, and
+    both families fully connected."""
+    import duckdb
+
+    from flink_realtime_2024_spark.operators.llm import (
+        _minhash_oracle_sql,
+        minhash_pairs,
+    )
+    from flink_realtime_2024_spark import connected_components
+
+    x = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+         "juliet kilo lima mike november")
+    y = ("w66236x w61753x w46863x w41134x w11066x foxtrot golf hotel "
+         "india juliet kilo lima w17022x november")
+    fam_a = {2 * i for i in range(1, 7)}       # 2..12 even
+    fam_b = {2 * i - 1 for i in range(1, 7)}   # 1..11 odd
+    rows = [(i, x) for i in sorted(fam_a)] + [(i, y) for i in sorted(fam_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    oracle = {
+        (r[0], r[1], float(r[2]))
+        for r in con.execute(_minhash_oracle_sql(bucket_cap=4)).fetchall()
+    }
+    pairs = minhash_pairs(docs, bucket_cap=4)
+    got = {(r[0], r[1], float(r[2])) for r in pairs.collect()}
+    assert got == oracle, (
+        f"spark-only={sorted(got - oracle)} oracle-only={sorted(oracle - got)}"
+    )
+    # precision: no cross-family pair survives the Jaccard verify
+    for a, b, j in got:
+        same = ({a, b} <= fam_a) or ({a, b} <= fam_b)
+        assert same, (a, b, j)
+        assert j == 1.0
+    # connectivity: each family is ONE component
+    comp = connected_components(
+        pairs.select("doc_a", "doc_b"), "doc_a", "doc_b"
+    ).collect()
+    clusters: dict = {}
+    for r in comp:
+        clusters.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    assert fam_a in clusters.values()
+    assert fam_b in clusters.values()
+
+
 def test_lsh_kernels_release_their_caches(spark):
     """r10 verdict #8: the LSH kernels persist internal frames (the
     signature store, the exploded key frame); a library consumer
