@@ -937,6 +937,10 @@ def _streaming_probe(spark) -> dict:
                 ).save()
                 w2 = time.perf_counter() - t0
                 probe[name]["events_per_sec_files2"] = int(n_events / w2)
+            except Exception as e:
+                # the tuning measurement must not clobber the primary
+                # numbers already recorded for this id
+                probe[name]["files2_error"] = f"{type(e).__name__}: {e}"[:120]
             finally:
                 os.environ.pop("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", None)
         except Exception as e:
