@@ -905,3 +905,89 @@ def test_emulation_prevention_roundtrip(raw):
     assert _ep_strip(eb) == raw
     for i in range(len(eb) - 2):
         assert not (eb[i] == 0 and eb[i + 1] == 0 and eb[i + 2] <= 2), eb.hex()
+
+
+@st.composite
+def dup_corpora(draw):
+    """Small corpora with duplicate families + perturbations, plus a
+    tiny bucket cap, so the LSH segmentation path (chains, star,
+    family stitch — r11) is exercised on shapes the hand-built
+    fixtures never hit: families larger than several caps, mixed
+    exact/perturbed replicas, singleton noise docs."""
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+        "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+    ]
+    n_base = draw(st.integers(min_value=2, max_value=4))
+    bases = []
+    for _ in range(n_base):
+        k = draw(st.integers(min_value=4, max_value=10))
+        bases.append(
+            " ".join(draw(st.sampled_from(vocab)) for _ in range(k))
+        )
+    n_docs = draw(st.integers(min_value=6, max_value=16))
+    rows = []
+    for i in range(n_docs):
+        text = bases[draw(st.integers(min_value=0, max_value=n_base - 1))]
+        if draw(st.booleans()):  # perturbed replica
+            text = text + " " + draw(st.sampled_from(vocab))
+        rows.append((i + 1, text))
+    cap = draw(st.sampled_from([2, 3, 4, 8]))
+    return rows, cap
+
+
+@given(dup_corpora())
+@settings(max_examples=5, deadline=None)
+def test_lsh_kernels_match_oracles_on_generated_corpora(spark, corpus):
+    """Cross-engine property: on generated duplicate-family corpora
+    with tiny bucket caps, the Spark kernels and the generated DuckDB
+    oracles emit IDENTICAL pair sets — segmentation hash, chain order,
+    star/stitch algebra, and verify thresholds all in lockstep (r11).
+    Every example forces oversized buckets (families >> cap)."""
+    import tempfile
+
+    import duckdb
+
+    from flink_realtime_2024_spark.operators.llm import (
+        _minhash_oracle_sql,
+        _simhash_oracle_sql,
+        minhash_pairs,
+        simhash_pairs,
+    )
+
+    rows, cap = corpus
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = tempfile.mkdtemp(prefix="lsh_prop_") + "/docs.parquet"
+    docs.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    mh_oracle = {
+        (r[0], r[1], float(r[2]))
+        for r in con.execute(_minhash_oracle_sql(bucket_cap=cap)).fetchall()
+    }
+    mh_got = {
+        (r[0], r[1], float(r[2]))
+        for r in minhash_pairs(docs, bucket_cap=cap).collect()
+    }
+    assert mh_got == mh_oracle, (
+        f"cap={cap} spark-only={sorted(mh_got - mh_oracle)} "
+        f"oracle-only={sorted(mh_oracle - mh_got)}"
+    )
+    sh_oracle = {
+        tuple(r)
+        for r in con.execute(
+            _simhash_oracle_sql("b6k3", bucket_cap=cap)
+        ).fetchall()
+    }
+    sh_got = {
+        tuple(r)
+        for r in simhash_pairs(docs, scheme="b6k3", bucket_cap=cap).collect()
+    }
+    assert sh_got == sh_oracle, (
+        f"cap={cap} spark-only={sorted(sh_got - sh_oracle)} "
+        f"oracle-only={sorted(sh_oracle - sh_got)}"
+    )
+    con.close()
