@@ -307,9 +307,13 @@ def _bench_round() -> int:
             lines = [ln for ln in fh.read().splitlines() if ln.strip()]
         if lines:
             rnd = json.loads(lines[-1]).get("round")
-            if isinstance(rnd, int) and rnd > 0:
+            # bool is an int subclass — reject it explicitly
+            if isinstance(rnd, int) and not isinstance(rnd, bool) and rnd > 0:
                 return rnd
-    except (OSError, ValueError):
+    except (OSError, ValueError, AttributeError):
+        # AttributeError: a last line that is valid JSON but not an
+        # object (e.g. a bare number) must fall through to the legacy
+        # inference, not abort the bench
         pass
     import glob
     import re

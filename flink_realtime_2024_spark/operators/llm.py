@@ -646,6 +646,78 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(docs)
 
 
+def _segmented_bucket_pairs(
+    over: DataFrame,
+    bucket_cols: tuple,
+    fam_col: str,
+    order_cols: tuple,
+    carry: tuple = (),
+) -> DataFrame:
+    """O(n) connectivity pairs for SEGMENTED oversized LSH buckets —
+    the shared kernel behind both `minhash_pairs` and `simhash_pairs`
+    (r11 review: the chain/star/stitch algebra was duplicated
+    line-for-line in both; the DuckDB oracle builders carry their own
+    SQL mirror of exactly this).
+
+    ``over`` must hold (*bucket_cols, seg, doc_id, fam_col, *carry);
+    emits three structures per bucket (see minhash_pairs' docstring
+    for the why): a within-segment chain ordered by ``order_cols``
+    (rn → rn+1 links), a star from each segment's min doc to the
+    bucket's min doc, and a family stitch from each (bucket, fam_col)
+    group's per-segment min doc to the group's min doc. ``carry``
+    columns (e.g. the simhash fingerprint) ride along as ``{c}_a`` /
+    ``{c}_b`` for the caller's verify step, carried through the
+    aggregations with min_by so nothing is re-joined."""
+    from pyspark.sql.window import Window
+
+    bc = list(bucket_cols)
+    chain = over.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(*bc, "seg").orderBy(*order_cols)
+        ),
+    )
+    lhs = chain.select(
+        *bc, "seg", "rn", F.col("doc_id").alias("id_l"),
+        *[F.col(c).alias(f"{c}_l") for c in carry],
+    )
+    rhs = chain.select(
+        *bc, "seg", (F.col("rn") - 1).alias("rn"),
+        F.col("doc_id").alias("id_r"),
+        *[F.col(c).alias(f"{c}_r") for c in carry],
+    )
+    pairs_chain = lhs.join(rhs, [*bc, "seg", "rn"]).select(
+        F.least("id_l", "id_r").alias("doc_a"),
+        F.greatest("id_l", "id_r").alias("doc_b"),
+        *[F.col(f"{c}_l").alias(f"{c}_a") for c in carry],
+        *[F.col(f"{c}_r").alias(f"{c}_b") for c in carry],
+    )
+
+    def reps_and_hub(group_cols):
+        reps = over.groupBy(*group_cols, "seg").agg(
+            F.min("doc_id").alias("rep"),
+            *[F.min_by(c, "doc_id").alias(f"rep_{c}") for c in carry],
+        )
+        hub = reps.groupBy(*group_cols).agg(
+            F.min("rep").alias("hub"),
+            *[F.min_by(f"rep_{c}", "rep").alias(f"hub_{c}") for c in carry],
+        )
+        return (
+            reps.join(hub, list(group_cols))
+            .filter(F.col("rep") != F.col("hub"))
+            .select(
+                F.least("rep", "hub").alias("doc_a"),
+                F.greatest("rep", "hub").alias("doc_b"),
+                *[F.col(f"rep_{c}").alias(f"{c}_a") for c in carry],
+                *[F.col(f"hub_{c}").alias(f"{c}_b") for c in carry],
+            )
+        )
+
+    pairs_star = reps_and_hub(bc)
+    pairs_stitch = reps_and_hub([*bc, fam_col])
+    return pairs_chain.unionByName(pairs_star).unionByName(pairs_stitch)
+
+
 def minhash_pairs(
     docs: DataFrame, threshold: float = 0.5, bucket_cap: int = 64
 ) -> DataFrame:
@@ -700,29 +772,21 @@ def minhash_pairs(
     store = widen(docs.select("doc_id", "text")).select(
         "doc_id", shingle_hash_array("text").alias("sh")
     ).persist()
-    # persisted: sigs feeds several subtrees (bucket counts, the small-
-    # bucket self-join's two sides, the chain/star/stitch) — without
-    # the persist each evaluation re-runs the banding UDF over every
-    # document (measured 3.4× the base wall, r10). 16 rows/doc: tiny.
-    sigs = (
-        store.select("doc_id", minhash_bands_from_hashes("sh").alias("bs"))
-        .select(
-            "doc_id",
-            F.col("bs.sig").alias("fsig"),
-            F.posexplode("bs.bands").alias("band", "band_hash"),
-        )
-        .persist()
+    # bs: ONE row per doc from the banding UDF (16 band hashes + the
+    # full-signature md5). Persisting THIS — not the exploded band
+    # frame — caches the Python work at doc granularity, and the
+    # 32-char fsig never rides the 16-rows/doc band shuffle (r11
+    # review find): the oversized-bucket branch joins it back at doc
+    # level, exactly like the oracle's doc_sig CTE. Re-exploding from
+    # the cache per consumer is pure JVM work.
+    bs = store.select(
+        "doc_id", minhash_bands_from_hashes("sh").alias("bs")
+    ).persist()
+    sigs = bs.select(
+        "doc_id", F.posexplode("bs.bands").alias("band", "band_hash")
     )
-    # pair generation as a distributed self-equi-join on (band, hash) —
-    # r10 rewrite: the old collect_list-of-ids bucket row was a latent
-    # driver-sized-row hazard (a 10M-doc boilerplate family would
-    # materialize as ONE array row), the same shape the simhash kernel
-    # always avoided
     # persisted: counts feeds the small filter, the big filter, AND the
-    # isEmpty gate below — unpersisted it re-aggregates the 16-rows/doc
-    # key frame once per consumer (measured +1.5 s on the sf0.1 bench
-    # where the mega-bucket machinery never even fires). One tiny row
-    # per bucket.
+    # isEmpty gate below. One tiny row per bucket.
     counts = sigs.groupBy("band", "band_hash").count().persist()
     small = counts.filter(
         (F.col("count") > 1) & (F.col("count") <= bucket_cap)
@@ -732,6 +796,11 @@ def minhash_pairs(
         "band_hash",
         F.expr(f"(count + {bucket_cap - 1}) DIV {bucket_cap}").alias("nseg"),
     )
+    # pair generation as a distributed self-equi-join on (band, hash) —
+    # r10 rewrite: the old collect_list-of-ids bucket row was a latent
+    # driver-sized-row hazard (a 10M-doc boilerplate family would
+    # materialize as ONE array row), the same shape the simhash kernel
+    # always avoided
     s = sigs.join(small, ["band", "band_hash"])
     pairs_small = (
         s.select("band", "band_hash", F.col("doc_id").alias("doc_a"))
@@ -742,110 +811,65 @@ def minhash_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
-    over = None
-    if big.isEmpty():
-        # the common corpus has no oversized buckets at the default cap
-        # — skip planning the chain/star/stitch subtrees entirely (a
-        # data-dependent driver-side branch: the kernel materializes
-        # eagerly anyway, and the three empty subtrees measured +1.5 s
-        # of stage overhead per call at sf0.1)
-        pairs = pairs_small.distinct()
-    else:
-        from pyspark.sql.window import Window
-
-        # persisted: over feeds the chain window + three aggregations —
-        # bounded by the oversized buckets' rows (≤ the key frame size)
-        over = (
-            sigs.join(big, ["band", "band_hash"])
-            .withColumn("seg", F.pmod(_seg_hash("doc_id"), F.col("nseg")))
-            .select("band", "band_hash", "seg", "doc_id", "fsig")
-            .persist()
-        )
-        chain = over.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("band", "band_hash", "seg").orderBy(
-                    "fsig", "doc_id"
+    released = [store, bs, counts]
+    try:
+        if big.isEmpty():
+            # the common corpus has no oversized buckets at the default
+            # cap — skip planning the chain/star/stitch subtrees
+            # entirely (a data-dependent driver-side branch: the kernel
+            # materializes eagerly anyway, and the three empty subtrees
+            # measured +1.5 s of stage overhead per call at sf0.1)
+            pairs = pairs_small.distinct()
+        else:
+            # persisted: over feeds the chain window + three
+            # aggregations — bounded by the oversized buckets' rows
+            over = (
+                sigs.join(big, ["band", "band_hash"])
+                .join(
+                    bs.select("doc_id", F.col("bs.sig").alias("fsig")),
+                    "doc_id",
                 )
-            ),
-        )
-        pairs_chain = (
-            chain.select(
-                "band", "band_hash", "seg", "rn", F.col("doc_id").alias("id_l")
+                .withColumn("seg", F.pmod(_seg_hash("doc_id"), F.col("nseg")))
+                .select("band", "band_hash", "seg", "doc_id", "fsig")
+                .persist()
+            )
+            released.append(over)
+            pairs = pairs_small.unionByName(
+                _segmented_bucket_pairs(
+                    over, ("band", "band_hash"), "fsig", ("fsig", "doc_id")
+                )
+            ).distinct()
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        verified = (
+            pairs.join(
+                store.select(
+                    F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+                ),
+                "doc_a",
             )
             .join(
-                chain.select(
-                    "band",
-                    "band_hash",
-                    "seg",
-                    (F.col("rn") - 1).alias("rn"),
-                    F.col("doc_id").alias("id_r"),
+                store.select(
+                    F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
                 ),
-                ["band", "band_hash", "seg", "rn"],
+                "doc_b",
             )
-            .select(
-                F.least("id_l", "id_r").alias("doc_a"),
-                F.greatest("id_l", "id_r").alias("doc_b"),
-            )
+            .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
         )
-        seg_reps = over.groupBy("band", "band_hash", "seg").agg(
-            F.min("doc_id").alias("rep")
+        # deterministic cache release (r10 verdict #8): materialize,
+        # then unpersist the kernel-internal frames — see the
+        # docstring. try/finally so a failing job (executor OOM on an
+        # adversarial corpus) cannot leak the persisted frames either.
+        verified = verified.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
         )
-        bucket_hub = seg_reps.groupBy("band", "band_hash").agg(
-            F.min("rep").alias("hub")
-        )
-        pairs_star = (
-            seg_reps.join(bucket_hub, ["band", "band_hash"])
-            .filter(F.col("rep") != F.col("hub"))
-            .select(
-                F.least("rep", "hub").alias("doc_a"),
-                F.greatest("rep", "hub").alias("doc_b"),
-            )
-        )
-        fam_reps = over.groupBy("band", "band_hash", "fsig", "seg").agg(
-            F.min("doc_id").alias("rep")
-        )
-        fam_hub = fam_reps.groupBy("band", "band_hash", "fsig").agg(
-            F.min("rep").alias("hub")
-        )
-        pairs_stitch = (
-            fam_reps.join(fam_hub, ["band", "band_hash", "fsig"])
-            .filter(F.col("rep") != F.col("hub"))
-            .select(
-                F.least("rep", "hub").alias("doc_a"),
-                F.greatest("rep", "hub").alias("doc_b"),
-            )
-        )
-        pairs = (
-            pairs_small.unionByName(pairs_chain)
-            .unionByName(pairs_star)
-            .unionByName(pairs_stitch)
-            .distinct()
-        )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    verified = (
-        pairs.join(
-            store.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            store.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-            "doc_b",
-        )
-        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
-    # deterministic cache release (r10 verdict #8): materialize, then
-    # unpersist the kernel-internal frames — see the docstring.
-    verified = verified.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
-    counts.unpersist()
-    if over is not None:
-        over.unpersist()
-    sigs.unpersist()
-    store.unpersist()
+    finally:
+        for frame in released:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
     return verified
 
 
@@ -1392,7 +1416,11 @@ def simhash_pairs(
     driver-sized row."""
     blocks_def, _ = _SIMHASH_SCHEMES[scheme]
     mults = _simhash_key_mults(scheme)
-    fps = widen(docs).select("doc_id", simhash64("text").alias("fp"))
+    # persisted at DOC granularity: fps caches the fingerprint UDF at
+    # one row/doc; the combo-key explosion below is pure JVM block
+    # arithmetic, cheap to re-derive from the cache per consumer (r11
+    # review — mirroring the minhash twin's bs frame).
+    fps = widen(docs).select("doc_id", simhash64("text").alias("fp")).persist()
     blocks = [
         F.shiftrightunsigned("fp", off).bitwiseAND(F.lit((1 << w) - 1))
         for off, w in blocks_def
@@ -1405,15 +1433,11 @@ def simhash_pairs(
         combo_keys.append(key)
     # posexplode keeps the combo index in the key (combo t of A must
     # equal combo t of B)
-    # persisted: keys_df feeds the bucket counts, both self-join sides,
-    # and the chain — unpersisted, each evaluation re-runs the simhash
-    # UDF over every document (the minhash twin measured 3.4× base
-    # wall from exactly this, r10). 10-20 int rows/doc: tiny.
     keys_df = fps.select(
         "doc_id",
         "fp",
         F.posexplode(F.array(*combo_keys)).alias("t", "kv"),
-    ).persist()
+    )
     # persisted: counts feeds the ok/big filters and the isEmpty gate
     # (one tiny row per bucket — see the minhash twin)
     counts = keys_df.groupBy("t", "kv").count().persist()
@@ -1437,25 +1461,39 @@ def simhash_pairs(
     # stitching instead of being dropped (r10 measured the drop at
     # recall 0.78/0.61; r11 replaced the single bucket-wide chain,
     # whose row_number window was a single-reducer sort on a 10M-doc
-    # bucket). Segment = portable doc hash mod ceil(n/cap); chain
-    # order inside a segment is (fp, doc_id) so identical fingerprints
-    # sort adjacent; a per-bucket star plus a per-fingerprint family
-    # stitch keep families connected ACROSS segments (hamming-0 stitch
-    # links always survive the verify), while accidental neighbors are
-    # pruned by the exact popcount.
-    from pyspark.sql.window import Window
-
+    # bucket). Chain order inside a segment is (fp, doc_id) so
+    # identical fingerprints sort adjacent; the per-fingerprint family
+    # stitch links are hamming-0 and ALWAYS survive the verify, while
+    # accidental neighbors are pruned by the exact popcount. Shared
+    # algebra: _segmented_bucket_pairs (the fingerprint rides the
+    # aggregations as a carry column for the verify).
     big = counts.filter(F.col("count") > bucket_cap).select(
         "t",
         "kv",
         F.expr(f"(count + {bucket_cap - 1}) DIV {bucket_cap}").alias("nseg"),
     )
-    if big.isEmpty():
-        # no oversized buckets (the common case at the default 4096
-        # cap): skip the chain/star/stitch subtrees — same driver-side
-        # data-dependent branch as the minhash twin
+    released = [fps, counts]
+    try:
+        if big.isEmpty():
+            # no oversized buckets (the common case at the default 4096
+            # cap): skip the chain/star/stitch subtrees — same
+            # driver-side data-dependent branch as the minhash twin
+            cand_pairs = pairs_small
+        else:
+            over = (
+                keys_df.join(big, ["t", "kv"])
+                .withColumn("seg", F.pmod(_seg_hash("doc_id"), F.col("nseg")))
+                .select("t", "kv", "seg", "doc_id", "fp")
+                .persist()
+            )
+            released.append(over)
+            cand_pairs = pairs_small.unionByName(
+                _segmented_bucket_pairs(
+                    over, ("t", "kv"), "fp", ("fp", "doc_id"), carry=("fp",)
+                )
+            )
         result = (
-            pairs_small.select(
+            cand_pairs.select(
                 "doc_a",
                 "doc_b",
                 F.bit_count(
@@ -1465,98 +1503,19 @@ def simhash_pairs(
             .filter(F.col("hamming") <= 3)
             .distinct()
         )
+        # deterministic cache release (r10 verdict #8): materialize,
+        # then unpersist — try/finally so a failing job cannot leak
+        # the persisted frames (see minhash_pairs for the DISK_ONLY
+        # and at-scale caveats).
         result = result.localCheckpoint(
             eager=True, storageLevel=StorageLevel.DISK_ONLY
         )
-        counts.unpersist()
-        keys_df.unpersist()
-        return result
-    # persisted: over feeds the chain window + three aggregations
-    over = (
-        keys_df.join(big, ["t", "kv"])
-        .withColumn("seg", F.pmod(_seg_hash("doc_id"), F.col("nseg")))
-        .select("t", "kv", "seg", "doc_id", "fp")
-        .persist()
-    )
-    chain = over.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("t", "kv", "seg").orderBy("fp", "doc_id")
-        ),
-    )
-    pairs_chain = (
-        chain.select(
-            "t", "kv", "seg", "rn",
-            F.col("doc_id").alias("id_l"), F.col("fp").alias("fp_l"),
-        )
-        .join(
-            chain.select(
-                "t", "kv", "seg", (F.col("rn") - 1).alias("rn"),
-                F.col("doc_id").alias("id_r"), F.col("fp").alias("fp_r"),
-            ),
-            ["t", "kv", "seg", "rn"],
-        )
-        .select(
-            F.least("id_l", "id_r").alias("doc_a"),
-            F.greatest("id_l", "id_r").alias("doc_b"),
-            F.col("fp_l").alias("fp_a"),
-            F.col("fp_r").alias("fp_b"),
-        )
-    )
-    # min_by carries the representative's fingerprint through the aggs
-    # so the verify never re-joins the (UDF-derived) fingerprint frame
-    seg_reps = over.groupBy("t", "kv", "seg").agg(
-        F.min("doc_id").alias("rep"), F.min_by("fp", "doc_id").alias("rep_fp")
-    )
-    key_hub = seg_reps.groupBy("t", "kv").agg(
-        F.min("rep").alias("hub"), F.min_by("rep_fp", "rep").alias("hub_fp")
-    )
-    pairs_star = (
-        seg_reps.join(key_hub, ["t", "kv"])
-        .filter(F.col("rep") != F.col("hub"))
-        .select(
-            F.least("rep", "hub").alias("doc_a"),
-            F.greatest("rep", "hub").alias("doc_b"),
-            F.col("rep_fp").alias("fp_a"),
-            F.col("hub_fp").alias("fp_b"),
-        )
-    )
-    fam_reps = over.groupBy("t", "kv", "fp", "seg").agg(
-        F.min("doc_id").alias("rep")
-    )
-    fam_hub = fam_reps.groupBy("t", "kv", "fp").agg(F.min("rep").alias("hub"))
-    pairs_stitch = (
-        fam_reps.join(fam_hub, ["t", "kv", "fp"])
-        .filter(F.col("rep") != F.col("hub"))
-        .select(
-            F.least("rep", "hub").alias("doc_a"),
-            F.greatest("rep", "hub").alias("doc_b"),
-            F.col("fp").alias("fp_a"),
-            F.col("fp").alias("fp_b"),
-        )
-    )
-    result = (
-        pairs_small.unionByName(pairs_chain)
-        .unionByName(pairs_star)
-        .unionByName(pairs_stitch)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .distinct()
-    )
-    # deterministic cache release (r10 verdict #8): materialize, then
-    # unpersist the kernel-internal key frame — a caller looping the
-    # kernel accumulates no storage (see minhash_pairs docstring for
-    # the localCheckpoint-at-scale caveat).
-    result = result.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
-    counts.unpersist()
-    over.unpersist()
-    keys_df.unpersist()
+    finally:
+        for frame in released:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
     return result
 
 

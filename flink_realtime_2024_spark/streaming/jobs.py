@@ -162,16 +162,25 @@ def run_stream(df_writer, checkpoint_tag: str):
     stages: dict[str, int] = {}
     batches = 0
     rows = 0
-    for p in q.recentProgress:
+    progress = q.recentProgress
+    for p in progress:
         batches += 1
         rows += p.get("numInputRows", 0) or 0
         for k, v in (p.get("durationMs") or {}).items():
             stages[k] = stages.get(k, 0) + int(v)
-    last_stream_breakdown[checkpoint_tag] = {
+    bd = {
         "batches": batches,
         "input_rows": rows,
         "duration_ms": stages,
     }
+    # recentProgress is a ring buffer capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100): a
+    # replay staged with more files than that would silently undercount
+    # — mark it so the bench attribution can't misread a truncated sum
+    # as a full one (r11 review).
+    if batches >= 100:
+        bd["progress_truncated"] = True
+    last_stream_breakdown[checkpoint_tag] = bd
     return q
 
 

@@ -78,7 +78,10 @@ def test_pyproject_metadata_matches_package():
     """The single-source-of-truth version lives in pyproject.toml; the
     module's __version__ must agree (no tomllib dance at import time —
     just pin them equal here)."""
-    import tomllib
+    try:
+        import tomllib  # stdlib on 3.11+
+    except ImportError:  # pragma: no cover — 3.10 (requires-python floor)
+        tomllib = __import__("tomli")
 
     import flink_realtime_2024_spark as m
 
