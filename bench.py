@@ -765,6 +765,7 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
     # mirroring _probe_queries' per-query guard.
     def _guarded(name, fn):
         if name in probe and "error" not in probe[name]:
+            _reclaim(spark)  # each recall re-runs a full dedup kernel
             try:
                 fn()
             except Exception as e:
@@ -838,10 +839,29 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
     _guarded("llm_dedup_simhash_b5", _simhash_recall("llm_dedup_simhash_b5"))
 
 
+def _reclaim(spark) -> None:
+    """Release dead checkpoint blocks between probe queries: the dedup
+    kernels materialize via localCheckpoint, whose RDD blocks are freed
+    by ContextCleaner only after the driver-side reference is GC'd — in
+    one long probe session the accumulated blocks plus the DISK_ONLY
+    read-ahead buffers OOM'd the shared local-mode heap at the 100×
+    tier (r11, the b5 recall pass, with every query before it green).
+    Python gc drops the py4j references; System.gc() lets the cleaner's
+    weak references fire NOW instead of mid-job."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _probe_queries(spark, builders, timings, query_names, probe_dir, probe, reps):
     for name in query_names:
         if name not in builders:
             continue
+        _reclaim(spark)
         try:
             base = timings.get(name)
             if not base:
