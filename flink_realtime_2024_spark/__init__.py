@@ -39,6 +39,7 @@ from .operators.llm import (  # noqa: E402
     minhash_pairs,
     neardup_cosine_pipeline,
     shingle_hash_array,
+    shingle_hash_expr,
     simhash64,
     simhash_pairs,
     winnow_pipeline,
@@ -70,7 +71,8 @@ __all__ = [
     "neardup_cosine_pipeline",  # embedding-cosine near-dup pairs
     # column expressions / UDFs for custom pipelines
     "simhash64",            # text column → 64-bit fingerprint column
-    "shingle_hash_array",   # text column → sorted unique shingle hashes
+    "shingle_hash_array",   # text column → sorted unique shingle hashes (Python ref)
+    "shingle_hash_expr",    # bit-identical pure-JVM twin (the fast path)
     # skew-aware joins (any key-typed frames)
     "detect_hot_keys",
     "salted_join",

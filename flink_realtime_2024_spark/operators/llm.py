@@ -288,10 +288,70 @@ _MH_B = _rng.randint(0, _MERSENNE, size=_N_HASHES, dtype=np.int64).astype(np.uin
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def shingle_hash_array(text: pd.Series) -> pd.Series:
     """Per-document sorted unique shingle hashes (the signature store
-    column) — the ONLY place document text crosses into Python."""
+    column), computed in Python. Since r12 the minhash kernel uses the
+    bit-identical pure-JVM twin ``shingle_hash_expr`` instead (measured
+    ~0.5 s of Arrow crossing per sf0.1 call); this UDF remains the
+    exported reference implementation and the lockstep-test anchor
+    (tests/test_semantics.py::test_shingle_hash_expr_matches_udf)."""
     return pd.Series(
         [_shingle_hashes(t or "").astype(np.int64).tolist() for t in text]
     )
+
+
+# int64 sign bit — XOR with it maps unsigned 64-bit order onto signed
+# order bijectively, so an UNSIGNED array sort is expressible as
+# flip → array_sort (signed) → flip.
+_I64_SIGN = -(2**63)
+
+
+def shingle_hash_expr(col) -> "F.Column":
+    """Pure-JVM twin of ``shingle_hash_array`` — BIT-IDENTICAL output
+    (pinned by tests/test_semantics.py::test_shingle_hash_expr_matches_udf),
+    zero Python crossings (r12, VERDICT r11 #1: the shingle-hash pandas
+    UDF was 0.56 s of llm_dedup_minhash's 1.6 s sf0.1 wall).
+
+    Per shingle string s (from ``shingle_str_expr``): md5(s) is a JVM
+    builtin over the same utf-8 bytes as Python's hashlib; the first 16
+    hex digits parse to the uint64 in TWO HALVES — ``conv`` parses into
+    signed 64-bit, which 16 hex digits can overflow, but each 8-digit
+    half fits — recombined as ``shiftleft(hi, 32) | lo`` (bitwise ops,
+    exempt from ANSI overflow checks), which is exactly the int64
+    two's-complement view the UDF stores. Dedup runs on the HASHES
+    (matching np.unique; string-level distinct would keep both sides of
+    a truncated-md5 collision), and the sort replays numpy's UNSIGNED
+    order via the sign-bit-flip trick above.
+
+    The banding UDF (``minhash_bands_from_hashes``) deliberately stays
+    in Python: its permutation arithmetic needs uint64 WRAP multiply
+    ((a*h) mod 2^64), and ANSI mode — the driver session default —
+    overflow-throws on long ``*`` with no wrapping builtin; a 16-bit
+    limb decomposition would need wrap ADDS too. numpy's vectorized
+    matrix op over the already-hashed arrays is the right tool there.
+
+    COMPOSITION PITFALL (Spark 4.1, found landing this): an expression
+    containing a HIGHER-ORDER-FUNCTION lambda (this one, or any
+    transform/filter/aggregate) must not feed a pandas UDF argument
+    directly — ExtractPythonUDFs fails to pull such a UDF into an
+    ArrowEvalPython node, and InferFiltersFromGenerate then clones the
+    raw (Unevaluable) PythonUDF into a Filter that dies at runtime
+    with INTERNAL_ERROR "Cannot evaluate expression". Isolated to the
+    lambda alone: a plain-attribute or lambda-free-expression argument
+    extracts fine. Materialize this column across a persist()/
+    localCheckpoint() barrier before handing it to a pandas UDF — the
+    minhash kernel's persisted signature store is exactly that."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+
+    def h(g):
+        hx = F.md5(g)
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    hashed = F.array_distinct(F.transform(shingle_str_expr(c), h))
+    flipped = F.array_sort(
+        F.transform(hashed, lambda x: x.bitwiseXOR(F.lit(_I64_SIGN)))
+    )
+    return F.transform(flipped, lambda x: x.bitwiseXOR(F.lit(_I64_SIGN)))
 
 
 def shingle_str_expr(col) -> "F.Column":
@@ -634,13 +694,17 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) brute-force scan, and the bench probes recall on the
     replicated 10×/30× corpora.
 
-    One-pass Python design: document text crosses into Python exactly
-    once (shingle_hash_array); the persisted signature store feeds both
-    the banding branch (numpy minhash over the hash arrays) and the
-    verification joins, where exact Jaccard is computed JVM-side with
-    array_intersect/array_union over the already-unique hash arrays —
-    no per-pair Python and no second text scan. At 100 TB the signature
-    store is exactly what you'd materialize to parquet.
+    One-crossing Python design (r12; was two): shingle hashing runs as
+    pure JVM expressions (shingle_hash_expr — bit-identical to the old
+    pandas UDF, see its docstring for the conv/shiftleft construction
+    and why the BANDING UDF can't follow under ANSI arithmetic); only
+    the already-hashed int64 arrays cross into Python, once, for the
+    numpy permutation-matrix minima. The persisted signature store
+    feeds both the banding branch and the verification joins, where
+    exact Jaccard is computed JVM-side with array_intersect/array_union
+    over the already-unique hash arrays — no per-pair Python and no
+    second text scan. At 100 TB the signature store is exactly what
+    you'd materialize to parquet.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_pairs(docs)
@@ -770,7 +834,7 @@ def minhash_pairs(
     parameters; callers may tune them, the oracle contract covers the
     defaults."""
     store = widen(docs.select("doc_id", "text")).select(
-        "doc_id", shingle_hash_array("text").alias("sh")
+        "doc_id", shingle_hash_expr("text").alias("sh")
     ).persist()
     # bs: ONE row per doc from the banding UDF (16 band hashes + the
     # full-signature md5). Persisting THIS — not the exploded band

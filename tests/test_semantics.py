@@ -587,6 +587,61 @@ def test_oracle_primitives_cross_engine(duck):
         assert int(sql_fp.get(doc_id, 0)) == f_u, f"simhash drift doc {doc_id}"
 
 
+def test_shingle_hash_expr_matches_udf(spark):
+    """r12 (verdict #1): the pure-JVM shingle hash powering the minhash
+    kernel must stay BIT-IDENTICAL to the Python reference UDF — same
+    md5-derived values, same hash-level dedup, same UNSIGNED sort order
+    of the int64 views — or every minhash signature silently drifts
+    from the DuckDB _MD5_U64_TERMS oracle. Pinned on hand-picked edge
+    cases (null / empty / whitespace-only / sub-3-token / mixed-case /
+    duplicate shingles / a hash ≥ 2^63 forcing the unsigned-sort flip)
+    plus the full test corpus, comparing both columns inside one frame
+    so the JVM and Arrow paths see identical input rows."""
+    from flink_realtime_2024_spark.operators.llm import (
+        shingle_hash_array,
+        shingle_hash_expr,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, ""),
+            (3, None),
+            (4, "one two"),
+            (5, "single"),
+            (6, " \t\n "),
+            (7, "ALPHA Beta GAMMA delta Epsilon ZETA"),
+            (8, "a b c a b c a b c a b c"),
+            (9, "  leading and   trailing\tmixed\nwhitespace  "),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for df in (edge, corpus):
+        diff = (
+            df.select(
+                "doc_id",
+                shingle_hash_expr("text").alias("jvm"),
+                shingle_hash_array("text").alias("py"),
+            )
+            .filter(F.col("jvm") != F.col("py"))
+            .count()
+        )
+        assert diff == 0
+    # the unsigned-order branch is actually exercised: some corpus doc
+    # must hold BOTH a negative-int64-view hash and a positive one
+    straddles = (
+        corpus.select(shingle_hash_expr("text").alias("sh"))
+        .filter(
+            (F.element_at("sh", 1) >= 0) & (F.element_at("sh", -1) < 0)
+        )
+        .count()
+    )
+    assert straddles > 0, "corpus never exercised the unsigned sort flip"
+
+
 def test_jpeg_block_constant_roundtrip_exact():
     """The mm full-oracle contract for the LOSSY class: images built
     from `_jpeg_block_values` (per-8×8-block constants v = 128 + 5m)
@@ -2138,7 +2193,7 @@ def test_lsh_mega_bucket_segmentation_bounds_partitions_and_pairs(spark):
         _seg_hash,
         minhash_bands_from_hashes,
         minhash_pairs,
-        shingle_hash_array,
+        shingle_hash_expr,
         simhash_pairs,
     )
     from flink_realtime_2024_spark import connected_components
@@ -2155,19 +2210,31 @@ def test_lsh_mega_bucket_segmentation_bounds_partitions_and_pairs(spark):
     # grouping from its own building blocks and assert no partition
     # exceeds 4×cap (expected size is exactly cap under a uniform
     # hash; 4× absorbs binomial variance with huge margin)
-    sigs = (
+    # persist barrier between the JVM shingle expression and the
+    # banding UDF, exactly like the kernel's signature store — a
+    # lambda-bearing expression must not feed a pandas UDF argument
+    # directly (Spark 4.1 ExtractPythonUDFs bug; see
+    # shingle_hash_expr's COMPOSITION PITFALL note)
+    store = (
         widen(docs)
-        .select("doc_id", shingle_hash_array("text").alias("sh"))
-        .select("doc_id", minhash_bands_from_hashes("sh").alias("bs"))
-        .select("doc_id", F.posexplode("bs.bands").alias("band", "band_hash"))
+        .select("doc_id", shingle_hash_expr("text").alias("sh"))
+        .persist()
     )
-    max_part = (
-        sigs.withColumn("seg", F.pmod(_seg_hash("doc_id"), F.lit(nseg)))
-        .groupBy("band", "band_hash", "seg")
-        .count()
-        .agg(F.max("count"))
-        .collect()[0][0]
-    )
+    try:
+        sigs = store.select(
+            "doc_id", minhash_bands_from_hashes("sh").alias("bs")
+        ).select(
+            "doc_id", F.posexplode("bs.bands").alias("band", "band_hash")
+        )
+        max_part = (
+            sigs.withColumn("seg", F.pmod(_seg_hash("doc_id"), F.lit(nseg)))
+            .groupBy("band", "band_hash", "seg")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+    finally:
+        store.unpersist()
     assert max_part <= 4 * cap, f"segment partition {max_part} > {4 * cap}"
 
     # 2) + 3) O(n) pair output and full connectivity, both kernels
