@@ -300,7 +300,13 @@ def _bench_round() -> int:
     3. newest BENCH_r{N} + 1 (legacy fallback for a bare checkout)."""
     env = os.environ.get("BENCH_ROUND")
     if env:
-        return int(env)
+        try:
+            return int(env)
+        except ValueError:
+            # malformed override ('r12', stray whitespace) falls through
+            # to the PROGRESS.jsonl inference like every other source
+            # failure, instead of aborting the bench (r11 advice)
+            pass
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "PROGRESS.jsonl")) as fh:
@@ -574,23 +580,17 @@ def _staged_probe_dir(prefix: str, *params) -> str:
     return dst
 
 
-def _scale_probe(
-    spark,
-    builders,
-    timings: dict[str, float],
-    replication: int,
-    query_names,
-    reps: int = 2,
-) -> dict:
-    """Scaling probe (replication× the base SF): replicate the scaling
-    tables with perturbed keys/content into a staged parquet dir, then
-    time each probe query at replication× data and report the wall-time
-    ratio vs the base run. The 100 TB claims are argued from plan
-    shape; this records the cheap hard datapoint that the shapes
-    actually scale ~linearly on real 10×/30× input — two points, so
-    super-linear blowup can't hide between them. Replicas perturb
+def stage_replicated_corpus(spark, replication: int) -> tuple[str, float]:
+    """Stage (or reuse, content-addressed) the replication× probe
+    corpus and return (dir, staging_seconds). Factored out of
+    _scale_probe (r12) so the sf1-equivalent PARITY run can stage the
+    same corpus without dragging the probe/recall suite along:
+    ``python -c "import bench; print(bench.stage_replicated_corpus(spark, 10)[0])"``
+    then ``python driver_sim.py --sf <dir> <ids>``. Replicas perturb
     text/names (not just ids) so dedup-family workloads see realistic
-    near-dup structure rather than N-way exact duplicate groups."""
+    near-dup structure rather than N-way exact duplicate groups;
+    foreign keys offset identically on both sides per replica, so every
+    join stays valid and selectivities match the original."""
     import pyspark.sql.functions as F
 
     probe_dir = _staged_probe_dir(f"sfx{replication}_probe", replication)
@@ -627,10 +627,6 @@ def _scale_probe(
                 )
             return r.drop("_rep")
 
-        # foreign keys offset IDENTICALLY on both sides per replica, so
-        # every join stays valid and selectivities match the original;
-        # text/name columns perturbed per replica so dedup-family
-        # workloads see realistic near-dup structure
         plan = {
             "documents": (["doc_id"], "text"),
             "embeddings": (["vec_id"], None),
@@ -650,7 +646,25 @@ def _scale_probe(
                 os.path.join(probe_dir, f"{table}.parquet")
             )
         open(marker, "w").close()
-    staging_s = round(time.perf_counter() - t0, 3)
+    return probe_dir, round(time.perf_counter() - t0, 3)
+
+
+def _scale_probe(
+    spark,
+    builders,
+    timings: dict[str, float],
+    replication: int,
+    query_names,
+    reps: int = 2,
+) -> dict:
+    """Scaling probe (replication× the base SF): replicate the scaling
+    tables into a staged parquet dir (stage_replicated_corpus), then
+    time each probe query at replication× data and report the wall-time
+    ratio vs the base run. The 100 TB claims are argued from plan
+    shape; this records the cheap hard datapoint that the shapes
+    actually scale ~linearly on real 10×/30× input — two points, so
+    super-linear blowup can't hide between them."""
+    probe_dir, staging_s = stage_replicated_corpus(spark, replication)
 
     probe: dict[str, dict] = {}
     try:
@@ -840,21 +854,14 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
 
 
 def _reclaim(spark) -> None:
-    """Release dead checkpoint blocks between probe queries: the dedup
-    kernels materialize via localCheckpoint, whose RDD blocks are freed
-    by ContextCleaner only after the driver-side reference is GC'd — in
-    one long probe session the accumulated blocks plus the DISK_ONLY
-    read-ahead buffers OOM'd the shared local-mode heap at the 100×
-    tier (r11, the b5 recall pass, with every query before it green).
-    Python gc drops the py4j references; System.gc() lets the cleaner's
-    weak references fire NOW instead of mid-job."""
-    import gc
+    """Release dead checkpoint blocks between probe queries (r11: the
+    accumulated blocks + DISK_ONLY read-ahead buffers OOM'd the shared
+    local-mode heap at the 100× tier). r12: the helper is now part of
+    the public library surface — library consumers looping the dedup
+    kernels inherit the same hazard."""
+    from flink_realtime_2024_spark import reclaim_checkpoints
 
-    gc.collect()
-    try:
-        spark.sparkContext._jvm.System.gc()
-    except Exception:
-        pass
+    reclaim_checkpoints(spark)
 
 
 def _probe_queries(spark, builders, timings, query_names, probe_dir, probe, reps):
@@ -1141,21 +1148,25 @@ def _skew_probe(spark) -> dict:
     return out
 
 
-def _deltas_vs_previous(timings: dict[str, float], sf: float) -> dict | None:
+def _deltas_vs_previous(
+    timings: dict[str, float], sf: float, here: str | None = None
+) -> dict | None:
     """Self-reported regression diff: per-query delta (sec, this run
     minus the PREVIOUS ROUND's last same-SF record), so round N+1
     regressions surface in the bench output itself rather than needing
     an external diff. Baseline search order:
     1. bench_history.jsonl — the last entry from an earlier round
        (every run appends; the round-end commit persists them);
+       entries carrying a `quarantined` field are never baselined
+       (they record known-contaminated runs, r11 verdict);
     2. archived BENCH_r*.json whose compact line still carried per-query
        timings (rounds ≤ 9 — the driver wraps the line under "parsed").
     Highest round wins; within a round, the latest entry (the round's
-    final tree)."""
+    final tree). ``here`` overrides the history directory (tests)."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = here or os.path.dirname(os.path.abspath(__file__))
     cur = _bench_round()
     best: tuple[int, int, str, dict] | None = None  # (round, seq, label, queries)
 
@@ -1168,6 +1179,12 @@ def _deltas_vs_previous(timings: dict[str, float], sf: float) -> dict | None:
                 except ValueError:
                     continue
                 if e.get("sf") != sf or not e.get("queries"):
+                    continue
+                if e.get("quarantined"):
+                    # entry recorded under known contamination (e.g. a
+                    # concurrent parity job saturating the box, r11's
+                    # 45.273 s record) — keep it append-only for the
+                    # audit trail, never baseline deltas against it
                     continue
                 rnd = e.get("round", 0)
                 if rnd >= cur:

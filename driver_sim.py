@@ -29,9 +29,10 @@ from pyspark.sql import SparkSession  # noqa: E402
 _builder = SparkSession.builder.master("local[8]").config(
     "spark.ui.enabled", "false"
 )
-# Vanilla by default (the driver's gate gives us no conf). The
-# sf1-equivalent evidence runs collect multi-million-row results
-# through the driver — size it for those via env, never by default.
+# Vanilla by default (the driver's gate gives us no conf). Results
+# above SIM_BIG_ROWS rows never cross the driver anymore (r12: the
+# comparison runs engine-side, see tests/parity.compare_engine_side),
+# so this env is a legacy escape hatch, not a requirement.
 import os as _os  # noqa: E402
 
 if _os.environ.get("SIM_SPARK_DRIVER_MEM"):
@@ -42,7 +43,7 @@ spark = _builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e  # noqa: E402
-from tests.parity import compare  # noqa: E402
+from tests.parity import compare, compare_engine_side  # noqa: E402
 
 rows = e.entry(spark).collect()
 assert len(rows) > 0, "entry() smoke failed"
@@ -72,21 +73,46 @@ for n in "region nation customer supplier part orders lineitem events documents 
 queries = e.queries()
 oracles = e.oracle_sql()
 names = only or sorted(queries)
+# Above this row count the comparison runs ENGINE-SIDE (Spark writes
+# parquet, DuckDB takes the multiset difference — tests/parity.py
+# compare_engine_side) instead of collecting both results through the
+# driver: at the sf1-equivalent evidence runs, scalar_math_case's 6M-row
+# full projection needed an 8g driver and 625 s via toPandas. At the
+# driver's sf0.01 gate (max ~60k rows) this never binds, so the gate's
+# literal pandas comparison is what runs there.
+BIG_ROWS = int(_os.environ.get("SIM_BIG_ROWS", "200000"))
+import tempfile  # noqa: E402
+
+workdir = tempfile.mkdtemp(prefix="driver_sim_parity_")
 n_pass = n_rowsonly = 0
 failures = []
 for name in names:
     t0 = time.time()
     try:
-        sp = queries[name](spark, SF).toPandas()
+        df = queries[name](spark, SF)
         sql = oracles.get(name)
         if sql is None:
+            sp = df.toPandas()
             n_rowsonly += 1
             status = f"rows-only ({len(sp)} rows)"
         else:
-            od = con.execute(sql).df()
-            compare(sp, od, name=name)
-            n_pass += 1
-            status = f"match ({len(sp)} rows)"
+            # materialize the oracle ONCE (some LSH re-derivations are
+            # 100s-class at sf1-equivalents) — count decides the path
+            con.execute(
+                f"CREATE OR REPLACE TEMP TABLE _oracle AS {sql.rstrip().rstrip(';')}"
+            )
+            ocnt = con.execute("SELECT count(*) FROM _oracle").fetchone()[0]
+            if ocnt <= BIG_ROWS:
+                sp = df.toPandas()
+                od = con.execute("SELECT * FROM _oracle").df()
+                compare(sp, od, name=name)
+                n_pass += 1
+                status = f"match ({len(sp)} rows)"
+            else:
+                nrows = compare_engine_side(df, con, "_oracle", name=name, workdir=workdir)
+                n_pass += 1
+                status = f"match engine-side ({nrows} rows)"
+            con.execute("DROP TABLE IF EXISTS _oracle")
     except Exception as ex:  # noqa: BLE001
         failures.append((name, ex))
         status = f"FAIL: {type(ex).__name__}: {str(ex)[:200]}"

@@ -53,7 +53,7 @@ from .operators.multimodal import (  # noqa: E402
 )
 from .plans.registry import all_queries  # noqa: E402
 from .session import get_spark  # noqa: E402
-from .sources.io import drop_all_caches  # noqa: E402
+from .sources.io import drop_all_caches, reclaim_checkpoints  # noqa: E402
 
 __all__ = [
     # session
@@ -63,6 +63,10 @@ __all__ = [
     # long-lived session running many kernel calls should call this
     # between batches (it clears ALL cached datasets)
     "drop_all_caches",
+    # ...and this, which frees DEAD localCheckpoint blocks (the dedup
+    # kernels' eager DISK_ONLY materialization) without touching live
+    # caches — loop-safe memory hygiene for repeated kernel calls
+    "reclaim_checkpoints",
     # near-duplicate detection (doc_id, text) → pair/cluster frames
     "minhash_pairs",        # MinHash+LSH banding, exact-Jaccard verify
     "simhash_pairs",        # 64-bit SimHash, multi-block banding, hamming<=3

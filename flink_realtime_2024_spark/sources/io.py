@@ -171,6 +171,29 @@ def drop_all_caches(spark) -> None:
     _HOT.clear()
 
 
+def reclaim_checkpoints(spark) -> None:
+    """Free DEAD localCheckpoint blocks NOW instead of at an arbitrary
+    future GC (companion to ``drop_all_caches``, which clears LIVE
+    caches). The dedup kernels (minhash_pairs, simhash_pairs, ...)
+    materialize their result via eager DISK_ONLY localCheckpoint; Spark's
+    ContextCleaner frees those blocks only after the driver-side
+    DataFrame reference is garbage-collected, so a consumer LOOPING a
+    kernel accumulates dead blocks in the block manager's local dirs —
+    the exact pressure that OOM'd the r11 bench's shared heap at the
+    100× tier before its runner grew this call. Python ``gc.collect()``
+    drops the py4j references; ``System.gc()`` makes the cleaner's weak
+    references fire immediately instead of mid-job. Call it between
+    kernel invocations in long-lived sessions; it is safe (a no-op) any
+    time."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 

@@ -133,7 +133,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of wall; batching more files per trigger amortizes the fixed
     # per-batch cost — a deployment replaying history can raise it,
     # the bench probe measures both settings.
-    fpt = int(os.environ.get("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "1"))
+    try:
+        fpt = int(os.environ.get("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "1"))
+    except ValueError:
+        fpt = 1  # malformed env must not break every stream builder
+    fpt = max(fpt, 1)
     raw = (
         spark.readStream.schema(spark.read.parquet(staged).schema)
         .option("maxFilesPerTrigger", fpt)
@@ -180,8 +184,25 @@ def run_stream(df_writer, checkpoint_tag: str):
     # as a full one (r11 review).
     if batches >= 100:
         bd["progress_truncated"] = True
-    last_stream_breakdown[checkpoint_tag] = bd
+    _accumulate_breakdown(checkpoint_tag, bd)
     return q
+
+
+def _accumulate_breakdown(tag: str, bd: dict) -> None:
+    """Record a run's stats under ``tag``, ACCUMULATING within a
+    clear() window (r11 advice): a repeat run_stream under the same tag
+    used to silently overwrite the first run's stats, undercounting the
+    bench attribution sum. No builder reuses a tag today, but pytest
+    sessions legitimately re-run an id without clear()ing."""
+    prev = last_stream_breakdown.get(tag)
+    if prev is not None:
+        bd["batches"] += prev["batches"]
+        bd["input_rows"] += prev["input_rows"]
+        for k, v in prev["duration_ms"].items():
+            bd["duration_ms"][k] = bd["duration_ms"].get(k, 0) + v
+        if prev.get("progress_truncated"):
+            bd["progress_truncated"] = True
+    last_stream_breakdown[tag] = bd
 
 
 def late_rows_metrics(spark: SparkSession, sf_dir: str, delay: str = "1 hour") -> dict:

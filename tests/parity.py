@@ -1,5 +1,17 @@
 """Spark-vs-DuckDB comparison mimicking the driver's correctness gate:
-row-count + column-name schema + order-insensitive exact value match."""
+row-count + column-name schema + order-insensitive exact value match.
+
+Two comparison paths share the gate's semantics:
+- ``compare`` — both results as pandas frames through the driver
+  (the gate's literal shape; right for the sf0.01 contract, where the
+  largest result is ~60k rows).
+- ``compare_engine_side`` — for multi-million-row full projections
+  (r12, VERDICT r11 #2): the Spark result is WRITTEN to parquet by the
+  executors (no driver collect) and DuckDB computes the multiset
+  difference against the oracle with EXCEPT ALL in both directions —
+  two engine-side aggregates and one scalar back, instead of 6M rows
+  through a JVM driver that needed SIM_SPARK_DRIVER_MEM=8g.
+"""
 
 from __future__ import annotations
 
@@ -56,3 +68,83 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -
     if mismatches:
         detail = "\n".join(f"  row {i}:\n    spark : {a}\n    oracle: {b}" for i, a, b in mismatches)
         raise AssertionError(f"{name}: {len(mismatches)}+ value mismatches (of {len(s_rows)} rows)\n{detail}")
+
+
+def _quote(ident: str) -> str:
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def compare_engine_side(spark_df, con, oracle_rel: str, name: str = "", workdir: str | None = None) -> int:
+    """Order-insensitive multiset compare with NO driver-side collect:
+    the Spark result lands in parquet via the executors, DuckDB reads
+    it back and checks ``spark EXCEPT ALL oracle`` and the reverse are
+    both empty (EXCEPT ALL in both directions == multiset equality,
+    which subsumes the row-count check; DuckDB's set-op equality treats
+    NULL==NULL and NaN==NaN like the pandas gate's canonicalization).
+
+    Type-sensitivity is preserved at the same strength as ``compare``:
+    DESCRIBE types of both relations must match column-for-column (so
+    an oracle HUGEINT against a Spark BIGINT still fails, exactly like
+    the Decimal-vs-int type tag in ``_canon_cell``). The one mapped
+    difference: Spark writes timestamps as UTC-adjusted micros, which
+    DuckDB reads as TIMESTAMP WITH TIME ZONE — cast back to naive
+    TIMESTAMP when (and only when) the oracle column is naive.
+
+    ``oracle_rel`` is a table/view name already holding the oracle
+    result (materialize the oracle ONCE via CREATE TEMP TABLE ... AS,
+    then pass the table name — the expensive LSH re-derivations must
+    not run twice). Returns the compared row count."""
+    import os
+    import tempfile
+
+    workdir = workdir or tempfile.mkdtemp(prefix="parity_engine_side_")
+    path = os.path.join(workdir, f"{name or 'spark_result'}.parquet")
+    spark_df.write.mode("overwrite").parquet(path)
+    if not any(f.endswith(".parquet") for f in os.listdir(path)):
+        raise AssertionError(f"{name}: spark wrote no parquet parts (empty result?)")
+    con.execute(
+        "CREATE OR REPLACE TEMP VIEW _parity_spark AS "
+        f"SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    s_types = dict(
+        con.execute(
+            "SELECT column_name, column_type FROM (DESCRIBE _parity_spark)"
+        ).fetchall()
+    )
+    o_types = dict(
+        con.execute(
+            f"SELECT column_name, column_type FROM (DESCRIBE {oracle_rel})"
+        ).fetchall()
+    )
+    assert sorted(s_types) == sorted(o_types), (
+        f"{name}: column mismatch spark={sorted(s_types)} oracle={sorted(o_types)}"
+    )
+    sel_s, sel_o, mismatched = [], [], []
+    for c in sorted(s_types):
+        st, ot = s_types[c], o_types[c]
+        q = _quote(c)
+        if st == ot:
+            sel_s.append(q)
+        elif st == "TIMESTAMP WITH TIME ZONE" and ot == "TIMESTAMP":
+            sel_s.append(f"CAST({q} AS TIMESTAMP) AS {q}")
+        else:
+            mismatched.append((c, st, ot))
+        sel_o.append(q)
+    assert not mismatched, f"{name}: column type mismatch (spark vs oracle): {mismatched}"
+    s_sel = f"SELECT {', '.join(sel_s)} FROM _parity_spark"
+    o_sel = f"SELECT {', '.join(sel_o)} FROM {oracle_rel}"
+    n_diff = con.execute(
+        f"SELECT count(*) FROM (({s_sel} EXCEPT ALL {o_sel}) "
+        f"UNION ALL ({o_sel} EXCEPT ALL {s_sel})) _d"
+    ).fetchone()[0]
+    if n_diff:
+        sample = con.execute(
+            f"SELECT 'spark-only' AS side, * FROM ({s_sel} EXCEPT ALL {o_sel}) _a LIMIT 3"
+        ).fetchall() + con.execute(
+            f"SELECT 'oracle-only' AS side, * FROM ({o_sel} EXCEPT ALL {s_sel}) _b LIMIT 3"
+        ).fetchall()
+        detail = "\n".join(f"  {r}" for r in sample)
+        raise AssertionError(
+            f"{name}: {n_diff} multiset differences (engine-side compare)\n{detail}"
+        )
+    return con.execute(f"SELECT count(*) FROM {oracle_rel}").fetchone()[0]

@@ -43,6 +43,125 @@ def test_compare_is_type_faithful():
     compare(ints, ints.copy(), name="int64-vs-int64")
 
 
+def test_compare_engine_side(spark, tmp_path):
+    """r12 (verdict #2): the no-driver-collect comparison path must
+    carry the same contract as compare() — multiset value equality,
+    column-name schema, TYPE sensitivity — computed entirely inside
+    the two engines. Pins: match passes (and returns the row count),
+    a single changed value fails, a changed duplicate-row COUNT fails
+    (multiset, not set, semantics), an int64-vs-HUGEINT type drift
+    fails, and a timestamp column survives the parquet round trip
+    (Spark writes UTC-adjusted micros that DuckDB reads back as
+    TIMESTAMP WITH TIME ZONE; the path casts to naive to meet a naive
+    oracle)."""
+    import duckdb
+
+    from .parity import compare_engine_side
+
+    con = duckdb.connect()
+    df = spark.createDataFrame(
+        [(1, 2.5, "a", "2024-01-01 10:00:00"),
+         (2, float("nan"), "b", "2024-01-02 11:30:00"),
+         (2, float("nan"), "b", "2024-01-02 11:30:00"),  # duplicate row
+         (3, None, None, None)],
+        "k long, v double, s string, t string",
+    ).selectExpr("k", "v", "s", "CAST(t AS TIMESTAMP) AS t")
+
+    base = ("SELECT * FROM (VALUES "
+            "(1::BIGINT, 2.5::DOUBLE, 'a', TIMESTAMP '2024-01-01 10:00:00'), "
+            "(2::BIGINT, 'NaN'::DOUBLE, 'b', TIMESTAMP '2024-01-02 11:30:00'), "
+            "(2::BIGINT, 'NaN'::DOUBLE, 'b', TIMESTAMP '2024-01-02 11:30:00'), "
+            "(3::BIGINT, NULL::DOUBLE, NULL::VARCHAR, NULL::TIMESTAMP)"
+            ") _t(k, v, s, t)")
+
+    def oracle(sql):
+        con.execute(f"CREATE OR REPLACE TEMP TABLE _oracle AS {sql}")
+        return "_oracle"
+
+    # match (NaN==NaN, NULL==NULL, duplicates preserved)
+    n = compare_engine_side(df, con, oracle(base), "ok", str(tmp_path))
+    assert n == 4
+    # one value changed -> fail
+    with pytest.raises(AssertionError, match="multiset"):
+        compare_engine_side(
+            df, con, oracle(base.replace("2.5::DOUBLE", "2.6::DOUBLE")),
+            "val", str(tmp_path))
+    # duplicate multiplicity changed -> fail (EXCEPT ALL, not EXCEPT)
+    dedup = f"SELECT DISTINCT * FROM ({base}) _d"
+    with pytest.raises(AssertionError, match="multiset"):
+        compare_engine_side(df, con, oracle(dedup), "dup", str(tmp_path))
+    # type drift: BIGINT vs HUGEINT with equal values -> fail
+    hug = base.replace("1::BIGINT", "1::HUGEINT").replace(
+        "2::BIGINT", "2::HUGEINT").replace("3::BIGINT", "3::HUGEINT")
+    with pytest.raises(AssertionError, match="type mismatch"):
+        compare_engine_side(df, con, oracle(hug), "typ", str(tmp_path))
+
+
+def test_deltas_skip_quarantined_history(tmp_path, monkeypatch):
+    """r12 (verdict #3): a bench_history entry carrying `quarantined`
+    (a record taken under known contamination) must never become the
+    delta baseline — the next-best clean entry wins instead."""
+    import json
+
+    import bench
+
+    hist = [
+        {"round": 10, "sf": 0.1, "queries": {"q1": 20.0}},
+        {"round": 11, "sf": 0.1, "quarantined": "noisy box",
+         "queries": {"q1": 45.0}},
+    ]
+    (tmp_path / "bench_history.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in hist) + "\n"
+    )
+    monkeypatch.setenv("BENCH_ROUND", "12")
+    d = bench._deltas_vs_previous({"q1": 21.0}, 0.1, here=str(tmp_path))
+    assert d["vs"] == "r10 (bench_history)", d
+    assert d["queries"]["q1"] == pytest.approx(1.0)
+    # and the real repo history has the r11 contaminated entry marked
+    import os
+    repo_hist = os.path.join(os.path.dirname(bench.__file__), "bench_history.jsonl")
+    marked = [
+        json.loads(ln) for ln in open(repo_hist) if "quarantined" in ln
+    ]
+    assert any(e.get("value") == 45.273 for e in marked)
+
+
+def test_bench_round_malformed_env_falls_through(monkeypatch):
+    """r11 advice: BENCH_ROUND='r12' (or whitespace) must fall through
+    to the PROGRESS.jsonl inference instead of aborting the bench."""
+    import bench
+
+    monkeypatch.setenv("BENCH_ROUND", "r12")
+    assert isinstance(bench._bench_round(), int)
+    monkeypatch.setenv("BENCH_ROUND", "12")
+    assert bench._bench_round() == 12
+
+
+def test_stream_breakdown_accumulates_per_tag():
+    """r11 advice: two run_stream calls under one tag within a clear()
+    window must SUM their stats, not overwrite."""
+    from flink_realtime_2024_spark.streaming.jobs import (
+        _accumulate_breakdown,
+        last_stream_breakdown,
+    )
+
+    last_stream_breakdown.clear()
+    _accumulate_breakdown("t", {"batches": 2, "input_rows": 10,
+                                "duration_ms": {"addBatch": 5}})
+    _accumulate_breakdown("t", {"batches": 3, "input_rows": 7,
+                                "duration_ms": {"addBatch": 4, "walCommit": 1},
+                                "progress_truncated": True})
+    bd = last_stream_breakdown["t"]
+    assert bd["batches"] == 5 and bd["input_rows"] == 17
+    assert bd["duration_ms"] == {"addBatch": 9, "walCommit": 1}
+    assert bd["progress_truncated"] is True
+    # truncation flag survives even when the LATER run is clean
+    _accumulate_breakdown("t", {"batches": 1, "input_rows": 1,
+                                "duration_ms": {}})
+    assert last_stream_breakdown["t"]["progress_truncated"] is True
+    last_stream_breakdown.clear()
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

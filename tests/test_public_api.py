@@ -20,6 +20,7 @@ from flink_realtime_2024_spark import (
     encode_bmp,
     encode_wav,
     minhash_pairs,
+    reclaim_checkpoints,
     salted_join_targeted,
     simhash64,
     simhash_pairs,
@@ -68,6 +69,38 @@ def test_minhash_pairs_on_user_parquet(spark, tmp_path):
     assert (1, 2) in got and got[(1, 2)] >= 0.5
     assert (3, 4) in got
     assert all(a < b for a, b in got)
+
+
+def test_reclaim_checkpoints_bounds_looped_kernel_blocks(spark, tmp_path):
+    """r12 (verdict #4): a consumer LOOPING a dedup kernel must be able
+    to keep the block manager flat — each minhash_pairs call leaves one
+    eager DISK_ONLY localCheckpoint RDD behind, freed only after the
+    driver reference is GC'd. Loop the kernel, drop the references,
+    call reclaim_checkpoints, and assert the persistent-RDD registry
+    returns to its pre-loop size (ContextCleaner is async, so poll)."""
+    import time
+
+    docs = _user_docs(spark, tmp_path)
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    # flush anything earlier tests left dying
+    reclaim_checkpoints(spark)
+    time.sleep(0.5)
+    base = n_persistent()
+    for _ in range(4):
+        minhash_pairs(docs).count()
+    grown = n_persistent()
+    assert grown > base, "loop did not materialize checkpoint RDDs (test vacuous)"
+    reclaim_checkpoints(spark)
+    deadline = time.time() + 20
+    while n_persistent() > base and time.time() < deadline:
+        time.sleep(0.5)
+        reclaim_checkpoints(spark)
+    assert n_persistent() <= base, (
+        f"dead checkpoint blocks not reclaimed: {n_persistent()} > {base}"
+    )
 
 
 def test_simhash_pairs_schemes_agree_on_user_parquet(spark, tmp_path):
