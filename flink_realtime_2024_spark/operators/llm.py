@@ -731,7 +731,11 @@ def _segmented_bucket_pairs(
     group's per-segment min doc to the group's min doc. ``carry``
     columns (e.g. the simhash fingerprint) ride along as ``{c}_a`` /
     ``{c}_b`` for the caller's verify step, carried through the
-    aggregations with min_by so nothing is re-joined."""
+    aggregations with min_by so nothing is re-joined; each carry is
+    swapped IN LOCKSTEP with the least/greatest id normalization (r11
+    advice: the old form left carries unswapped, positionally correct
+    only for symmetric consumers like the XOR-popcount hamming
+    verify — now ``{c}_a`` always belongs to ``doc_a``)."""
     from pyspark.sql.window import Window
 
     bc = list(bucket_cols)
@@ -750,11 +754,14 @@ def _segmented_bucket_pairs(
         F.col("doc_id").alias("id_r"),
         *[F.col(c).alias(f"{c}_r") for c in carry],
     )
+    swap = F.col("id_l") <= F.col("id_r")
     pairs_chain = lhs.join(rhs, [*bc, "seg", "rn"]).select(
         F.least("id_l", "id_r").alias("doc_a"),
         F.greatest("id_l", "id_r").alias("doc_b"),
-        *[F.col(f"{c}_l").alias(f"{c}_a") for c in carry],
-        *[F.col(f"{c}_r").alias(f"{c}_b") for c in carry],
+        *[F.when(swap, F.col(f"{c}_l")).otherwise(F.col(f"{c}_r")).alias(f"{c}_a")
+          for c in carry],
+        *[F.when(swap, F.col(f"{c}_r")).otherwise(F.col(f"{c}_l")).alias(f"{c}_b")
+          for c in carry],
     )
 
     def reps_and_hub(group_cols):
@@ -766,14 +773,17 @@ def _segmented_bucket_pairs(
             F.min("rep").alias("hub"),
             *[F.min_by(f"rep_{c}", "rep").alias(f"hub_{c}") for c in carry],
         )
+        keep = F.col("rep") <= F.col("hub")
         return (
             reps.join(hub, list(group_cols))
             .filter(F.col("rep") != F.col("hub"))
             .select(
                 F.least("rep", "hub").alias("doc_a"),
                 F.greatest("rep", "hub").alias("doc_b"),
-                *[F.col(f"rep_{c}").alias(f"{c}_a") for c in carry],
-                *[F.col(f"hub_{c}").alias(f"{c}_b") for c in carry],
+                *[F.when(keep, F.col(f"rep_{c}")).otherwise(F.col(f"hub_{c}"))
+                  .alias(f"{c}_a") for c in carry],
+                *[F.when(keep, F.col(f"hub_{c}")).otherwise(F.col(f"rep_{c}"))
+                  .alias(f"{c}_b") for c in carry],
             )
         )
 

@@ -2250,6 +2250,34 @@ def test_lsh_mega_bucket_segmentation_bounds_partitions_and_pairs(spark):
         assert len({r["cluster_id"] for r in comp}) == 1, kernel.__name__
 
 
+def test_segmented_bucket_pairs_carries_align_with_id_swap(spark):
+    """r11 advice: carry columns must be swapped in lockstep with the
+    least/greatest doc_a/doc_b normalization — fp_a must be doc_a's
+    fingerprint in every emitted structure (chain, star, stitch), not
+    merely 'one of the two' (which only symmetric consumers tolerate).
+    Encodes each doc's carry as doc_id*100 so misalignment is visible
+    per row."""
+    from flink_realtime_2024_spark.operators.llm import _segmented_bucket_pairs
+
+    rows = [
+        # (bucket, seg, doc_id, fam, fp) — two segments, two families,
+        # doc ids deliberately NOT ordered like the (fam, doc_id) chain
+        (1, 0, 5, "fB", 500), (1, 0, 2, "fA", 200), (1, 0, 9, "fA", 900),
+        (1, 1, 7, "fB", 700), (1, 1, 1, "fB", 100), (1, 1, 4, "fA", 400),
+    ]
+    over = spark.createDataFrame(
+        rows, "b int, seg int, doc_id long, fam string, fp long"
+    )
+    pairs = _segmented_bucket_pairs(
+        over, ("b",), "fam", ("fam", "doc_id"), carry=("fp",)
+    ).collect()
+    assert pairs, "no pairs emitted (test vacuous)"
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["fp_a"] == r["doc_a"] * 100, r
+        assert r["fp_b"] == r["doc_b"] * 100, r
+
+
 def test_minhash_segmented_chain_matches_oracle(spark, tmp_path):
     """Cross-engine pin for the r11 minhash segmentation: two 6-doc
     exact duplicate families with bucket_cap=4 force every family
