@@ -523,29 +523,33 @@ _SF10_REPLICATION = 100
 # decade past the 30× point, so super-linear-in-work growth can't hide
 # between the probe tiers. Dedup recall is measured on this corpus too
 # (800-doc sampled brute-force truth, same as 10×/30×).
-# r11 rotation (r10 verdict #5): the r10 set (decontaminate,
-# inner_hash, order_wide, hash_groupby, pareto_abc, agg_merge) is
-# evidenced and cause-tagged in PLANS.md — rotate in the next tier of
-# never-probed-at-100× ids so cumulative 100× coverage reaches ~20.
+# r12 rotation (r11 verdict #5): the r10+r11 sets (20 ids cumulative)
+# are evidenced and cause-tagged in PLANS.md — rotate in the next tier
+# of never-probed-at-100× ids so cumulative coverage reaches ~30.
 # The LSH trio stays every round: it carries the recall_connected
 # contract for the mega-bucket segmentation (r11) and the banding-knob
-# numbers.
+# numbers. NOT llm_dedup_prefix_filter / llm_winnow_fingerprint: both
+# emit EXACT near-dup pairs, and the replicated probe corpus has
+# ~replication² true pairs per base doc, so their output is Ω(n²) BY
+# CONTRACT there — the probe would time the pair volume, not the
+# algorithm (same note as _SF3_QUERIES; coverage for their plan shape
+# comes from the sf1-equivalent parity run instead).
 _SF10_QUERIES = (
     "flagship_revenue_by_nation",
     "llm_dedup_minhash",
     "llm_dedup_simhash",
     "llm_dedup_simhash_b5",
     # --- new at 100× this round ---
-    "llm_decontaminate_bloom",   # Bloom scale path vs the exact join's 26.6×
-    "warehouse_bucketed_join",   # bucketed co-located join at real volume
-    "cdc_latest_row",            # changelog latest-row materialization
-    "stream_dedup",              # streaming state at 10M events
-    "llm_knn_ivf_partitioned",   # partition-pruned ANN probe path
-    "llm_fuzzy_pairs",           # edit-distance candidate pairs
-    "llm_wordcount",             # explode-heavy text path
-    "window_session",            # gaps-and-islands sessionization
-    "analytics_rfm_segments",    # distributed rank (de-single-partitioned r6)
-    "llm_mix_schedule",          # corpus mix scheduling
+    "stream_stream_join",        # interval stream-stream join, 10M events
+    "lake_cdc_merge",            # lakehouse CDC MERGE materialization
+    "warehouse_traffic_dws",     # classic DWS rollup path
+    "llm_knn_cosine",            # brute-force ANN baseline at 100× corpus
+    "cdc_scd2_history",          # SCD2 full-history windowing (~20M rows)
+    "join_skew_salted",          # the salted-join skew path at volume
+    "llm_tfidf",                 # two-pass doc-frequency join
+    "analytics_cep_funnel",      # sequential CEP pattern over 10M events
+    "agg_bitmap_distinct",       # bitmap-distinct serving aggregate
+    "lake_schema_evolve",        # schema-evolution union-read
 )
 
 
