@@ -755,12 +755,20 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
         return {(min(r[0], r[1]), max(r[0], r[1])) for r in got}
 
     def connected_recall(found, truth):
-        """Component-level recall: fraction of true pairs whose
-        endpoints land in one connected component of the found pair
-        graph. This is the metric the cap-degrade chain (r10) is
-        designed for — inside a mega-family the operator deliberately
-        emits O(n) chain pairs, not the quadratic pair list, so pair
-        recall under-reports what downstream clustering recovers."""
+        """Component-level recall LOWER BOUND: fraction of true pairs
+        whose endpoints land in one connected component of the
+        SAMPLE-FILTERED found graph. This is the metric the cap-degrade
+        chain (r10) is designed for — inside a mega-family the operator
+        deliberately emits O(n) chain pairs, so pair recall
+        under-reports what downstream clustering recovers. It is a
+        lower bound because `found` keeps only edges touching the
+        sample: a path routed through ≥2 consecutive OUT-of-sample docs
+        (fp-collision interlopers from unsampled families sorting into
+        the chain between two sampled docs) is invisible here even
+        though the full output connects the pair — r12's diagnosis of
+        the r11 'b5 0.9435' number, which the exact fp-contracted
+        check below re-measured as 1.0 at 100×. When this bound
+        reads < 1, the simhash probes ESCALATE to the exact check."""
         parent: dict = {}
 
         def find(x):
@@ -832,17 +840,66 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
             (min(int(fids[i]), int(fids[j])), max(int(fids[i]), int(fids[j])))
             for i, j in zip(ii, jj)
         }
-        return len(fps), truth
+        fp_of = {int(r["doc_id"]): int(r["fp"]) for r in fps}
+        return len(fps), truth, fp_of
 
     # the hamming≤3 truth set is shared by every simhash banding config
     # probed (default triple-key + the pair-key knob) — compute it once
     sim_cache: dict = {}
 
+    def _exact_connected_recall(name, truth, fp_of):
+        """EXACT component recall via FP CONTRACTION (r12): same-fp
+        docs are provably in one output component — equal fp ⇒ all
+        bucket keys equal ⇒ every bucket shared; an under-cap bucket
+        emits their hamming-0 pair directly, an oversized one connects
+        the (bucket, fp) group through consecutive same-fp chain links
+        plus the family stitch (both hamming-0, always verified —
+        pinned by test_lsh_mega_bucket_segmentation_bounds_partitions
+        _and_pairs, which asserts a 600-replica same-fp family is ONE
+        component). So contracting nodes by fp preserves components
+        exactly, and the contracted edge set (~6.5M at 100× vs 122M
+        raw pairs) fits the distributed CC where the raw set OOM'd.
+        Costs a kernel re-run + CC (~5 min at 100×), hence the lazy
+        escalation."""
+        from flink_realtime_2024_spark import connected_components
+
+        full = load_table(spark, probe_dir, "documents").select(
+            "doc_id", "text"
+        )
+        fps_full = widen(full).select(
+            "doc_id", simhash64("text").alias("fp")
+        ).persist()
+        try:
+            edges = (
+                builders[name](spark, probe_dir)
+                .select("doc_a", "doc_b")
+                .join(fps_full.select(F.col("doc_id").alias("doc_a"),
+                                      F.col("fp").alias("fp_a")), "doc_a")
+                .join(fps_full.select(F.col("doc_id").alias("doc_b"),
+                                      F.col("fp").alias("fp_b")), "doc_b")
+                .select("fp_a", "fp_b")
+                .filter(F.col("fp_a") != F.col("fp_b"))
+                .distinct()
+            )
+            comp = connected_components(edges, "fp_a", "fp_b")
+            cid = {r["doc_id"]: r["cluster_id"] for r in comp.collect()}
+        finally:
+            fps_full.unpersist()
+
+        def c(d):
+            f = fp_of[d]
+            return cid.get(f, ("solo", f))
+
+        hit = sum(
+            1 for a, b in truth if fp_of[a] == fp_of[b] or c(a) == c(b)
+        )
+        return round(hit / len(truth), 4) if truth else None
+
     def _simhash_recall(name):
         def run():
             if not sim_cache:
                 sim_cache["v"] = _simhash_truth()
-            n_docs, truth = sim_cache["v"]
+            n_docs, truth, fp_of = sim_cache["v"]
             found = found_pairs(name)
             entry = probe[name]
             entry["recall_sample_docs"] = n_docs
@@ -850,7 +907,18 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
             entry["recall_vs_bruteforce"] = (
                 round(len(found & truth) / len(truth), 4) if truth else None
             )
-            entry["recall_connected"] = connected_recall(found, truth)
+            bound = connected_recall(found, truth)
+            entry["recall_connected"] = bound
+            if bound is not None and bound < 1.0:
+                # the cheap number is only a LOWER BOUND (see
+                # connected_recall) — escalate to the exact
+                # fp-contracted component check before reporting a
+                # sub-1.0 connectivity figure
+                entry["recall_connected_sample_lower_bound"] = bound
+                entry["recall_connected"] = _exact_connected_recall(
+                    name, truth, fp_of
+                )
+                entry["recall_connected_exact"] = True
         return run
 
     _guarded("llm_dedup_simhash", _simhash_recall("llm_dedup_simhash"))
