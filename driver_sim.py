@@ -117,6 +117,13 @@ for name in names:
         failures.append((name, ex))
         status = f"FAIL: {type(ex).__name__}: {str(ex)[:200]}"
     print(f"  {name:32s} {time.time()-t0:5.1f}s  {status}", flush=True)
+    # long-lived session looping dedup kernels — free dead DISK_ONLY
+    # checkpoint blocks between ids (the documented consumer hazard
+    # reclaim_checkpoints exists for; an unreclaimed run OOM'd the
+    # default-memory JVM on the sfx10 corpus at the 3rd LSH id, r12)
+    from flink_realtime_2024_spark import reclaim_checkpoints
+
+    reclaim_checkpoints(spark)
 
 print(f"\n{n_pass} oracle-match, {n_rowsonly} rows-only, {len(failures)} FAIL")
 if failures:
