@@ -122,7 +122,18 @@ def winnow_pipeline(docs: DataFrame, min_overlap: float = 0.5) -> DataFrame:
     crossing (the fingerprint kernel), then an inverted index on
     fingerprint with a document-frequency cap (degenerate-collision
     guard, same as the ngram/simhash blockers), pair-count aggregation,
-    and an overlap-ratio filter — all JVM-side, no cross join."""
+    and an overlap-ratio filter — all JVM-side, no cross join.
+
+    The two fingerprint joins carry explicit MERGE hints (r12): the
+    post-explode/post-aggregate cardinality estimates under-read so
+    badly that Catalyst statically planned every join here as a
+    BroadcastHashJoin at the 10×-replicated corpus — building a
+    multi-million-row inverted-index side on the driver heap (OOM'd a
+    default-memory JVM; 'Not enough memory to build and broadcast').
+    Both sides of these joins scale with the corpus, so sort-merge
+    (spillable, shuffle-on-key) is the only plan that survives 100 TB;
+    the per-doc totals joins stay AQE-decided (their build side is one
+    short row per doc and the estimates there are scan-accurate)."""
     fps = widen(docs).select(
         "doc_id", winnow_fp_array("text").alias("fps")
     ).filter(F.size("fps") > 0)
@@ -133,10 +144,10 @@ def winnow_pipeline(docs: DataFrame, min_overlap: float = 0.5) -> DataFrame:
         .filter((F.col("count") > 1) & (F.col("count") <= 256))
         .select("fp")
     )
-    cand = inv.join(keys, "fp")
+    cand = inv.join(keys.hint("merge"), "fp")
     pairs = (
         cand.select("fp", F.col("doc_id").alias("doc_a"))
-        .join(cand.select("fp", F.col("doc_id").alias("doc_b")), "fp")
+        .join(cand.select("fp", F.col("doc_id").alias("doc_b")).hint("merge"), "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

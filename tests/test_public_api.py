@@ -85,16 +85,32 @@ def test_reclaim_checkpoints_bounds_looped_kernel_blocks(spark, tmp_path):
     def n_persistent():
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
-    # flush anything earlier tests left dying
-    reclaim_checkpoints(spark)
-    time.sleep(0.5)
-    base = n_persistent()
+    def settle(deadline_s):
+        """Reclaim until the registry count stops shrinking (the
+        ContextCleaner is async AND slow on a loaded box — the first
+        20 s deadline flaked when the full suite shared the machine
+        with a replicated-corpus parity run)."""
+        deadline = time.time() + deadline_s
+        low = n_persistent()
+        stable = 0
+        while time.time() < deadline and stable < 3:
+            reclaim_checkpoints(spark)
+            time.sleep(0.5)
+            cur = n_persistent()
+            if cur < low:
+                low, stable = cur, 0
+            else:
+                stable += 1
+        return low
+
+    # flush anything earlier tests left dying before taking the base
+    base = settle(10)
     for _ in range(4):
         minhash_pairs(docs).count()
     grown = n_persistent()
     assert grown > base, "loop did not materialize checkpoint RDDs (test vacuous)"
     reclaim_checkpoints(spark)
-    deadline = time.time() + 20
+    deadline = time.time() + 90
     while n_persistent() > base and time.time() < deadline:
         time.sleep(0.5)
         reclaim_checkpoints(spark)
