@@ -39,8 +39,21 @@ def widen(df):
     parallelism. A single-file parquet input scans as ONE task, which
     would serialize every Arrow-batched Python kernel behind it; at
     100 TB the file count provides this for free, locally we repartition
-    explicitly. Cheap for the small kernel inputs this guards."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    explicitly. Cheap for the small kernel inputs this guards.
+
+    CONDITIONAL (r12): repartition only when the input is actually
+    narrower than the cores. The old unconditional form was a wasted
+    shuffle on already-wide inputs — and, worse, at cluster scale it
+    would COLLAPSE a many-thousand-partition corpus down to
+    defaultParallelism, destroying the parallelism the file count
+    already provided. (`.rdd.getNumPartitions()` compiles the plan but
+    launches no job; with AQE the executed partitioning can differ, but
+    as a widen-or-not heuristic the static number is exactly what we
+    need — it IS the scan-task count.)"""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
 
 
 # --- process-lifetime tmp dirs ------------------------------------------------
