@@ -2304,8 +2304,16 @@ def neardup_cosine_pipeline(emb: DataFrame, threshold: float = 0.9) -> DataFrame
 
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # MERGE hint on the pairs side (r12, same class as the winnow fix):
+    # the candidate set is post-explode-DISTINCT, whose cardinality
+    # Catalyst guesses rather than measures — the r12 plan sweep caught
+    # it statically broadcast at the 10× corpus. Both pair endpoints
+    # and the embedding sides scale with the corpus, so sort-merge is
+    # the only 100 TB-viable join; the embeddings sides' own estimates
+    # are scan-accurate and may still broadcast legitimately at small
+    # SF (AQE flips them to SMJ when the real size demands it).
     return (
-        pairs.join(ea, "vec_a")
+        pairs.hint("merge").join(ea, "vec_a")
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", dot64("emb_a", "emb_b").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
