@@ -1005,3 +1005,37 @@ def test_hot_stage_prune_is_sf_scoped(spark):
         assert os.path.getmtime(a[0]) == m0
     finally:
         sio.enable_hot_cache(False)
+
+
+def test_corpus_scaling_pair_joins_are_sort_merge(spark):
+    """r12: Catalyst's post-explode/post-distinct cardinality GUESSES
+    statically broadcast two corpus-scaling join sides at the
+    10×-replicated corpus — winnow's inverted-index joins (OOM'd a
+    default-memory JVM: 'Not enough memory to build and broadcast')
+    and the embedding near-dup candidate pair set. Both now carry
+    MERGE hints; this pins the physical plans so a hint lost in a
+    refactor fails here, not at the next replicated-corpus run.
+    Scan-accurate-estimate broadcasts (dims, filtered facts) are NOT
+    pinned — those self-correct when real file sizes grow."""
+    from flink_realtime_2024_spark import winnow_pipeline, neardup_cosine_pipeline
+    from .conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = winnow_pipeline(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") >= 2, plan[:2000]
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    plan = (
+        neardup_cosine_pipeline(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one pinned SMJ: the hinted pairs join. The second verify join's
+    # broadcast side is the scan-accurate embeddings projection — a
+    # legitimate broadcast at test SF that flips to SMJ on real sizes.
+    assert plan.count("SortMergeJoin") >= 1, plan[:2000]
