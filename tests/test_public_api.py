@@ -105,10 +105,17 @@ def test_reclaim_checkpoints_bounds_looped_kernel_blocks(spark, tmp_path):
 
     # flush anything earlier tests left dying before taking the base
     base = settle(10)
-    for _ in range(4):
-        minhash_pairs(docs).count()
+    # HOLD the returned frames during the loop: CPython refcounting
+    # would otherwise free each py4j reference the moment the iteration
+    # ends, letting the ContextCleaner drain "dead" checkpoints before
+    # the grown-count read — a timing race that flaked in full-suite
+    # runs. Keeping the refs makes the grow/drain phases deterministic.
+    held = [minhash_pairs(docs) for _ in range(4)]
+    for df in held:
+        df.count()
     grown = n_persistent()
     assert grown > base, "loop did not materialize checkpoint RDDs (test vacuous)"
+    del held, df
     reclaim_checkpoints(spark)
     deadline = time.time() + 90
     while n_persistent() > base and time.time() < deadline:
