@@ -991,3 +991,59 @@ def test_lsh_kernels_match_oracles_on_generated_corpora(spark, corpus):
         f"oracle-only={sorted(sh_oracle - sh_got)}"
     )
     con.close()
+
+
+@st.composite
+def unicode_docs(draw):
+    """Documents mixing plain words with adversarial codepoints for the
+    lower()/tokenize/md5 path: case-mapping specials (İ ı ß ẞ Σ σ ς),
+    combining marks, ligatures, CJK, emoji/astral, and every whitespace
+    class the pinned tokenizer must (and must not) split on."""
+    special = st.sampled_from(
+        ["İ", "ı", "ß", "ẞ", "Σ", "σ", "ς", "ﬁ", "ﬀ", "ǅ", "ǋ",
+         "é", "é", "中文", "日本語", "🦀", "𝔘𝔫𝔦", "Ⅻ",
+         " ", "\t", "\n", "\r", "\x0b", "\x0c", " ", " "]
+    )
+    word = st.one_of(
+        st.text(alphabet="abcdefgh01 ", min_size=0, max_size=12),
+        special,
+        st.text(min_size=0, max_size=6),  # fully random unicode
+    )
+    n = draw(st.integers(min_value=0, max_value=12))
+    return [
+        (i, draw(st.one_of(st.none(), st.tuples(*[word] * 4).map(" ".join))))
+        for i in range(n)
+    ]
+
+
+@given(unicode_docs())
+@settings(**_SETTINGS)
+def test_shingle_hash_expr_udf_lockstep_on_unicode(spark, rows):
+    """r12: the pure-JVM shingle hash must stay BIT-IDENTICAL to the
+    Python reference UDF on ARBITRARY unicode, not just the ASCII
+    fixtures — the two sides independently implement lower() (Python
+    str.lower vs UTF8String.toLowerCase), the whitespace tokenizer
+    (Python re vs Java regex), utf-8 encoding, and md5, and a drift in
+    any one silently shifts every minhash signature. Hypothesis
+    searches the case-mapping specials, combining marks, astral plane,
+    and exotic whitespace where such engines classically diverge."""
+    import pyspark.sql.functions as F
+
+    from flink_realtime_2024_spark.operators.llm import (
+        shingle_hash_array,
+        shingle_hash_expr,
+    )
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bad = (
+        df.select(
+            "doc_id",
+            shingle_hash_expr("text").alias("jvm"),
+            shingle_hash_array("text").alias("py"),
+        )
+        .filter(F.col("jvm") != F.col("py"))
+        .collect()
+    )
+    assert not bad, [(r["doc_id"], rows[r["doc_id"]][1]) for r in bad]
