@@ -1714,15 +1714,7 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-SIZE query budget: orderBy+limit compiles to
     # TakeOrderedAndProject (per-partition top-N, no full sort) — the
     # collect is O(_KNN_MAX_QUERIES) regardless of corpus size
-    q_rows = (
-        emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(_KNN_MAX_QUERIES)
-        .collect()
-    )
-    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qids, Q = _knn_query_matrix(emb, _knn_memo_key(spark, sf_dir))
     sc = spark.sparkContext
     b = sc.broadcast((qids, Q))
 
@@ -1838,6 +1830,48 @@ _IVF_NPROBE = 6
 # fixture or changed knob misses the memo by construction.
 _IVF_TRAIN_CACHE: dict[tuple[int, str], np.ndarray] = {}
 
+# Same story for the fixed-budget query set: all five kNN entry points
+# collect the IDENTICAL (qids, Q) per call (TakeOrderedAndProject, one
+# driver-synchronous job each) — memoize it once per session+digest.
+_KNN_QUERY_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _knn_memo_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+    import os
+
+    from ..sources.io import stage_digest, table_path
+
+    st = os.stat(table_path(sf_dir, "embeddings"))
+    return (
+        id(spark),
+        stage_digest(
+            os.path.normpath(sf_dir), "embeddings", st.st_size, st.st_mtime_ns,
+            "qmatrix", _KNN_QUERY_MOD, _KNN_MAX_QUERIES,
+        ),
+    )
+
+
+def _knn_query_matrix(emb: DataFrame, memo_key: tuple | None = None):
+    """The fixed-size query budget as driver arrays (qids, Q) — the
+    shared prologue of every kNN entry point. orderBy+limit compiles to
+    TakeOrderedAndProject, so the collect is O(_KNN_MAX_QUERIES) at any
+    corpus size; ``memo_key`` (from ``_knn_memo_key``) skips the job on
+    repeat calls within a session."""
+    if memo_key is not None and memo_key in _KNN_QUERY_CACHE:
+        return _KNN_QUERY_CACHE[memo_key]
+    q_rows = (
+        emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_KNN_MAX_QUERIES)
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    if memo_key is not None:
+        _KNN_QUERY_CACHE[memo_key] = (qids, Q)
+    return qids, Q
+
 
 def _ivf_memo_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
     import os
@@ -1916,15 +1950,7 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # queries + their probe sets (fixed-size cap, same budget as the
     # exact kNN so both entry points answer the same query set)
-    q_rows = (
-        emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(_KNN_MAX_QUERIES)
-        .collect()
-    )
-    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qids, Q = _knn_query_matrix(emb, _knn_memo_key(spark, sf_dir))
     probe_mask = np.zeros((len(qids), _IVF_NCENT), dtype=bool)
     for j in range(len(qids)):
         top = np.argsort(-(cent @ Q[j]))[:_IVF_NPROBE]
@@ -2051,15 +2077,7 @@ def llm_knn_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"ivf_index_{tag}_{digest}",
                 )
 
-    q_rows = (
-        emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(_KNN_MAX_QUERIES)
-        .collect()
-    )
-    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qids, Q = _knn_query_matrix(emb, _knn_memo_key(spark, sf_dir))
     probe_mask = np.zeros((len(qids), _IVF_NCENT), dtype=bool)
     for j in range(len(qids)):
         top = np.argsort(-(cent @ Q[j]))[:_IVF_NPROBE]
@@ -2178,15 +2196,7 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-reported ``recall_at_k_vs_exact`` column."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = _pq_train(emb)
-    q_rows = (
-        emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(_KNN_MAX_QUERIES)
-        .collect()
-    )
-    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qids, Q = _knn_query_matrix(emb, _knn_memo_key(spark, sf_dir))
     dsub = Q.shape[1] // _PQ_M
     # per-query ADC lookup tables: LUT[j, mi, c] = q_j_sub(mi) · book[mi][c]
     lut = np.zeros((len(qids), _PQ_M, _PQ_K))
@@ -3485,15 +3495,7 @@ def llm_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``recall_at_k_vs_exact`` column is replicated in SQL (int8 top-k
     vs exact cosine top-k, both derived independently)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q_rows = (
-        emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(_KNN_MAX_QUERIES)
-        .collect()
-    )
-    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qids, Q = _knn_query_matrix(emb, _knn_memo_key(spark, sf_dir))
     qscale = np.abs(Q).max(axis=1) / 127.0
     qscale[qscale == 0] = 1.0
     # half-up rounding (floor(x + 0.5)), NOT np.round's banker's mode:
