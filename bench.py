@@ -882,7 +882,15 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
                 .distinct()
             )
             comp = connected_components(edges, "fp_a", "fp_b")
-            cid = {r["doc_id"]: r["cluster_id"] for r in comp.collect()}
+            # only the sampled docs' fingerprints are ever looked up —
+            # filter BEFORE collect (r12 review: the unfiltered
+            # component map is millions of rows at 100×, pulled into
+            # the same local heap whose OOMs this path exists to avoid)
+            wanted = list({int(v) for v in fp_of.values()})
+            cid = {
+                r["doc_id"]: r["cluster_id"]
+                for r in comp.filter(F.col("doc_id").isin(wanted)).collect()
+            }
         finally:
             fps_full.unpersist()
 

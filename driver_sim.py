@@ -80,7 +80,10 @@ names = only or sorted(queries)
 # full projection needed an 8g driver and 625 s via toPandas. At the
 # driver's sf0.01 gate (max ~60k rows) this never binds, so the gate's
 # literal pandas comparison is what runs there.
-BIG_ROWS = int(_os.environ.get("SIM_BIG_ROWS", "200000"))
+try:
+    BIG_ROWS = int(_os.environ.get("SIM_BIG_ROWS", "200000"))
+except ValueError:
+    BIG_ROWS = 200000  # malformed env must not abort the gate run
 import tempfile  # noqa: E402
 
 workdir = tempfile.mkdtemp(prefix="driver_sim_parity_")

@@ -46,13 +46,27 @@ def widen(df):
     shuffle on already-wide inputs — and, worse, at cluster scale it
     would COLLAPSE a many-thousand-partition corpus down to
     defaultParallelism, destroying the parallelism the file count
-    already provided. (`.rdd.getNumPartitions()` compiles the plan but
-    launches no job; with AQE the executed partitioning can differ, but
-    as a widen-or-not heuristic the static number is exactly what we
-    need — it IS the scan-task count.)"""
+    already provided.
+
+    The partition probe (`.rdd.getNumPartitions()`) is consulted ONLY
+    for exchange-free batch plans (scan/filter/project lineage): on an
+    AQE plan with upstream shuffles, `.rdd` finalizes the adaptive plan
+    by EXECUTING those stages — real jobs at kernel-construction time,
+    re-run when the result is acted on — and on a streaming frame it
+    throws outright (r12 review). For shuffle-bearing or streaming
+    inputs we repartition unconditionally, which is the pre-r12
+    behavior: their width is shuffle.partitions-governed, not
+    file-count-governed, so the collapse concern doesn't apply."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
-        return df
+    if not df.isStreaming:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        exchange_free = not any(
+            tok in plan
+            for tok in ("Join", "Aggregate", "Window", "Distinct",
+                        "Repartition", "Sort", "Generate")
+        )
+        if exchange_free and df.rdd.getNumPartitions() >= p:
+            return df
     return df.repartition(p)
 
 

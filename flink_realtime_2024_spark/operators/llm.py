@@ -790,17 +790,19 @@ def _segmented_bucket_pairs(
             F.min("rep").alias("hub"),
             *[F.min_by(f"rep_{c}", "rep").alias(f"hub_{c}") for c in carry],
         )
-        keep = F.col("rep") <= F.col("hub")
+        # hub = min(rep) over the group, so after the != filter the
+        # invariant hub < rep holds: doc_a IS the hub, doc_b IS the
+        # rep — select directly instead of a least/greatest swap whose
+        # condition would be constant (r12 review; the CHAIN branch's
+        # swap above is the genuinely data-dependent one)
         return (
             reps.join(hub, list(group_cols))
             .filter(F.col("rep") != F.col("hub"))
             .select(
-                F.least("rep", "hub").alias("doc_a"),
-                F.greatest("rep", "hub").alias("doc_b"),
-                *[F.when(keep, F.col(f"rep_{c}")).otherwise(F.col(f"hub_{c}"))
-                  .alias(f"{c}_a") for c in carry],
-                *[F.when(keep, F.col(f"hub_{c}")).otherwise(F.col(f"rep_{c}"))
-                  .alias(f"{c}_b") for c in carry],
+                F.col("hub").alias("doc_a"),
+                F.col("rep").alias("doc_b"),
+                *[F.col(f"hub_{c}").alias(f"{c}_a") for c in carry],
+                *[F.col(f"rep_{c}").alias(f"{c}_b") for c in carry],
             )
         )
 
@@ -1764,20 +1766,12 @@ _EXACT_TOPK_CACHE: dict[tuple[int, str], list] = {}
 
 
 def _exact_topk_rows(spark: SparkSession, sf_dir: str) -> list:
-    import os
-
-    from ..sources.io import stage_digest, table_path
-
-    st = os.stat(table_path(sf_dir, "embeddings"))
-    key = (
-        id(spark),
-        stage_digest(
-            os.path.normpath(sf_dir), "embeddings", st.st_size, st.st_mtime_ns,
-            # the query-budget knobs are part of what the ground truth
-            # IS — in the key so a future knob change can't serve a
-            # stale memo within a session
-            _KNN_QUERY_MOD, _KNN_MAX_QUERIES, _KNN_K,
-        ),
+    # the query-budget knobs are part of what the ground truth IS — in
+    # the key so a future knob change can't serve a stale memo within a
+    # session (digest shape shared with the quantizer/query caches,
+    # per-file for directory corpora — see _emb_memo_key)
+    key = _emb_memo_key(
+        spark, sf_dir, "exact_topk", _KNN_QUERY_MOD, _KNN_MAX_QUERIES, _KNN_K
     )
     if key not in _EXACT_TOPK_CACHE:
         _EXACT_TOPK_CACHE[key] = llm_knn_cosine(spark, sf_dir).collect()
@@ -1836,18 +1830,34 @@ _IVF_TRAIN_CACHE: dict[tuple[int, str], np.ndarray] = {}
 _KNN_QUERY_CACHE: dict[tuple[int, str], tuple] = {}
 
 
-def _knn_memo_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+def _emb_memo_key(spark: SparkSession, sf_dir: str, *extra) -> tuple[int, str]:
+    """Session + embeddings-content memo key shared by the quantizer
+    and query-matrix caches (r12 review: the two builders were
+    line-for-line copies, and a single os.stat of the table PATH is a
+    weak staleness guard for a part-file DIRECTORY — rewriting one
+    part in place changes the file's mtime, not necessarily the
+    dir's). For directories, fold every entry's name/size/mtime into
+    the digest — the same per-file discipline as bench's staged-corpus
+    addressing."""
     import os
 
     from ..sources.io import stage_digest, table_path
 
-    st = os.stat(table_path(sf_dir, "embeddings"))
-    return (
-        id(spark),
-        stage_digest(
-            os.path.normpath(sf_dir), "embeddings", st.st_size, st.st_mtime_ns,
-            "qmatrix", _KNN_QUERY_MOD, _KNN_MAX_QUERIES,
-        ),
+    p = table_path(sf_dir, "embeddings")
+    parts: list = [os.path.normpath(sf_dir), "embeddings"]
+    if os.path.isdir(p):
+        for f in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, f))
+            parts += [f, st.st_size, st.st_mtime_ns]
+    else:
+        st = os.stat(p)
+        parts += [st.st_size, st.st_mtime_ns]
+    return (id(spark), stage_digest(*parts, *extra))
+
+
+def _knn_memo_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+    return _emb_memo_key(
+        spark, sf_dir, "qmatrix", _KNN_QUERY_MOD, _KNN_MAX_QUERIES
     )
 
 
@@ -1874,17 +1884,8 @@ def _knn_query_matrix(emb: DataFrame, memo_key: tuple | None = None):
 
 
 def _ivf_memo_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
-    import os
-
-    from ..sources.io import stage_digest, table_path
-
-    st = os.stat(table_path(sf_dir, "embeddings"))
-    return (
-        id(spark),
-        stage_digest(
-            os.path.normpath(sf_dir), "embeddings", st.st_size, st.st_mtime_ns,
-            _IVF_TRAIN_BUDGET, _IVF_NCENT,
-        ),
+    return _emb_memo_key(
+        spark, sf_dir, "quantizer", _IVF_TRAIN_BUDGET, _IVF_NCENT
     )
 
 

@@ -121,8 +121,15 @@ def test_wheel_builds_with_modern_toolchain(tmp_path):
 
     import setuptools
 
-    major = int(setuptools.__version__.split(".")[0])
-    has_bdist_wheel = importlib.util.find_spec("wheel") is not None or major >= 70
+    # setuptools vendored bdist_wheel in 70.1.0 — 70.0.x still needs
+    # the external `wheel` package (r12 review: a bare major>=70 check
+    # would run the build on 70.0 hosts and fail instead of skipping)
+    ver = tuple(
+        int(x) for x in setuptools.__version__.split(".")[:2] if x.isdigit()
+    )
+    has_bdist_wheel = (
+        importlib.util.find_spec("wheel") is not None or ver >= (70, 1)
+    )
     if not has_bdist_wheel:
         import pytest
 
