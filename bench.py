@@ -282,6 +282,13 @@ def main() -> None:
             "value": out["value"],
             "batch_sec": out["batch_sec"],
             "streaming_sec": out["streaming_sec"],
+            # the 2×-gate headline (r12 verdict #5): auditing the
+            # subset trend used to require cross-referencing
+            # BENCH_rN.json + PLANS prose; now every history entry
+            # carries it, plus the detail digest tying the entry to
+            # its full-fidelity record
+            "r1_comparable_subset_sec": out["r1_comparable_subset_sec"],
+            "detail_sha256": digest,
             "queries": out["queries"],
         }) + "\n")
     print(json.dumps(_compact_summary(out, digest)))
@@ -523,9 +530,9 @@ _SF10_REPLICATION = 100
 # decade past the 30× point, so super-linear-in-work growth can't hide
 # between the probe tiers. Dedup recall is measured on this corpus too
 # (800-doc sampled brute-force truth, same as 10×/30×).
-# r12 rotation (r11 verdict #5): the r10+r11 sets (20 ids cumulative)
-# are evidenced and cause-tagged in PLANS.md — rotate in the next tier
-# of never-probed-at-100× ids so cumulative coverage reaches ~30.
+# Rotated per round (r11 verdict #5, r12 verdict #4): the r10–r12 sets
+# (30 ids cumulative) are evidenced and cause-tagged in PLANS.md —
+# each round rotates in ~10 never-probed-at-100× ids (r13 → ~40).
 # The LSH trio stays every round: it carries the recall_connected
 # contract for the mega-bucket segmentation (r11) and the banding-knob
 # numbers. NOT llm_dedup_prefix_filter / llm_winnow_fingerprint: both
@@ -539,17 +546,22 @@ _SF10_QUERIES = (
     "llm_dedup_minhash",
     "llm_dedup_simhash",
     "llm_dedup_simhash_b5",
-    # --- new at 100× this round ---
-    "stream_stream_join",        # interval stream-stream join, 10M events
-    "lake_cdc_merge",            # lakehouse CDC MERGE materialization
-    "warehouse_traffic_dws",     # classic DWS rollup path
-    "llm_knn_cosine",            # brute-force ANN baseline at 100× corpus
-    "cdc_scd2_history",          # SCD2 full-history windowing (~20M rows)
-    "join_skew_salted",          # the salted-join skew path at volume
-    "llm_tfidf",                 # two-pass doc-frequency join
-    "analytics_cep_funnel",      # sequential CEP pattern over 10M events
-    "agg_bitmap_distinct",       # bitmap-distinct serving aggregate
-    "lake_schema_evolve",        # schema-evolution union-read
+    # --- r13 rotation: 10 never-probed-at-100× ids (cumulative 40).
+    # NOT llm_neardup_cosine/llm_cosine_pairs/llm_semantic_dedup: the
+    # probe corpus replicates embeddings VERBATIM (vectors are not
+    # perturbed), so every base vector gains replication exact twins and
+    # the true near-dup pair output is Ω(replication²) BY CONTRACT —
+    # same exclusion class as llm_dedup_prefix_filter above.
+    "analytics_pagerank",        # iterative fixpoint (2 shuffles/round) at 100× edges
+    "sql_recursive_cte",         # Spark 4 recursive CTE, self-join per iteration
+    "stream_cep_funnel",         # stateful CEP (applyInPandasWithState) over 10M events
+    "state_first_visit",         # keyed first-touch state at 10M events
+    "stream_lake_merge",         # streaming micro-batch → lakehouse MERGE
+    "lake_time_travel",          # snapshot isolation read path at volume
+    "llm_corpus_pipeline",       # end-to-end curation composite (dedup+quality+sample)
+    "llm_knn_int8",              # scalar-quantized ANN at 100× corpus
+    "mm_decode_stats",           # multimodal decode kernels via mapInPandas
+    "winfn_rownum_dedup",        # row_number dedup window at 100× orders
 )
 
 
@@ -672,6 +684,7 @@ def _scale_probe(
 
     probe: dict[str, dict] = {}
     try:
+        _isolate_tier(spark, builders, query_names, probe_dir, probe)
         _probe_queries(spark, builders, timings, query_names, probe_dir, probe, reps)
         try:
             _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe)
@@ -931,6 +944,38 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
 
     _guarded("llm_dedup_simhash", _simhash_recall("llm_dedup_simhash"))
     _guarded("llm_dedup_simhash_b5", _simhash_recall("llm_dedup_simhash_b5"))
+
+
+def _isolate_tier(spark, builders, query_names, probe_dir, probe) -> None:
+    """Tier-isolation barrier (r12 verdict #3): the first timed id of a
+    probe tier used to absorb the PREDECESSOR tier's session pressure —
+    r12's flagship read 204× in-tier vs ~13× standalone purely because
+    it ran first after the 30× tier's LSH work (heap churn, dead
+    checkpoint blocks, page-cache eviction). Before any timing: drop
+    live caches, reclaim dead checkpoint blocks, then run the tier's
+    FIRST id once UN-TIMED on the probe corpus. The discard run is
+    recorded (it is a useful post-barrier cold datapoint); the timed
+    reps that follow measure the query, not the predecessor tier."""
+    first = next((n for n in query_names if n in builders), None)
+    if first is None:
+        return
+    from flink_realtime_2024_spark.sources.io import drop_all_caches
+
+    drop_all_caches(spark)
+    _reclaim(spark)
+    t0 = time.perf_counter()
+    try:
+        materialize(builders[first](spark, probe_dir))
+        probe["_tier_isolation"] = {
+            "warmup_id": first,
+            "warmup_sec": round(time.perf_counter() - t0, 3),
+        }
+    except Exception as e:
+        # the timed loop will record the real failure for this id
+        probe["_tier_isolation"] = {
+            "warmup_id": first,
+            "error": f"{type(e).__name__}: {e}"[:200],
+        }
 
 
 def _reclaim(spark) -> None:

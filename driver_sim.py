@@ -84,9 +84,16 @@ try:
     BIG_ROWS = int(_os.environ.get("SIM_BIG_ROWS", "200000"))
 except ValueError:
     BIG_ROWS = 200000  # malformed env must not abort the gate run
+import atexit  # noqa: E402
+import shutil  # noqa: E402
 import tempfile  # noqa: E402
 
+# Removed at exit (advice r12): repeated evidence runs used to leave
+# every big query's multi-GB parquet result behind and silently fill
+# /tmp. compare_engine_side additionally removes each per-query dir as
+# soon as its compare PASSES (failures keep theirs for inspection).
 workdir = tempfile.mkdtemp(prefix="driver_sim_parity_")
+atexit.register(shutil.rmtree, workdir, ignore_errors=True)
 n_pass = n_rowsonly = 0
 failures = []
 for name in names:
@@ -95,9 +102,11 @@ for name in names:
         df = queries[name](spark, SF)
         sql = oracles.get(name)
         if sql is None:
-            sp = df.toPandas()
+            # rows-only ids need only a row count — no driver collect
+            # at all, so a row explosion can't OOM the vanilla driver
+            cnt = df.count()
             n_rowsonly += 1
-            status = f"rows-only ({len(sp)} rows)"
+            status = f"rows-only ({cnt} rows)"
         else:
             # materialize the oracle ONCE (some LSH re-derivations are
             # 100s-class at sf1-equivalents) — count decides the path
@@ -106,7 +115,18 @@ for name in names:
             )
             ocnt = con.execute("SELECT count(*) FROM _oracle").fetchone()[0]
             if ocnt <= BIG_ROWS:
-                sp = df.toPandas()
+                # BOTH sides bounded (advice r12): the oracle count
+                # alone chose this path, so a Spark-side row explosion
+                # (regression) used to stream unbounded rows through
+                # toPandas and OOM the vanilla driver instead of
+                # failing cleanly. limit(BIG_ROWS+1) is a no-op when
+                # the result agrees with the oracle's cardinality.
+                sp = df.limit(BIG_ROWS + 1).toPandas()
+                if len(sp) > BIG_ROWS:
+                    raise AssertionError(
+                        f"{name}: row count spark>{BIG_ROWS} (truncated probe) "
+                        f"oracle={ocnt}"
+                    )
                 od = con.execute("SELECT * FROM _oracle").df()
                 compare(sp, od, name=name)
                 n_pass += 1

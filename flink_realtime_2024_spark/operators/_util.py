@@ -56,18 +56,50 @@ def widen(df):
     throws outright (r12 review). For shuffle-bearing or streaming
     inputs we repartition unconditionally, which is the pre-r12
     behavior: their width is shuffle.partitions-governed, not
-    file-count-governed, so the collapse concern doesn't apply."""
+    file-count-governed, so the collapse concern doesn't apply.
+
+    r13 (verdict + advice): the probe walks the analyzed plan's NODE
+    NAMES instead of substring-scanning its toString — the old token
+    list missed `Deduplicate` (dropDuplicates/distinct), `Except`,
+    `Intersect` and the Limit nodes, so such a frame would have
+    re-triggered exactly the eager-execution hazard this guard exists
+    to prevent; and substring matching could false-positive on user
+    data (a column literally named "Sort...") rendered into the plan
+    string."""
     p = df.sparkSession.sparkContext.defaultParallelism
     if not df.isStreaming:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        exchange_free = not any(
-            tok in plan
-            for tok in ("Join", "Aggregate", "Window", "Distinct",
-                        "Repartition", "Sort", "Generate")
-        )
-        if exchange_free and df.rdd.getNumPartitions() >= p:
+        if _plan_is_exchange_free(df) and df.rdd.getNumPartitions() >= p:
             return df
     return df.repartition(p)
+
+
+# Analyzed-logical-plan node names that imply (or may imply) an exchange
+# in the physical plan — i.e. plans on which the `.rdd` probe would
+# eagerly execute upstream shuffle stages. Conservative: Generate and
+# the Limit nodes don't always shuffle, but misclassifying them merely
+# costs one repartition of a small kernel input (the pre-r12 behavior),
+# while missing a shuffle-bearing node costs eager double execution.
+_EXCHANGE_NODE_NAMES = frozenset({
+    "Join", "Aggregate", "Window", "Distinct", "Deduplicate",
+    "DeduplicateWithinWatermark", "Repartition", "RepartitionByExpression",
+    "Sort", "Generate", "Except", "Intersect", "GlobalLimit", "LocalLimit",
+    "Limit", "CoGroup", "FlatMapGroupsInPandas", "FlatMapGroupsInPandasWithState",
+})
+
+
+def _plan_is_exchange_free(df) -> bool:
+    """True iff no node in the analyzed logical plan (main lineage —
+    subqueries would already appear under a Join/Filter of a
+    shuffle-bearing shape) is exchange-requiring per the set above."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _EXCHANGE_NODE_NAMES:
+            return False
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return True
 
 
 # --- process-lifetime tmp dirs ------------------------------------------------

@@ -133,10 +133,28 @@ def winnow_pipeline(docs: DataFrame, min_overlap: float = 0.5) -> DataFrame:
     Both sides of these joins scale with the corpus, so sort-merge
     (spillable, shuffle-on-key) is the only plan that survives 100 TB;
     the per-doc totals joins stay AQE-decided (their build side is one
-    short row per doc and the estimates there are scan-accurate)."""
+    short row per doc and the estimates there are scan-accurate).
+
+    Memory floor (r13, verdict #1): the per-doc fingerprint frame is
+    EAGERLY staged through a DISK_ONLY ``localCheckpoint`` — the same
+    idiom as the LSH kernels. Without it the pandas-UDF lineage
+    executed THREE times (keys + both self-join sides) and, worse, its
+    unspillable Arrow batches shared each task's execution-memory slice
+    with the SMJ sort buffers of the downstream joins; at a 1 g default
+    JVM × 8 concurrent tasks (~38 MB execution memory per task) that
+    overlap made the sfx10 corpus OOM under concurrent-task luck
+    (PLANS.md r12 §2b). Staged, the UDF stage and the join stages run
+    disjointly and each is individually spillable, so the kernel
+    completes deterministically at the 1 g default (recorded sfx10
+    evidence in PLANS.md r13). Loop callers should still call
+    ``reclaim_checkpoints`` between invocations; on a real cluster
+    prefer a parquet stage for the fingerprint frame (localCheckpoint
+    blocks die with their executor)."""
     fps = widen(docs).select(
         "doc_id", winnow_fp_array("text").alias("fps")
     ).filter(F.size("fps") > 0)
+    if not docs.isStreaming:
+        fps = fps.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     totals = fps.select("doc_id", F.size("fps").alias("n_fps"))
     inv = fps.select("doc_id", F.explode("fps").alias("fp"))
     keys = (
@@ -1836,9 +1854,11 @@ def _emb_memo_key(spark: SparkSession, sf_dir: str, *extra) -> tuple[int, str]:
     line-for-line copies, and a single os.stat of the table PATH is a
     weak staleness guard for a part-file DIRECTORY — rewriting one
     part in place changes the file's mtime, not necessarily the
-    dir's). For directories, fold every entry's name/size/mtime into
-    the digest — the same per-file discipline as bench's staged-corpus
-    addressing."""
+    dir's). For directories, fold every file's relpath/size/mtime into
+    the digest RECURSIVELY (advice r12: a flat listdir missed rewrites
+    inside Hive-partitioned subdirectories — a subdir's own stat need
+    not change when a part file within it is replaced) — the same
+    per-file discipline as bench's staged-corpus addressing."""
     import os
 
     from ..sources.io import stage_digest, table_path
@@ -1846,9 +1866,12 @@ def _emb_memo_key(spark: SparkSession, sf_dir: str, *extra) -> tuple[int, str]:
     p = table_path(sf_dir, "embeddings")
     parts: list = [os.path.normpath(sf_dir), "embeddings"]
     if os.path.isdir(p):
-        for f in sorted(os.listdir(p)):
-            st = os.stat(os.path.join(p, f))
-            parts += [f, st.st_size, st.st_mtime_ns]
+        for root, dirs, files in os.walk(p):
+            dirs.sort()
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                parts += [os.path.relpath(fp, p), st.st_size, st.st_mtime_ns]
     else:
         st = os.stat(p)
         parts += [st.st_size, st.st_mtime_ns]

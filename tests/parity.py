@@ -74,6 +74,20 @@ def _quote(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
 
 
+_DECIMAL_RE = None
+
+
+def _decimal_scale(type_text: str) -> int | None:
+    """Scale of a DuckDB DECIMAL(p,s) DESCRIBE type, else None."""
+    global _DECIMAL_RE
+    if _DECIMAL_RE is None:
+        import re
+
+        _DECIMAL_RE = re.compile(r"^DECIMAL\(\d+,(\d+)\)$")
+    m = _DECIMAL_RE.match(type_text)
+    return int(m.group(1)) if m else None
+
+
 def compare_engine_side(spark_df, con, oracle_rel: str, name: str = "", workdir: str | None = None) -> int:
     """Order-insensitive multiset compare with NO driver-side collect:
     the Spark result lands in parquet via the executors, DuckDB reads
@@ -85,16 +99,25 @@ def compare_engine_side(spark_df, con, oracle_rel: str, name: str = "", workdir:
     Type-sensitivity is preserved at the same strength as ``compare``:
     DESCRIBE types of both relations must match column-for-column (so
     an oracle HUGEINT against a Spark BIGINT still fails, exactly like
-    the Decimal-vs-int type tag in ``_canon_cell``). The one mapped
-    difference: Spark writes timestamps as UTC-adjusted micros, which
+    the Decimal-vs-int type tag in ``_canon_cell``). Two mapped
+    differences keep the two paths from DISAGREEING on the same query
+    (advice r12): Spark writes timestamps as UTC-adjusted micros, which
     DuckDB reads as TIMESTAMP WITH TIME ZONE — cast back to naive
-    TIMESTAMP when (and only when) the oracle column is naive.
+    TIMESTAMP when (and only when) the oracle column is naive; and
+    DECIMAL(p1,s) vs DECIMAL(p2,s) at EQUAL SCALE carry the same
+    Python ``Decimal`` tag through the pandas gate (precision is a
+    capacity bound, not a value property), so both sides are widened to
+    DECIMAL(38,s) here rather than failing on DESCRIBE text.
 
     ``oracle_rel`` is a table/view name already holding the oracle
     result (materialize the oracle ONCE via CREATE TEMP TABLE ... AS,
     then pass the table name — the expensive LSH re-derivations must
-    not run twice). Returns the compared row count."""
+    not run twice). The staged parquet (multi-GB per query at
+    sf1-equivalents) is removed as soon as the compare PASSES; a
+    failing compare keeps its files for inspection (advice r12).
+    Returns the compared row count."""
     import os
+    import shutil
     import tempfile
 
     workdir = workdir or tempfile.mkdtemp(prefix="parity_engine_side_")
@@ -123,13 +146,22 @@ def compare_engine_side(spark_df, con, oracle_rel: str, name: str = "", workdir:
     for c in sorted(s_types):
         st, ot = s_types[c], o_types[c]
         q = _quote(c)
+        s_scale, o_scale = _decimal_scale(st), _decimal_scale(ot)
         if st == ot:
             sel_s.append(q)
+            sel_o.append(q)
         elif st == "TIMESTAMP WITH TIME ZONE" and ot == "TIMESTAMP":
             sel_s.append(f"CAST({q} AS TIMESTAMP) AS {q}")
+            sel_o.append(q)
+        elif s_scale is not None and s_scale == o_scale:
+            # equal-scale decimals with differing precision: same value
+            # domain, same Decimal tag under the pandas gate — widen
+            # both so the two gate paths agree (advice r12)
+            sel_s.append(f"CAST({q} AS DECIMAL(38,{s_scale})) AS {q}")
+            sel_o.append(f"CAST({q} AS DECIMAL(38,{o_scale})) AS {q}")
         else:
             mismatched.append((c, st, ot))
-        sel_o.append(q)
+            sel_o.append(q)
     assert not mismatched, f"{name}: column type mismatch (spark vs oracle): {mismatched}"
     s_sel = f"SELECT {', '.join(sel_s)} FROM _parity_spark"
     o_sel = f"SELECT {', '.join(sel_o)} FROM {oracle_rel}"
@@ -147,4 +179,7 @@ def compare_engine_side(spark_df, con, oracle_rel: str, name: str = "", workdir:
         raise AssertionError(
             f"{name}: {n_diff} multiset differences (engine-side compare)\n{detail}"
         )
-    return con.execute(f"SELECT count(*) FROM {oracle_rel}").fetchone()[0]
+    nrows = con.execute(f"SELECT count(*) FROM {oracle_rel}").fetchone()[0]
+    con.execute("DROP VIEW IF EXISTS _parity_spark")
+    shutil.rmtree(path, ignore_errors=True)
+    return nrows
