@@ -560,7 +560,11 @@ _SF10_QUERIES = (
     "lake_time_travel",          # snapshot isolation read path at volume
     "llm_corpus_pipeline",       # end-to-end curation composite (dedup+quality+sample)
     "llm_knn_int8",              # scalar-quantized ANN at 100× corpus
-    "mm_decode_stats",           # multimodal decode kernels via mapInPandas
+    # NOT mm_decode_stats: one real codec decode per document is
+    # ~500k sequential-per-row Python executions at this replication —
+    # the probe would time the (already per-row-tested) codec loop,
+    # not a plan shape
+    "analytics_retention_cohorts",  # cohort window+join over 10M events
     "winfn_rownum_dedup",        # row_number dedup window at 100× orders
 )
 

@@ -10,7 +10,7 @@ operator shape: 1 string → N tokens → explode → count.
 
 Performance doctrine (SURVEY §4): Python UDFs are the slow path —
 everything here is Arrow-vectorized (`pandas_udf`), never row-at-a-time;
-tokenize+explode also exists UDF-free in operators/llm.py for the
+tokenize+explode also exists UDF-free in operators/llm/ for the
 100 TB path. The UDAF computes in exact integer cents so its result is
 engine-reproducible.
 """

@@ -154,7 +154,7 @@ def cdc_envelope(row_schema: T.StructType) -> T.StructType:
 
 
 # Multimodal payload column pattern (SURVEY §2.10 L6): opaque binary +
-# typed metadata struct. Decoders are Pandas-UDF stubs (operators/llm.py).
+# typed metadata struct. Decoders are Pandas-UDF stubs (operators/llm/).
 multimodal_asset = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),

@@ -99,7 +99,10 @@ def test_sdist_builds_on_bare_setuptools(tmp_path):
             "pyproject.toml",
             "setup.py",
             "flink_realtime_2024_spark/__init__.py",
-            "flink_realtime_2024_spark/operators/llm.py",
+            # llm became a subpackage in r13 — packages.find's
+            # "flink_realtime_2024_spark*" glob must keep carrying it
+            "flink_realtime_2024_spark/operators/llm/__init__.py",
+            "flink_realtime_2024_spark/operators/llm/lsh.py",
             "flink_realtime_2024_spark/streaming/jobs.py",
         ):
             assert f"{base}/{want}" in names, want
