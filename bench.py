@@ -553,7 +553,12 @@ _SF10_QUERIES = (
     # the true near-dup pair output is Ω(replication²) BY CONTRACT —
     # same exclusion class as llm_dedup_prefix_filter above.
     "analytics_pagerank",        # iterative fixpoint (2 shuffles/round) at 100× edges
-    "sql_recursive_cte",         # Spark 4 recursive CTE, self-join per iteration
+    # NOT sql_recursive_cte: probed once (r13) and documented OUT — the
+    # recursion operator re-evaluates the anchor per level and didn't
+    # finish 15M orders in 50 min, while the semantically-identical
+    # row_number≤5 window form (winfn_rownum_dedup shape, probed below)
+    # runs the same corpus in ~1.7 s. The id stays oracle-checked at
+    # sf0.01; its docstring carries the scale guidance.
     "stream_cep_funnel",         # stateful CEP (applyInPandasWithState) over 10M events
     "state_first_visit",         # keyed first-touch state at 10M events
     "stream_lake_merge",         # streaming micro-batch → lakehouse MERGE

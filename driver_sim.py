@@ -88,14 +88,26 @@ import atexit  # noqa: E402
 import shutil  # noqa: E402
 import tempfile  # noqa: E402
 
-# Removed at exit (advice r12): repeated evidence runs used to leave
-# every big query's multi-GB parquet result behind and silently fill
-# /tmp. compare_engine_side additionally removes each per-query dir as
-# soon as its compare PASSES (failures keep theirs for inspection).
+# Removed at exit ONLY when every compare passed (advice r12: repeated
+# evidence runs used to leave every big query's multi-GB parquet result
+# behind and silently fill /tmp; r13 review: an unconditional atexit
+# rmtree would delete exactly the staged parquet a FAILING engine-side
+# compare keeps for inspection). compare_engine_side removes each
+# per-query dir as soon as its compare PASSES, so a kept workdir holds
+# only the failures.
 workdir = tempfile.mkdtemp(prefix="driver_sim_parity_")
-atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+failures: list = []
+
+
+def _cleanup_workdir() -> None:
+    if failures:
+        print(f"parity workdir kept for inspection: {workdir}")
+    else:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+atexit.register(_cleanup_workdir)
 n_pass = n_rowsonly = 0
-failures = []
 for name in names:
     t0 = time.time()
     try:

@@ -83,22 +83,35 @@ _EXCHANGE_NODE_NAMES = frozenset({
     "Join", "Aggregate", "Window", "Distinct", "Deduplicate",
     "DeduplicateWithinWatermark", "Repartition", "RepartitionByExpression",
     "Sort", "Generate", "Except", "Intersect", "GlobalLimit", "LocalLimit",
-    "Limit", "CoGroup", "FlatMapGroupsInPandas", "FlatMapGroupsInPandasWithState",
+    "Limit", "Offset", "CoGroup", "FlatMapGroupsInPandas",
+    "FlatMapGroupsInPandasWithState", "FlatMapCoGroupsInPandas",
+    "FlatMapGroupsInArrow", "FlatMapCoGroupsInArrow",
 })
 
 
 def _plan_is_exchange_free(df) -> bool:
-    """True iff no node in the analyzed logical plan (main lineage —
-    subqueries would already appear under a Join/Filter of a
-    shuffle-bearing shape) is exchange-requiring per the set above."""
-    stack = [df._jdf.queryExecution().analyzed()]
-    while stack:
-        node = stack.pop()
-        if node.nodeName() in _EXCHANGE_NODE_NAMES:
-            return False
-        children = node.children()
-        for i in range(children.size()):
-            stack.append(children.apply(i))
+    """True iff no node in the analyzed logical plan is
+    exchange-requiring per the set above. Walks children AND each
+    node's subquery plans (r13 review: a plain Filter-with-IN-subquery
+    over a scan hides its Aggregate inside a SubqueryExpression —
+    ``children()`` never reaches it, and executing `.rdd` on such a
+    plan runs the subquery stages eagerly). Any reflection failure
+    classifies as NOT exchange-free — the conservative answer costs
+    one repartition of a small kernel input, never eager execution."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() in _EXCHANGE_NODE_NAMES:
+                return False
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+            subqueries = node.subqueries()
+            for i in range(subqueries.size()):
+                stack.append(subqueries.apply(i))
+    except Exception:
+        return False
     return True
 
 

@@ -147,7 +147,14 @@ def winnow_pipeline(docs: DataFrame, min_overlap: float = 0.5) -> DataFrame:
     evidence in PLANS.md r13). Loop callers should still call
     ``reclaim_checkpoints`` between invocations; on a real cluster
     prefer a parquet stage for the fingerprint frame (localCheckpoint
-    blocks die with their executor)."""
+    blocks die with their executor).
+
+    CONTRACT NOTE: like the LSH kernels (minhash_pairs and family),
+    this builder EXECUTES the fingerprint stage at construction time
+    and returns a frame whose lineage starts at the checkpoint — plan
+    inspection downstream sees the five joins but not the (scan →
+    select → pandas-UDF → filter) prologue, which is the full
+    pre-checkpoint shape."""
     fps = widen(docs).select(
         "doc_id", winnow_fp_array("text").alias("fps")
     ).filter(F.size("fps") > 0)

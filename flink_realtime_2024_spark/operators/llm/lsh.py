@@ -894,8 +894,13 @@ def connected_components(edges: DataFrame, src: str, dst: str, max_iter: int = 5
         .filter(F.col("u") != F.col("v"))
         .distinct()
         # materialize ONCE — without this the whole upstream pair-
-        # generation pipeline would re-execute every round
-        .localCheckpoint()
+        # generation pipeline would re-execute every round. DISK_ONLY
+        # (r13): the default storage level builds each partition as one
+        # deserialized in-memory array — at a 10^7-10^8-row edge set
+        # (corpus_pipeline at the 100x probe) that is the JVM-killing
+        # allocation class pagerank hit; serialized disk blocks spill
+        # gracefully instead
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     prev_sig = None
     for _ in range(max_iter):
@@ -931,7 +936,8 @@ def connected_components(edges: DataFrame, src: str, dst: str, max_iter: int = 5
             relink.unionByName(smin.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            # DISK_ONLY per round — same rationale as the entry edge set
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
         # order-insensitive EDGE-SET digest: count + XOR of per-edge
         # xxhash64(u, v) (the edge set is distinct, so XOR never

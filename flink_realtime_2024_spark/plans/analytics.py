@@ -13,6 +13,7 @@ the MoM trend sorts only the (tiny) month dimension.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.io import load_table
@@ -858,7 +859,11 @@ def analytics_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed shape: the rank vector lives as a DataFrame; each power
     iteration is contribution-join (rank/degree along edges) + sum per
     destination + damping — two shuffles per round over O(edges), with
-    ``localCheckpoint`` pinning the lineage flat. Nothing collects:
+    ``localCheckpoint`` (DISK_ONLY, r13: the default storage level
+    materializes each partition as ONE deserialized in-memory array —
+    at the 100× probe's ~10⁸-row co-purchase edge set that killed the
+    JVM mid-tier, the same failure class the LSH kernels hit in r11)
+    pinning the lineage flat. Nothing collects:
     driver state is zero (fixed iteration count). Every node in the
     undirected graph has out-degree ≥ 1, so there is no dangling-mass
     term. Cross-engine exactness: rank mass is BIGINT micro-units
@@ -879,14 +884,14 @@ def analytics_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     n = deg.count()
     base = _PR_SCALE // n
     teleport = (15 * base) // 100
-    pr = deg.select("src", F.lit(base).cast("bigint").alias("pr")).localCheckpoint()
-    g = edges.join(deg, "src").localCheckpoint()  # (src, dst, d) — static
+    pr = deg.select("src", F.lit(base).cast("bigint").alias("pr")).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    g = edges.join(deg, "src").localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)  # (src, dst, d) — static
     for _ in range(_PR_ITERS):
         pr = (
             g.join(pr.withColumnRenamed("src", "node"), F.col("src") == F.col("node"))
@@ -903,7 +908,7 @@ def analytics_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("pr")
             )
             .withColumnRenamed("dst", "src")
-            .localCheckpoint()
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
     return pr.select(
         F.col("src").alias("partkey"), F.col("pr").alias("pagerank_micro")

@@ -139,7 +139,19 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (which re-evaluates the anchor CTE each round: bound the
     walk depth, or materialize the anchor, in production). The
     IDENTICAL SQL string runs on DuckDB as the oracle, and depth == rn
-    by construction, so the closure is fully value-checked."""
+    by construction, so the closure is fully value-checked.
+
+    SCALE GUIDANCE (r13, measured): this id exists to cover the SQL
+    SYNTAX. The recursion operator is NOT a scale path — at the 100×
+    probe corpus (15M orders) it did not finish in 50 minutes (anchor
+    re-evaluated per level, serialized loop), while the semantically
+    identical depth==row_number walk (a partitioned window, the
+    winfn_rownum_dedup shape) runs the same corpus in ~1.7 s. For
+    bounded-depth sequences on real data, use the window form; reserve
+    WITH RECURSIVE for genuinely unbounded closures on SMALL frames.
+    session.prepare raises spark.sql.cteRecursionRowLimit (the default
+    1M-row cap is toy-scale and rows are the wrong runaway signal for
+    a linear closure; the 100-level limit stays as the runaway guard)."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_SQL_RECURSIVE)
 

@@ -33,6 +33,16 @@ _RUNTIME_CONFS: dict[str, str] = {
     # handle.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Recursive CTEs: the default 1M-ROW guardrail is a toy-scale
+    # setting — the 100× probe's linear first-5-orders closure alone is
+    # ~75M rows, and a 100 TB corpus is orders beyond that. Rows are
+    # the wrong runaway signal for a LINEAR-in-data closure; the
+    # level limit (default 100, kept) is what actually catches
+    # non-terminating recursion. The conf is an INT conf — a value past
+    # 2^31-1 doesn't error, it HANGS py4j session creation (measured:
+    # 10_000_000_000 never returns from getOrCreate) — so this is the
+    # largest round int-safe value.
+    "spark.sql.cteRecursionRowLimit": str(2_000_000_000),
     # Harness-scale shuffle width (driver sessions default to 200 → 200
     # near-empty tasks per exchange at test SFs; stateful streaming ops
     # can't rely on AQE coalescing because AQE is disabled for them).

@@ -104,10 +104,11 @@ def compare_engine_side(spark_df, con, oracle_rel: str, name: str = "", workdir:
     (advice r12): Spark writes timestamps as UTC-adjusted micros, which
     DuckDB reads as TIMESTAMP WITH TIME ZONE — cast back to naive
     TIMESTAMP when (and only when) the oracle column is naive; and
-    DECIMAL(p1,s) vs DECIMAL(p2,s) at EQUAL SCALE carry the same
-    Python ``Decimal`` tag through the pandas gate (precision is a
-    capacity bound, not a value property), so both sides are widened to
-    DECIMAL(38,s) here rather than failing on DESCRIBE text.
+    DECIMAL-vs-DECIMAL of any precision/scale carries the same Python
+    ``Decimal`` tag through the pandas gate where trailing-zero scale
+    differences compare equal (Decimal('1.50') == Decimal('1.500')),
+    so both sides are widened to DECIMAL(38, max(scale)) here rather
+    than failing on DESCRIBE text.
 
     ``oracle_rel`` is a table/view name already holding the oracle
     result (materialize the oracle ONCE via CREATE TEMP TABLE ... AS,
@@ -153,12 +154,15 @@ def compare_engine_side(spark_df, con, oracle_rel: str, name: str = "", workdir:
         elif st == "TIMESTAMP WITH TIME ZONE" and ot == "TIMESTAMP":
             sel_s.append(f"CAST({q} AS TIMESTAMP) AS {q}")
             sel_o.append(q)
-        elif s_scale is not None and s_scale == o_scale:
-            # equal-scale decimals with differing precision: same value
-            # domain, same Decimal tag under the pandas gate — widen
-            # both so the two gate paths agree (advice r12)
-            sel_s.append(f"CAST({q} AS DECIMAL(38,{s_scale})) AS {q}")
-            sel_o.append(f"CAST({q} AS DECIMAL(38,{o_scale})) AS {q}")
+        elif s_scale is not None and o_scale is not None:
+            # decimals vs decimals: the pandas gate tags both cells
+            # 'Decimal' and Decimal('1.50') == Decimal('1.500'), so
+            # differing precision AND differing scale both pass there —
+            # widen both sides to DECIMAL(38, max_scale) so this path
+            # agrees (advice r12; r13 review extended to unequal scale)
+            wide = max(s_scale, o_scale)
+            sel_s.append(f"CAST({q} AS DECIMAL(38,{wide})) AS {q}")
+            sel_o.append(f"CAST({q} AS DECIMAL(38,{wide})) AS {q}")
         else:
             mismatched.append((c, st, ot))
             sel_o.append(q)

@@ -96,6 +96,24 @@ def test_compare_engine_side(spark, tmp_path):
     with pytest.raises(AssertionError, match="type mismatch"):
         compare_engine_side(df, con, oracle(hug), "typ", str(tmp_path))
 
+    # decimal reconciliation (r13 review): equal VALUES at differing
+    # precision AND differing scale pass the pandas gate (both cells
+    # tag 'Decimal'; Decimal('1.50') == Decimal('1.500')), so the
+    # engine-side path must agree — widened to DECIMAL(38, max_scale)
+    ddf = spark.createDataFrame([(1, "1.50"), (2, "2.25")], "k long, m string")
+    ddf = ddf.selectExpr("k", "CAST(m AS DECIMAL(12,2)) AS m")
+    dec_oracle = ("SELECT * FROM (VALUES "
+                  "(1::BIGINT, 1.500::DECIMAL(18,3)), "
+                  "(2::BIGINT, 2.250::DECIMAL(18,3))) _t(k, m)")
+    n = compare_engine_side(ddf, con, oracle(dec_oracle), "dec", str(tmp_path))
+    assert n == 2
+    # but a genuine VALUE difference at the widened scale still fails
+    with pytest.raises(AssertionError, match="multiset"):
+        compare_engine_side(
+            ddf, con,
+            oracle(dec_oracle.replace("1.500", "1.501")),
+            "dec_val", str(tmp_path))
+
 
 def test_deltas_skip_quarantined_history(tmp_path, monkeypatch):
     """r12 (verdict #3): a bench_history entry carrying `quarantined`

@@ -1063,6 +1063,7 @@ def test_widen_exchange_probe_classifies_and_stays_lazy(spark):
         "doc_id", "text"
     )
 
+    docs.createOrReplaceTempView("_widen_probe_docs")
     shuffle_bearing = [
         docs.dropDuplicates(["doc_id"]),
         docs.distinct(),
@@ -1072,6 +1073,12 @@ def test_widen_exchange_probe_classifies_and_stays_lazy(spark):
         docs.groupBy("doc_id").count(),
         docs.orderBy("doc_id"),
         docs.join(docs.select("doc_id"), "doc_id"),
+        # shuffle hidden inside a SubqueryExpression — children() alone
+        # never reaches the Aggregate (r13 review finding #1)
+        spark.sql(
+            "SELECT * FROM _widen_probe_docs WHERE doc_id IN "
+            "(SELECT doc_id FROM _widen_probe_docs GROUP BY doc_id)"
+        ),
     ]
     for frame in shuffle_bearing:
         assert not _plan_is_exchange_free(frame), frame._jdf.queryExecution().analyzed().toString()[:500]
