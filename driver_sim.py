@@ -114,9 +114,14 @@ for name in names:
         df = queries[name](spark, SF)
         sql = oracles.get(name)
         if sql is None:
-            # rows-only ids need only a row count — no driver collect
-            # at all, so a row explosion can't OOM the vanilla driver
+            # rows-only ids: a row COUNT (a row explosion can't OOM the
+            # vanilla driver) plus a tiny bounded toPandas sample so the
+            # Arrow driver-collection path stays exercised for these
+            # queries too — a regression that breaks collection (e.g. a
+            # type unsupported by toPandas) must not pass rows-only
+            # (advice r13)
             cnt = df.count()
+            df.limit(100).toPandas()
             n_rowsonly += 1
             status = f"rows-only ({cnt} rows)"
         else:

@@ -115,7 +115,9 @@ def winnow_fp_array(text: pd.Series) -> pd.Series:
     )
 
 
-def winnow_pipeline(docs: DataFrame, min_overlap: float = 0.5) -> DataFrame:
+def winnow_pipeline(
+    docs: DataFrame, min_overlap: float = 0.5, stage: bool = True
+) -> DataFrame:
     """Near-dup pairs by winnowed-fingerprint overlap: one Python
     crossing (the fingerprint kernel), then an inverted index on
     fingerprint with a document-frequency cap (degenerate-collision
@@ -154,11 +156,24 @@ def winnow_pipeline(docs: DataFrame, min_overlap: float = 0.5) -> DataFrame:
     and returns a frame whose lineage starts at the checkpoint — plan
     inspection downstream sees the five joins but not the (scan →
     select → pandas-UDF → filter) prologue, which is the full
-    pre-checkpoint shape."""
+    pre-checkpoint shape. Pass ``stage=False`` to build the frame
+    LAZILY (no eager checkpoint, full lineage visible) — for plan
+    inspection / test callers that never execute the result; the
+    memory-floor guarantees above do not apply to an unstaged frame
+    (advice r13).
+
+    THREAD-SAFETY NOTE (advice r13): the eager staging temporarily
+    sets the session-global Arrow batch-size conf around its one
+    checkpoint job; a concurrent job on the SAME SparkSession during
+    that window runs with 1024-row Arrow batches (correct, just
+    smaller), and a racing second winnow build could restore the other
+    caller's in-flight override. Builders are not thread-safe within a
+    session while staging — serialize winnow builds per session, or
+    pass ``stage=False`` and checkpoint/stage the result yourself."""
     fps = widen(docs).select(
         "doc_id", winnow_fp_array("text").alias("fps")
     ).filter(F.size("fps") > 0)
-    if not docs.isStreaming:
+    if stage and not docs.isStreaming:
         # Bracket the eager materialization with a small Arrow batch:
         # the default 10k-row batches of (text + fp-array) are ~50-70 MB
         # of UNSPILLABLE direct/JNI allocation per concurrent task (the

@@ -858,20 +858,35 @@ def analytics_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed shape: the rank vector lives as a DataFrame; each power
     iteration is contribution-join (rank/degree along edges) + sum per
-    destination + damping — two shuffles per round over O(edges), with
-    ``localCheckpoint`` (DISK_ONLY, r13: the default storage level
-    materializes each partition as ONE deserialized in-memory array —
-    at the 100× probe's ~10⁸-row co-purchase edge set that killed the
-    JVM mid-tier, the same failure class the LSH kernels hit in r11)
-    pinning the lineage flat. Nothing collects:
-    driver state is zero (fixed iteration count). Every node in the
-    undirected graph has out-degree ≥ 1, so there is no dangling-mass
-    term. Cross-engine exactness: rank mass is BIGINT micro-units
-    (scale 10^12) and every step is integer floor-division — the whole
-    fixpoint is bit-identical on any engine, no float rounding
-    negotiations (a 10-dp-round double variant was tried first and hit
-    a half-way boundary on one node; integers make the class of bug
-    impossible). Output stays in micro-units for the same reason."""
+    destination + damping, with ``localCheckpoint`` (DISK_ONLY, r13:
+    the default storage level materializes each partition as ONE
+    deserialized in-memory array — at the 100× probe's ~10⁸-row
+    co-purchase edge set that killed the JVM mid-tier, the same failure
+    class the LSH kernels hit in r11) pinning the lineage flat.
+
+    CO-PARTITIONED LOOP (r14, verdict #7): the static (src, dst, d)
+    frame used to be re-shuffled EVERY round — under AQE the
+    checkpoint's LogicalRDD captures UnknownPartitioning, so each
+    iteration paid two O(edges) exchanges. The loop now runs inside an
+    adaptive=false bracket: the classic planner's checkpoints preserve
+    HashPartitioning(src) on ``g`` and HashPartitioning(dst→src, same
+    width) on each round's rank vector, so the contribution join is
+    exchange-free and each round pays exactly ONE shuffle — the
+    per-destination sum, which is inherent to the graph. (AQE buys
+    nothing inside the loop: the join never needs skew-splitting
+    because it never shuffles, and the fixed width IS the alignment.)
+    Measured at the 100× probe corpus: see PLANS.md r14. The bracket
+    toggles a session-global conf — same documented
+    not-thread-safe-while-building caveat as winnow_pipeline. Nothing
+    collects: driver state is zero (fixed iteration count). Every node
+    in the undirected graph has out-degree ≥ 1, so there is no
+    dangling-mass term. Cross-engine exactness: rank mass is BIGINT
+    micro-units (scale 10^12) and every step is integer floor-division
+    — the whole fixpoint is bit-identical on any engine, no float
+    rounding negotiations (a 10-dp-round double variant was tried
+    first and hit a half-way boundary on one node; integers make the
+    class of bug impossible). Output stays in micro-units for the
+    same reason."""
     lines = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -890,26 +905,32 @@ def analytics_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = deg.count()
     base = _PR_SCALE // n
     teleport = (15 * base) // 100
-    pr = deg.select("src", F.lit(base).cast("bigint").alias("pr")).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    g = edges.join(deg, "src").localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)  # (src, dst, d) — static
-    for _ in range(_PR_ITERS):
-        pr = (
-            g.join(pr.withColumnRenamed("src", "node"), F.col("src") == F.col("node"))
-            .groupBy("dst")
-            .agg(
-                # integer DIV end to end (matches the oracle's `//`):
-                # a double `/ 100` would be exact only while
-                # 85 * mass < 2^53 and silently break if _PR_SCALE grew
-                (
-                    F.lit(teleport).cast("bigint")
-                    + F.expr("(85 * sum(pr DIV d)) DIV 100")
+    conf = spark.conf
+    aqe_prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pr = deg.select("src", F.lit(base).cast("bigint").alias("pr")).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        g = edges.join(deg, "src").localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)  # (src, dst, d) — static
+        for _ in range(_PR_ITERS):
+            pr = (
+                g.join(pr.withColumnRenamed("src", "node"), F.col("src") == F.col("node"))
+                .groupBy("dst")
+                .agg(
+                    # integer DIV end to end (matches the oracle's `//`):
+                    # a double `/ 100` would be exact only while
+                    # 85 * mass < 2^53 and silently break if _PR_SCALE grew
+                    (
+                        F.lit(teleport).cast("bigint")
+                        + F.expr("(85 * sum(pr DIV d)) DIV 100")
+                    )
+                    .cast("bigint")
+                    .alias("pr")
                 )
-                .cast("bigint")
-                .alias("pr")
+                .withColumnRenamed("dst", "src")
+                .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
             )
-            .withColumnRenamed("dst", "src")
-            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-        )
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe_prev)
     return pr.select(
         F.col("src").alias("partkey"), F.col("pr").alias("pagerank_micro")
     )

@@ -151,9 +151,73 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE for genuinely unbounded closures on SMALL frames.
     session.prepare raises spark.sql.cteRecursionRowLimit (the default
     1M-row cap is toy-scale and rows are the wrong runaway signal for
-    a linear closure; the 100-level limit stays as the runaway guard)."""
+    a linear closure; the 100-level limit stays as the runaway guard).
+    ``sql_recursive_cte_iterative`` is the registered SCALE-SAFE TWIN:
+    the same rows from a driver-bounded iterative DataFrame walk."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_SQL_RECURSIVE)
+
+
+@register(
+    "sql_recursive_cte_iterative", oracle=_SQL_RECURSIVE,
+    section="§3.2 SQL API,W1",
+)
+def sql_recursive_cte_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE TWIN of ``sql_recursive_cte`` (r14, verdict #4):
+    the identical bounded-depth closure — each customer's first-5 order
+    chain with its recursion depth — expressed as an ITERATIVE
+    DataFrame level walk (the pagerank/connected-components fixpoint
+    idiom, plans/analytics.py:853) instead of Spark's WITH RECURSIVE
+    operator, and checked against the SAME DuckDB recursive-SQL oracle.
+
+    Shape: the ranked sequence frame is built once (one window shuffle
+    on o_custkey), then pinned via DISK_ONLY ``localCheckpoint`` —
+    which preserves its HashPartitioning(o_custkey) — and every level's
+    frontier join runs CO-PARTITIONED against it: zero additional
+    exchanges across all levels, driver state is a fixed loop counter.
+    Measured against the recursive operator at the 100× probe corpus
+    (15M orders): the operator form did not finish in 50 minutes (it
+    re-evaluates the anchor per level and serializes the loop); this
+    walk is seconds-class (BENCH sf10_probe). That asymmetry — not a
+    missing feature — is why both ids exist: ``sql_recursive_cte``
+    covers the SQL syntax surface, this id is the plan you'd run."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from ..sources.io import load_table
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_custkey", "o_orderkey", "rn")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    frontier = seq.filter(F.col("rn") == 1).withColumn(
+        "depth", F.lit(1).cast("bigint")
+    )
+    levels = [frontier]
+    for _ in range(4):  # depth bound 5, matching the recursive CTE
+        frontier = (
+            seq.join(
+                frontier.select(
+                    "o_custkey", F.col("rn").alias("__prev_rn"), "depth"
+                ),
+                "o_custkey",
+            )
+            .filter(F.col("rn") == F.col("__prev_rn") + 1)
+            .select(
+                "o_custkey", "o_orderkey", "rn",
+                (F.col("depth") + 1).alias("depth"),
+            )
+        )
+        levels.append(frontier)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("o_custkey", "o_orderkey", "depth")
 
 
 _SQL_CORRELATED_SCALAR = """

@@ -79,13 +79,19 @@ _DECIMAL_RE = None
 
 def _decimal_scale(type_text: str) -> int | None:
     """Scale of a DuckDB DECIMAL(p,s) DESCRIBE type, else None."""
+    ps = _decimal_prec_scale(type_text)
+    return ps[1] if ps else None
+
+
+def _decimal_prec_scale(type_text: str) -> tuple[int, int] | None:
+    """(precision, scale) of a DuckDB DECIMAL(p,s) type, else None."""
     global _DECIMAL_RE
     if _DECIMAL_RE is None:
         import re
 
-        _DECIMAL_RE = re.compile(r"^DECIMAL\(\d+,(\d+)\)$")
+        _DECIMAL_RE = re.compile(r"^DECIMAL\((\d+),(\d+)\)$")
     m = _DECIMAL_RE.match(type_text)
-    return int(m.group(1)) if m else None
+    return (int(m.group(1)), int(m.group(2))) if m else None
 
 
 def compare_engine_side(spark_df, con, oracle_rel: str, name: str = "", workdir: str | None = None) -> int:
@@ -154,7 +160,22 @@ def compare_engine_side(spark_df, con, oracle_rel: str, name: str = "", workdir:
         elif st == "TIMESTAMP WITH TIME ZONE" and ot == "TIMESTAMP":
             sel_s.append(f"CAST({q} AS TIMESTAMP) AS {q}")
             sel_o.append(q)
-        elif s_scale is not None and o_scale is not None:
+        elif s_scale is not None and o_scale is not None and (
+            # widening is only SAFE when both sides' integer digits fit
+            # under 38 minus the widened scale — e.g. DECIMAL(38,0) vs
+            # DECIMAL(10,2) would need 40 digits and the CAST would die
+            # with a DuckDB conversion error instead of a clean
+            # type-mismatch report (advice r13); such pairs fall through
+            # to the mismatched-type assertion below
+            max(
+                p - s
+                for p, s in (
+                    _decimal_prec_scale(st), _decimal_prec_scale(ot)
+                )
+            )
+            + max(s_scale, o_scale)
+            <= 38
+        ):
             # decimals vs decimals: the pandas gate tags both cells
             # 'Decimal' and Decimal('1.50') == Decimal('1.500'), so
             # differing precision AND differing scale both pass there —

@@ -262,19 +262,54 @@ def test_ann_self_reported_recall_column(spark):
 
 
 def test_knn_ivf_partitioned_matches_and_prunes(spark):
-    """The partitioned-index IVF must (1) return exactly its in-scan
-    twin's results — same centroids, same scoring — and (2) carry the
-    probed-list filter as a PARTITION filter on the index scan, so
+    """The partitioned-index IVF must (1) return exactly the seeded-IVF
+    reference result — recomputed here independently in numpy from the
+    fixture (centroids in Knuth-hash order, rounded-dot argmax
+    assignment, stable probe ranking, pruned top-k; r14 the id moved to
+    a FULL DuckDB oracle with this same construction) — and (2) carry
+    the probed-list filter as a PARTITION filter on the index scan, so
     unprobed lists are pruned at directory listing."""
-    from flink_realtime_2024_spark.operators.llm import (
-        llm_knn_ivf,
-        llm_knn_ivf_partitioned,
+    import numpy as np
+
+    from flink_realtime_2024_spark.operators.llm import llm_knn_ivf_partitioned
+    from flink_realtime_2024_spark.operators.llm.knn import (
+        _IVF_KNUTH,
+        _IVF_NCENT,
+        _IVF_NPROBE,
+        _KNN_K,
+        _KNN_MAX_QUERIES,
+        _KNN_QUERY_MOD,
     )
 
-    twin = {tuple(r) for r in llm_knn_ivf(spark, SF_DIR).collect()}
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.lexsort((ids, (ids * _IVF_KNUTH) % 2**32))
+    C = E[order[:_IVF_NCENT]]
+    cids = np.round(E @ C.T, 6).argmax(axis=1)
+    qsel = np.nonzero(ids % _KNN_QUERY_MOD == 0)[0][:_KNN_MAX_QUERIES]
+    expected = set()
+    for qi in qsel:
+        d = np.round(C @ E[qi], 6)
+        probed = set(np.lexsort((np.arange(_IVF_NCENT), -d))[:_IVF_NPROBE])
+        allowed = np.array(
+            [cids[i] in probed and ids[i] != ids[qi] for i in range(len(ids))]
+        )
+        mids, ms = ids[allowed], np.round(E[allowed] @ E[qi], 6)
+        for i in np.lexsort((mids, -ms))[:_KNN_K]:
+            expected.add((int(ids[qi]), int(mids[i]), float(ms[i])))
+
     part_df = llm_knn_ivf_partitioned(spark, SF_DIR)
-    got = {tuple(r) for r in part_df.collect()}
-    assert got == twin and len(got) > 0
+    got = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in part_df.collect()
+    }
+    assert got == expected and len(got) > 0
 
     plan = _explain(part_df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
