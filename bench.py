@@ -27,6 +27,48 @@ from flink_realtime_2024_spark.sources.io import enable_hot_cache, load_table  #
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# --- session resurrection (r14 verdict #1) -------------------------------
+# r13's official bench lost the simhash/b5 100× recall numbers AND the
+# skew + streaming probes to ONE executor OOM: SparkUncaughtExceptionHandler
+# stops the SparkContext, and every later py4j call died with "Cannot call
+# methods on a stopped SparkContext". The py4j gateway JVM itself survives
+# a context stop, so the bench can build a FRESH context in the same JVM
+# and carry on — each probe step fetches its session through _live_spark(),
+# which detects a dead context, tears down the python-side singletons, and
+# rebuilds. Rebuild events are recorded in the output (a rebuild means a
+# prior step crashed the JVM — evidence, not silence).
+_ACTIVE: dict = {"spark": None, "dead": [], "rebuilds": []}
+
+
+def _context_stopped(spark) -> bool:
+    try:
+        return spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return True
+
+
+def _live_spark():
+    spark = _ACTIVE.get("spark")
+    if spark is not None and not _context_stopped(spark):
+        return spark
+    if spark is not None:
+        # keep the dead session object referenced: id(spark)-keyed memo
+        # caches (knn quantizer/query memos, hot-table keys) must never
+        # see a recycled id() collide with the new session
+        _ACTIVE["dead"].append(spark)
+        from flink_realtime_2024_spark.sources.io import _HOT
+
+        _HOT.clear()  # cached DataFrames belong to the dead context
+        try:
+            spark.stop()  # python-side teardown of the stopped context
+        except Exception:
+            pass
+        _ACTIVE["rebuilds"].append(time.strftime("%H:%M:%S"))
+    s = get_spark(app_name="bench")
+    s.sparkContext.setLogLevel("ERROR")
+    _ACTIVE["spark"] = s
+    return s
+
 
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
@@ -47,6 +89,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    _ACTIVE["spark"] = spark
 
     queries = {name: q for name, q in all_queries().items() if q.bench}
 
@@ -174,11 +217,16 @@ def main() -> None:
     from flink_realtime_2024_spark.plans.registry import all_queries as _aq
 
     builders = {n: q.builder for n, q in _aq().items()}
+    # every probe block fetches a LIVE session (r14 verdict #1): a JVM
+    # death inside one tier must cost that tier's remaining steps at
+    # most — the next block gets a fresh context instead of a cascade
+    # of stopped-SparkContext errors (the r13 failure shape).
     sf1 = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1_PROBE"):
         try:
             sf1 = _scale_probe(
-                spark, builders, timings, _SF1_REPLICATION, _SF1_QUERIES, reps=2
+                _live_spark(), builders, timings, _SF1_REPLICATION,
+                _SF1_QUERIES, reps=2,
             )
         except Exception as e:  # the probe is evidence, not a gate
             sf1 = {"error": f"{type(e).__name__}: {e}"[:200]}
@@ -190,7 +238,8 @@ def main() -> None:
             # artifact. min-of-2 — a single cold run overstated the
             # minhash 30× ratio by ~60% (JIT/page-cache, r6 measurement)
             sf3 = _scale_probe(
-                spark, builders, timings, _SF3_REPLICATION, _SF3_QUERIES, reps=2
+                _live_spark(), builders, timings, _SF3_REPLICATION,
+                _SF3_QUERIES, reps=2,
             )
         except Exception as e:
             sf3 = {"error": f"{type(e).__name__}: {e}"[:200]}
@@ -204,7 +253,8 @@ def main() -> None:
             # each run is 10-100 s of real engine work, far above JIT
             # noise; the rep count is billed in the block.
             sf10 = _scale_probe(
-                spark, builders, timings, _SF10_REPLICATION, _SF10_QUERIES, reps=1
+                _live_spark(), builders, timings, _SF10_REPLICATION,
+                _SF10_QUERIES, reps=1,
             )
         except Exception as e:
             sf10 = {"error": f"{type(e).__name__}: {e}"[:200]}
@@ -212,14 +262,14 @@ def main() -> None:
     streaming = None
     if not os.environ.get("SPARK_GRAFT_SKIP_STREAMING_PROBE"):
         try:
-            streaming = _streaming_probe(spark)
+            streaming = _streaming_probe(_live_spark())
         except Exception as e:
             streaming = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     skew = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SKEW_PROBE"):
         try:
-            skew = _skew_probe(spark)
+            skew = _skew_probe(_live_spark())
         except Exception as e:
             skew = {"error": f"{type(e).__name__}: {e}"[:200]}
 
@@ -249,6 +299,10 @@ def main() -> None:
         out["streaming_probe"] = streaming
     if skew:
         out["skew_probe"] = skew
+    if _ACTIVE["rebuilds"]:
+        # a rebuild means a prior step crashed the JVM mid-bench — the
+        # numbers after each timestamp come from a fresh context
+        out["session_rebuilds"] = list(_ACTIVE["rebuilds"])
     deltas = _deltas_vs_previous(timings, _sf_from_dir(SF_DIR))
     if deltas:
         out["deltas"] = deltas
@@ -363,6 +417,8 @@ def _compact_summary(out: dict, detail_digest: str) -> dict:
         "detail": "bench_detail.json",
         "detail_sha256": detail_digest,
     }
+    if out.get("session_rebuilds"):
+        c["session_rebuilds"] = len(out["session_rebuilds"])
     deltas = out.get("deltas")
     if deltas and deltas.get("queries"):
         top = sorted(
@@ -546,31 +602,34 @@ _SF10_QUERIES = (
     "llm_dedup_minhash",
     "llm_dedup_simhash",
     "llm_dedup_simhash_b5",
-    # --- r13 rotation: 10 never-probed-at-100× ids (cumulative 40).
+    # --- r14 rotation: 11 never-probed-at-100× ids (cumulative ~51;
+    # r13's set — pagerank, CEP, lake merge/time-travel, corpus
+    # pipeline, int8 ANN, cohorts, rownum dedup — is evidenced and
+    # cause-tagged in PLANS.md r13 §6).
     # NOT llm_neardup_cosine/llm_cosine_pairs/llm_semantic_dedup: the
     # probe corpus replicates embeddings VERBATIM (vectors are not
     # perturbed), so every base vector gains replication exact twins and
     # the true near-dup pair output is Ω(replication²) BY CONTRACT —
     # same exclusion class as llm_dedup_prefix_filter above.
-    "analytics_pagerank",        # iterative fixpoint (2 shuffles/round) at 100× edges
     # NOT sql_recursive_cte: probed once (r13) and documented OUT — the
     # recursion operator re-evaluates the anchor per level and didn't
-    # finish 15M orders in 50 min, while the semantically-identical
-    # row_number≤5 window form (winfn_rownum_dedup shape, probed below)
-    # runs the same corpus in ~1.7 s. The id stays oracle-checked at
-    # sf0.01; its docstring carries the scale guidance.
-    "stream_cep_funnel",         # stateful CEP (applyInPandasWithState) over 10M events
-    "state_first_visit",         # keyed first-touch state at 10M events
-    "stream_lake_merge",         # streaming micro-batch → lakehouse MERGE
-    "lake_time_travel",          # snapshot isolation read path at volume
-    "llm_corpus_pipeline",       # end-to-end curation composite (dedup+quality+sample)
-    "llm_knn_int8",              # scalar-quantized ANN at 100× corpus
-    # NOT mm_decode_stats: one real codec decode per document is
-    # ~500k sequential-per-row Python executions at this replication —
-    # the probe would time the (already per-row-tested) codec loop,
-    # not a plan shape
-    "analytics_retention_cohorts",  # cohort window+join over 10M events
-    "winfn_rownum_dedup",        # row_number dedup window at 100× orders
+    # finish 15M orders in 50 min; its registered scale-safe twin is
+    # probed below instead (r14 verdict #4 done-check).
+    # NOT mm_decode_stats: one real codec decode per document is ~500k
+    # sequential-per-row Python executions at this replication — the
+    # probe would time the (already per-row-tested) codec loop, not a
+    # plan shape.
+    "sql_recursive_cte_iterative",  # the recursive-CTE twin: co-partitioned level walk
+    "lake_snapshot_diff",        # snapshot-to-snapshot diff at 100× table volume
+    "lake_point_lookup",         # rowkey point lookup against the lakehouse layout
+    "warehouse_zorder_scan",     # z-order interleaved layout + min/max-pruned scan
+    "warehouse_compaction",      # small-file compaction pass at 100× file volume
+    "cdc_retract_aggregate",     # changelog retract algebra over 100× orders
+    "join_asof_latest",          # as-of join at 100× orders
+    "window_sliding",            # overlapping event-time windows over 10M events
+    "udtf_tokenize_explode",     # UDTF explode over the 100× document corpus
+    "llm_dedup_exact",           # content-hash groupBy dedup at 100× docs
+    "stream_window_topn",        # streaming windowed top-n over 10M events
 )
 
 
@@ -693,10 +752,10 @@ def _scale_probe(
 
     probe: dict[str, dict] = {}
     try:
-        _isolate_tier(spark, builders, query_names, probe_dir, probe)
-        _probe_queries(spark, builders, timings, query_names, probe_dir, probe, reps)
+        _isolate_tier(builders, query_names, probe_dir, probe)
+        _probe_queries(builders, timings, query_names, probe_dir, probe, reps)
         try:
-            _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe)
+            _neardup_recall_at_scale(builders, probe_dir, replication, probe)
         except Exception as e:
             # shared-setup failure (sample collect, probe-corpus scan):
             # record it, keep the per-query timings already gathered
@@ -713,7 +772,7 @@ def _scale_probe(
         # already recorded and probe reps are min-of-N.
         from flink_realtime_2024_spark.sources.io import drop_all_caches
 
-        drop_all_caches(spark)
+        drop_all_caches(_live_spark())
     return {
         "replication": replication,
         "base_sf": _sf_from_dir(SF_DIR),
@@ -722,7 +781,10 @@ def _scale_probe(
     }
 
 
-def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> None:
+_RECALL_IDS = ("llm_dedup_minhash", "llm_dedup_simhash", "llm_dedup_simhash_b5")
+
+
+def _neardup_recall_at_scale(builders, probe_dir, replication, probe) -> None:
     """Banding recall measured ON THE REPLICATED PROBE CORPUS, not just
     the base fixture: minhash recall is pytest-pinned ≥ 0.9 at sf0.01,
     but banding recall is a function of corpus statistics, so the
@@ -733,7 +795,82 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
     recorded alongside the recall. Minhash truth = shingle-Jaccard ≥
     0.5 pairs; simhash truth = 64-bit hamming ≤ 3 pairs (where banding
     recall is pigeonhole-1.0 — a sub-1.0 value here means the
-    degenerate-collision cap started binding at scale)."""
+    degenerate-collision cap started binding at scale).
+
+    CRASH ISOLATION (r14, verdict #1): at the 100× tier each id's
+    recall compare runs in a SUBPROCESS with its own JVM — the compare
+    re-runs the full LSH kernel and (for simhash) an exact
+    fp-contracted connected-components pass, the one step that OOM'd
+    the shared bench JVM in r13 and took the b5 recall plus the skew
+    and streaming probes with it. A child OOM now costs exactly one
+    recall_error entry; the parent session never sees it. Below 100×
+    the compare stays in-process (years of clean runs; the
+    session-resurrection guard backs it up)."""
+    for name in _RECALL_IDS:
+        # per-metric error isolation (r9 advice): a failure in one
+        # recall pass must degrade to an error entry on that probe id,
+        # not abort the whole scale probe
+        if name not in probe or "error" in probe[name]:
+            continue
+        _reclaim(_live_spark())  # each recall re-runs a full dedup kernel
+        try:
+            if replication >= 100:
+                metrics = _recall_in_subprocess(name, probe_dir, replication)
+            else:
+                metrics = _recall_metrics(
+                    _live_spark(), builders, probe_dir, replication, name
+                )
+            probe[name].update(metrics)
+        except Exception as e:
+            probe[name]["recall_error"] = f"{type(e).__name__}: {e}"[:200]
+
+
+def _recall_in_subprocess(name, probe_dir, replication, timeout_s=2700) -> dict:
+    """Run one id's recall compare as ``python bench.py --recall ...``:
+    own JVM (20 g — the compare stacks a kernel re-run, two wide joins
+    and a CC fixpoint), bounded Arrow batches, result on the last
+    RECALL_JSON stdout line. A dead/hung child raises (timeout or rc),
+    which the caller records as that id's recall_error — nothing else
+    in the bench is touched."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_DRIVER_MEM"] = env.get("SPARK_GRAFT_RECALL_MEM", "20g")
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.abspath(__file__), "--recall",
+            name, probe_dir, str(replication),
+        ],
+        capture_output=True, text=True, timeout=timeout_s, env=env,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("RECALL_JSON:"):
+            metrics = json.loads(line[len("RECALL_JSON:"):])
+            metrics["recall_subprocess"] = True
+            return metrics
+    tail = (proc.stderr or proc.stdout or "").strip()[-250:]
+    raise RuntimeError(f"recall child rc={proc.returncode}: {tail}")
+
+
+def _recall_child(name: str, probe_dir: str, replication: int) -> None:
+    """Child-process entry for _recall_in_subprocess. Applies the r13
+    winnow memory idiom process-wide: small Arrow batches (the LSH
+    kernel's unspillable per-task Arrow allocations were the
+    GCLocker/heap pressure in the r13 OOM) on top of the DISK_ONLY
+    staging inside _recall_metrics."""
+    spark = get_spark(app_name="bench_recall_child")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    from flink_realtime_2024_spark.plans.registry import all_queries as _aq
+
+    builders = {n: q.builder for n, q in _aq().items()}
+    metrics = _recall_metrics(spark, builders, probe_dir, replication, name)
+    print("\nRECALL_JSON:" + json.dumps(metrics), flush=True)
+
+
+def _recall_metrics(spark, builders, probe_dir, replication, name) -> dict:
+    """Compute the recall metric dict for ONE LSH id (shared by the
+    in-process small-tier path and the 100× subprocess)."""
     import numpy as np
     import pyspark.sql.functions as F
 
@@ -756,7 +893,7 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
     )
     rows = docs.collect()
 
-    def found_pairs(name):
+    def found_pairs():
         """All emitted pairs TOUCHING the sample (either endpoint).
         Pair recall (found & truth) is unaffected — truth pairs are
         sample-only, so the intersection is identical under either
@@ -806,21 +943,9 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
         hit = sum(1 for a, b in truth if find(a) == find(b))
         return round(hit / len(truth), 4)
 
-    # Per-metric error isolation (r9 advice): a failure in one recall
-    # pass (e.g. driver memory on the brute force, or a builder error)
-    # must degrade to an error entry on that probe id, not abort the
-    # whole scale probe and lose the already-collected timings —
-    # mirroring _probe_queries' per-query guard.
-    def _guarded(name, fn):
-        if name in probe and "error" not in probe[name]:
-            _reclaim(spark)  # each recall re-runs a full dedup kernel
-            try:
-                fn()
-            except Exception as e:
-                probe[name]["recall_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    # --- minhash: truth = exact shingle-Jaccard >= 0.5 on the sample
-    def _minhash_recall():
+    out: dict = {}
+    if name == "llm_dedup_minhash":
+        # --- minhash: truth = exact shingle-Jaccard >= 0.5 on the sample
         sets = {r["doc_id"]: set(_shingle_hashes(r["text"] or "")) for r in rows}
         ids = sorted(sets)
         sizes = {i: len(sets[i]) for i in ids}
@@ -836,126 +961,126 @@ def _neardup_recall_at_scale(spark, builders, probe_dir, replication, probe) -> 
                 union = na + nb - len(sa & sets[b])
                 if union and (na + nb - union) / union >= 0.5:
                     truth.add((a, b))
-        found = found_pairs("llm_dedup_minhash")
-        entry = probe["llm_dedup_minhash"]
-        entry["recall_sample_docs"] = len(rows)
-        entry["recall_true_pairs"] = len(truth)
-        entry["recall_vs_bruteforce"] = (
+        found = found_pairs()
+        out["recall_sample_docs"] = len(rows)
+        out["recall_true_pairs"] = len(truth)
+        out["recall_vs_bruteforce"] = (
             round(len(found & truth) / len(truth), 4) if truth else None
         )
-        entry["recall_connected"] = connected_recall(found, truth)
+        out["recall_connected"] = connected_recall(found, truth)
+        return out
 
-    _guarded("llm_dedup_minhash", _minhash_recall)
+    # --- simhash family: truth = exact hamming <= 3 on the sample
+    fps = widen(docs).select("doc_id", simhash64("text").alias("fp")).collect()
+    fids = np.array([r["doc_id"] for r in fps], dtype=np.int64)
+    vals = np.array([r["fp"] for r in fps], dtype=np.int64).astype(np.uint64)
+    x = vals[:, None] ^ vals[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        ham += (x & 1).astype(np.int64)
+        x >>= np.uint64(1)
+    ii, jj = np.nonzero(np.triu(ham <= 3, k=1))
+    truth = {
+        (min(int(fids[i]), int(fids[j])), max(int(fids[i]), int(fids[j])))
+        for i, j in zip(ii, jj)
+    }
+    fp_of = {int(r["doc_id"]): int(r["fp"]) for r in fps}
 
-    # --- simhash: truth = exact hamming <= 3 on the sample
-    def _simhash_truth():
-        fps = widen(docs).select("doc_id", simhash64("text").alias("fp")).collect()
-        fids = np.array([r["doc_id"] for r in fps], dtype=np.int64)
-        vals = np.array([r["fp"] for r in fps], dtype=np.int64).astype(np.uint64)
-        x = vals[:, None] ^ vals[None, :]
-        ham = np.zeros(x.shape, dtype=np.int64)
-        for _ in range(64):
-            ham += (x & 1).astype(np.int64)
-            x >>= np.uint64(1)
-        ii, jj = np.nonzero(np.triu(ham <= 3, k=1))
-        truth = {
-            (min(int(fids[i]), int(fids[j])), max(int(fids[i]), int(fids[j])))
-            for i, j in zip(ii, jj)
+    found = found_pairs()
+    out["recall_sample_docs"] = len(fps)
+    out["recall_true_pairs"] = len(truth)
+    out["recall_vs_bruteforce"] = (
+        round(len(found & truth) / len(truth), 4) if truth else None
+    )
+    bound = connected_recall(found, truth)
+    out["recall_connected"] = bound
+    if bound is not None and bound < 1.0:
+        # the cheap number is only a LOWER BOUND (see connected_recall)
+        # — escalate to the exact fp-contracted component check before
+        # reporting a sub-1.0 connectivity figure
+        out["recall_connected_sample_lower_bound"] = bound
+        out["recall_connected"] = _exact_connected_recall(
+            spark, builders, probe_dir, name, truth, fp_of
+        )
+        out["recall_connected_exact"] = True
+    return out
+
+
+def _exact_connected_recall(spark, builders, probe_dir, name, truth, fp_of):
+    """EXACT component recall via FP CONTRACTION (r12): same-fp
+    docs are provably in one output component — equal fp ⇒ all
+    bucket keys equal ⇒ every bucket shared; an under-cap bucket
+    emits their hamming-0 pair directly, an oversized one connects
+    the (bucket, fp) group through consecutive same-fp chain links
+    plus the family stitch (both hamming-0, always verified —
+    pinned by test_lsh_mega_bucket_segmentation_bounds_partitions
+    _and_pairs, which asserts a 600-replica same-fp family is ONE
+    component). So contracting nodes by fp preserves components
+    exactly, and the contracted edge set (~6.5M at 100× vs 122M
+    raw pairs) fits the distributed CC where the raw set OOM'd.
+    Costs a kernel re-run + CC (~5 min at 100×), hence the lazy
+    escalation.
+
+    Memory discipline (r14, verdict #1 — this is the step whose
+    executor OOM killed the r13 bench JVM): the fingerprint frame
+    persists DISK_ONLY (the default level deserializes whole
+    partitions into heap arrays), and the contracted edge set is
+    STAGED THROUGH PARQUET — the kernel + two wide joins + distinct
+    run as their own job with their own memory, and the CC fixpoint
+    starts from a clean disk scan instead of stacking its shuffle
+    state on top of theirs."""
+    import shutil
+
+    import pyspark.sql.functions as F
+    from pyspark import StorageLevel
+
+    from flink_realtime_2024_spark import connected_components
+    from flink_realtime_2024_spark.operators._util import widen
+    from flink_realtime_2024_spark.operators.llm import simhash64
+
+    full = load_table(spark, probe_dir, "documents").select("doc_id", "text")
+    fps_full = widen(full).select(
+        "doc_id", simhash64("text").alias("fp")
+    ).persist(StorageLevel.DISK_ONLY)
+    stage = tempfile.mkdtemp(prefix="bench_recall_edges_")
+    try:
+        (
+            builders[name](spark, probe_dir)
+            .select("doc_a", "doc_b")
+            .join(fps_full.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("fp").alias("fp_a")), "doc_a")
+            .join(fps_full.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("fp").alias("fp_b")), "doc_b")
+            .select("fp_a", "fp_b")
+            .filter(F.col("fp_a") != F.col("fp_b"))
+            .distinct()
+            .write.mode("overwrite").parquet(stage)
+        )
+        comp = connected_components(
+            spark.read.parquet(stage), "fp_a", "fp_b"
+        )
+        # only the sampled docs' fingerprints are ever looked up —
+        # filter BEFORE collect (r12 review: the unfiltered
+        # component map is millions of rows at 100×, pulled into
+        # the same local heap whose OOMs this path exists to avoid)
+        wanted = list({int(v) for v in fp_of.values()})
+        cid = {
+            r["doc_id"]: r["cluster_id"]
+            for r in comp.filter(F.col("doc_id").isin(wanted)).collect()
         }
-        fp_of = {int(r["doc_id"]): int(r["fp"]) for r in fps}
-        return len(fps), truth, fp_of
+    finally:
+        fps_full.unpersist()
+        shutil.rmtree(stage, ignore_errors=True)
 
-    # the hamming≤3 truth set is shared by every simhash banding config
-    # probed (default triple-key + the pair-key knob) — compute it once
-    sim_cache: dict = {}
+    def c(d):
+        f = fp_of[d]
+        return cid.get(f, ("solo", f))
 
-    def _exact_connected_recall(name, truth, fp_of):
-        """EXACT component recall via FP CONTRACTION (r12): same-fp
-        docs are provably in one output component — equal fp ⇒ all
-        bucket keys equal ⇒ every bucket shared; an under-cap bucket
-        emits their hamming-0 pair directly, an oversized one connects
-        the (bucket, fp) group through consecutive same-fp chain links
-        plus the family stitch (both hamming-0, always verified —
-        pinned by test_lsh_mega_bucket_segmentation_bounds_partitions
-        _and_pairs, which asserts a 600-replica same-fp family is ONE
-        component). So contracting nodes by fp preserves components
-        exactly, and the contracted edge set (~6.5M at 100× vs 122M
-        raw pairs) fits the distributed CC where the raw set OOM'd.
-        Costs a kernel re-run + CC (~5 min at 100×), hence the lazy
-        escalation."""
-        from flink_realtime_2024_spark import connected_components
-
-        full = load_table(spark, probe_dir, "documents").select(
-            "doc_id", "text"
-        )
-        fps_full = widen(full).select(
-            "doc_id", simhash64("text").alias("fp")
-        ).persist()
-        try:
-            edges = (
-                builders[name](spark, probe_dir)
-                .select("doc_a", "doc_b")
-                .join(fps_full.select(F.col("doc_id").alias("doc_a"),
-                                      F.col("fp").alias("fp_a")), "doc_a")
-                .join(fps_full.select(F.col("doc_id").alias("doc_b"),
-                                      F.col("fp").alias("fp_b")), "doc_b")
-                .select("fp_a", "fp_b")
-                .filter(F.col("fp_a") != F.col("fp_b"))
-                .distinct()
-            )
-            comp = connected_components(edges, "fp_a", "fp_b")
-            # only the sampled docs' fingerprints are ever looked up —
-            # filter BEFORE collect (r12 review: the unfiltered
-            # component map is millions of rows at 100×, pulled into
-            # the same local heap whose OOMs this path exists to avoid)
-            wanted = list({int(v) for v in fp_of.values()})
-            cid = {
-                r["doc_id"]: r["cluster_id"]
-                for r in comp.filter(F.col("doc_id").isin(wanted)).collect()
-            }
-        finally:
-            fps_full.unpersist()
-
-        def c(d):
-            f = fp_of[d]
-            return cid.get(f, ("solo", f))
-
-        hit = sum(
-            1 for a, b in truth if fp_of[a] == fp_of[b] or c(a) == c(b)
-        )
-        return round(hit / len(truth), 4) if truth else None
-
-    def _simhash_recall(name):
-        def run():
-            if not sim_cache:
-                sim_cache["v"] = _simhash_truth()
-            n_docs, truth, fp_of = sim_cache["v"]
-            found = found_pairs(name)
-            entry = probe[name]
-            entry["recall_sample_docs"] = n_docs
-            entry["recall_true_pairs"] = len(truth)
-            entry["recall_vs_bruteforce"] = (
-                round(len(found & truth) / len(truth), 4) if truth else None
-            )
-            bound = connected_recall(found, truth)
-            entry["recall_connected"] = bound
-            if bound is not None and bound < 1.0:
-                # the cheap number is only a LOWER BOUND (see
-                # connected_recall) — escalate to the exact
-                # fp-contracted component check before reporting a
-                # sub-1.0 connectivity figure
-                entry["recall_connected_sample_lower_bound"] = bound
-                entry["recall_connected"] = _exact_connected_recall(
-                    name, truth, fp_of
-                )
-                entry["recall_connected_exact"] = True
-        return run
-
-    _guarded("llm_dedup_simhash", _simhash_recall("llm_dedup_simhash"))
-    _guarded("llm_dedup_simhash_b5", _simhash_recall("llm_dedup_simhash_b5"))
+    hit = sum(1 for a, b in truth if fp_of[a] == fp_of[b] or c(a) == c(b))
+    return round(hit / len(truth), 4) if truth else None
 
 
-def _isolate_tier(spark, builders, query_names, probe_dir, probe) -> None:
+def _isolate_tier(builders, query_names, probe_dir, probe) -> None:
     """Tier-isolation barrier (r12 verdict #3): the first timed id of a
     probe tier used to absorb the PREDECESSOR tier's session pressure —
     r12's flagship read 204× in-tier vs ~13× standalone purely because
@@ -970,6 +1095,7 @@ def _isolate_tier(spark, builders, query_names, probe_dir, probe) -> None:
         return
     from flink_realtime_2024_spark.sources.io import drop_all_caches
 
+    spark = _live_spark()
     drop_all_caches(spark)
     _reclaim(spark)
     t0 = time.perf_counter()
@@ -998,10 +1124,14 @@ def _reclaim(spark) -> None:
     reclaim_checkpoints(spark)
 
 
-def _probe_queries(spark, builders, timings, query_names, probe_dir, probe, reps):
+def _probe_queries(builders, timings, query_names, probe_dir, probe, reps):
     for name in query_names:
         if name not in builders:
             continue
+        # fetch a LIVE session per query (r14): a JVM death under one
+        # probe id costs that id an error entry; the next id (and the
+        # recall passes after) run on a fresh context
+        spark = _live_spark()
         _reclaim(spark)
         try:
             base = timings.get(name)
@@ -1359,4 +1489,7 @@ def _deltas_vs_previous(
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 5 and sys.argv[1] == "--recall":
+        _recall_child(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+    else:
+        main()
