@@ -196,3 +196,40 @@ def test_contract_shape():
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert "flagship_revenue_by_nation" in qs
+
+
+def test_live_spark_resurrects_stopped_context():
+    """r14 (verdict #1): a JVM-side context stop (what the uncaught
+    executor-OOM handler does — python never hears about it) must be
+    detected by bench._live_spark(), which rebuilds a working session
+    in the same gateway JVM and records the rebuild. Runs in a
+    subprocess so the suite's shared session is never touched."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = """
+import sys
+sys.path.insert(0, %r)
+import bench
+s1 = bench._live_spark()
+assert s1.range(10).count() == 10
+# stop the context JVM-SIDE only, as SparkUncaughtExceptionHandler does
+s1.sparkContext._jsc.sc().stop()
+assert bench._context_stopped(s1)
+s2 = bench._live_spark()
+assert s2 is not s1
+assert s2.range(10).count() == 10
+assert len(bench._ACTIVE["rebuilds"]) == 1
+assert bench._ACTIVE["dead"] == [s1]  # id() pinned, no recycle
+print("RESURRECT_OK")
+""" % (root,)
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "4")
+    env["SPARK_DRIVER_MEM"] = "1g"
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300, env=env, cwd=root,
+    )
+    assert "RESURRECT_OK" in proc.stdout, proc.stderr[-2000:]
