@@ -876,8 +876,12 @@ def analytics_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing inside the loop: the join never needs skew-splitting
     because it never shuffles, and the fixed width IS the alignment.)
     Measured at the 100× probe corpus: see PLANS.md r14. The bracket
-    toggles a session-global conf — same documented
-    not-thread-safe-while-building caveat as winnow_pipeline. Nothing
+    is NOT a session-global toggle: the loop runs in a memoized
+    ``newSession()`` clone — own SQLConf (adaptive=false stays scoped
+    to this builder), shared SparkContext (the checkpointed RDDs and
+    the returned frame are fully usable by the caller) — so concurrent
+    work on the caller's session keeps AQE, unlike the winnow Arrow
+    bracket whose input frame is session-pinned by its caller. Nothing
     collects: driver state is zero (fixed iteration count). Every node
     in the undirected graph has out-degree ≥ 1, so there is no
     dangling-mass term. Cross-engine exactness: rank mass is BIGINT
@@ -887,8 +891,9 @@ def analytics_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     first and hit a half-way boundary on one node; integers make the
     class of bug impossible). Output stays in micro-units for the
     same reason."""
+    s = _noaqe_session(spark)
     lines = (
-        load_table(spark, sf_dir, "lineitem")
+        load_table(s, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -905,32 +910,52 @@ def analytics_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = deg.count()
     base = _PR_SCALE // n
     teleport = (15 * base) // 100
-    conf = spark.conf
-    aqe_prev = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        pr = deg.select("src", F.lit(base).cast("bigint").alias("pr")).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-        g = edges.join(deg, "src").localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)  # (src, dst, d) — static
-        for _ in range(_PR_ITERS):
-            pr = (
-                g.join(pr.withColumnRenamed("src", "node"), F.col("src") == F.col("node"))
-                .groupBy("dst")
-                .agg(
-                    # integer DIV end to end (matches the oracle's `//`):
-                    # a double `/ 100` would be exact only while
-                    # 85 * mass < 2^53 and silently break if _PR_SCALE grew
-                    (
-                        F.lit(teleport).cast("bigint")
-                        + F.expr("(85 * sum(pr DIV d)) DIV 100")
-                    )
-                    .cast("bigint")
-                    .alias("pr")
+    # re-assert AFTER the load_table calls above: load_table runs
+    # session.prepare(), which re-applies the runtime-conf defaults
+    # (adaptive=true included) to whatever session it's given — the
+    # clone must enter the checkpoint/loop region with AQE off or the
+    # checkpoints silently capture UnknownPartitioning again (caught
+    # by the conf probe in tests/test_semantics.py)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    pr = deg.select("src", F.lit(base).cast("bigint").alias("pr")).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    g = edges.join(deg, "src").localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)  # (src, dst, d) — static
+    for _ in range(_PR_ITERS):
+        pr = (
+            g.join(pr.withColumnRenamed("src", "node"), F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(
+                # integer DIV end to end (matches the oracle's `//`):
+                # a double `/ 100` would be exact only while
+                # 85 * mass < 2^53 and silently break if _PR_SCALE grew
+                (
+                    F.lit(teleport).cast("bigint")
+                    + F.expr("(85 * sum(pr DIV d)) DIV 100")
                 )
-                .withColumnRenamed("dst", "src")
-                .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+                .cast("bigint")
+                .alias("pr")
             )
-    finally:
-        conf.set("spark.sql.adaptive.enabled", aqe_prev)
+            .withColumnRenamed("dst", "src")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
     return pr.select(
         F.col("src").alias("partkey"), F.col("pr").alias("pagerank_micro")
     )
+
+
+def _noaqe_session(spark: SparkSession) -> SparkSession:
+    """Memoized ``newSession()`` clone with adaptive=false: own SQLConf,
+    shared SparkContext. Iterative-checkpoint builders (pagerank) plan
+    through it so their checkpoints preserve hash partitioning (under
+    AQE a LogicalRDD captures UnknownPartitioning) WITHOUT toggling the
+    caller's session conf. Memoized per parent session — a fresh clone
+    per call would re-stage the hot-cache tables (keyed by session id)
+    and grow the in-memory cache unboundedly across bench reps."""
+    clone = getattr(spark, "_flink_rt_noaqe_session", None)
+    if clone is None:
+        from ..session import prepare
+
+        clone = spark.newSession()
+        prepare(clone)
+        clone.conf.set("spark.sql.adaptive.enabled", "false")
+        spark._flink_rt_noaqe_session = clone
+    return clone

@@ -2445,3 +2445,61 @@ def test_lsh_kernels_release_their_caches(spark):
         out = kernel(docs)
         out.collect()
         assert cache_manager.isEmpty(), kernel.__name__
+
+
+def test_noaqe_clone_checkpoints_preserve_partitioning(spark):
+    """r14 (verdict #7 mechanism): pagerank's co-partitioned loop rests
+    on two facts this test pins directly, because a regression is
+    silent (results stay bit-identical, only the plan degrades to two
+    O(edges) exchanges per round):
+
+    1. a ``localCheckpoint`` taken under the ``_noaqe_session`` clone
+       preserves HashPartitioning — a self-join of two such frames on
+       the partitioning key plans with ZERO exchanges;
+    2. building ``analytics_pagerank`` leaves the clone's adaptive conf
+       false even though ``load_table`` re-runs ``session.prepare``
+       (which re-applies adaptive=true) on it, and never touches the
+       caller's session conf."""
+    import pyspark.sql.functions as F
+    from pyspark import StorageLevel
+
+    from flink_realtime_2024_spark.plans.analytics import (
+        _noaqe_session,
+        analytics_pagerank,
+    )
+
+    s = _noaqe_session(spark)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    a = (
+        s.range(0, 1000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        .repartition(8, "k")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    b = a.withColumnRenamed("v", "w").withColumnRenamed("k", "kk")
+    prev = {
+        key: s.conf.get(key, None)
+        for key in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = _explain(a.join(b, F.col("k") == F.col("kk")))
+    finally:
+        for key, val in prev.items():
+            if val is not None:
+                s.conf.set(key, val)
+            else:
+                try:
+                    s.conf.unset(key)
+                except Exception:
+                    pass
+    assert "Exchange" not in plan, plan
+
+    analytics_pagerank(spark, SF_DIR)
+    clone = spark._flink_rt_noaqe_session
+    assert clone.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
