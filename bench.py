@@ -806,6 +806,7 @@ def _neardup_recall_at_scale(builders, probe_dir, replication, probe) -> None:
     recall_error entry; the parent session never sees it. Below 100×
     the compare stays in-process (years of clean runs; the
     session-resurrection guard backs it up)."""
+    shared: dict = {}  # simhash truth, computed once per tier in-process
     for name in _RECALL_IDS:
         # per-metric error isolation (r9 advice): a failure in one
         # recall pass must degrade to an error entry on that probe id,
@@ -815,12 +816,18 @@ def _neardup_recall_at_scale(builders, probe_dir, replication, probe) -> None:
         _reclaim(_live_spark())  # each recall re-runs a full dedup kernel
         try:
             if replication >= 100:
-                metrics = _recall_in_subprocess(name, probe_dir, replication)
-            else:
-                metrics = _recall_metrics(
-                    _live_spark(), builders, probe_dir, replication, name
+                probe[name].update(
+                    _recall_in_subprocess(name, probe_dir, replication)
                 )
-            probe[name].update(metrics)
+            else:
+                # metrics land in probe[name] INCREMENTALLY (r14
+                # review): a failure mid-pass (e.g. in the exact
+                # escalation) keeps the brute-force recall and the
+                # connectivity lower bound already computed
+                _recall_metrics(
+                    _live_spark(), builders, probe_dir, replication,
+                    name, probe[name], shared,
+                )
         except Exception as e:
             probe[name]["recall_error"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -843,6 +850,11 @@ def _recall_in_subprocess(name, probe_dir, replication, timeout_s=2700) -> dict:
         ],
         capture_output=True, text=True, timeout=timeout_s, env=env,
     )
+    # the child prints RECALL_JSON even on failure, carrying whatever
+    # metrics it computed before dying plus its own recall_error field
+    # (r14 review: partial evidence must survive a failed escalation) —
+    # so parse the line regardless of the return code; only a child
+    # that produced NO line (hard JVM kill) raises here
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith("RECALL_JSON:"):
             metrics = json.loads(line[len("RECALL_JSON:"):])
@@ -864,13 +876,29 @@ def _recall_child(name: str, probe_dir: str, replication: int) -> None:
     from flink_realtime_2024_spark.plans.registry import all_queries as _aq
 
     builders = {n: q.builder for n, q in _aq().items()}
-    metrics = _recall_metrics(spark, builders, probe_dir, replication, name)
+    metrics: dict = {}
+    rc = 0
+    try:
+        _recall_metrics(spark, builders, probe_dir, replication, name, metrics)
+    except Exception as e:
+        # ship the partial metrics with the failure tagged — the parent
+        # records both instead of losing the computed evidence
+        metrics["recall_error"] = f"{type(e).__name__}: {e}"[:200]
+        rc = 1
     print("\nRECALL_JSON:" + json.dumps(metrics), flush=True)
+    if rc:
+        sys.exit(rc)
 
 
-def _recall_metrics(spark, builders, probe_dir, replication, name) -> dict:
-    """Compute the recall metric dict for ONE LSH id (shared by the
-    in-process small-tier path and the 100× subprocess)."""
+def _recall_metrics(
+    spark, builders, probe_dir, replication, name, out, shared=None
+) -> None:
+    """Compute the recall metrics for ONE LSH id into ``out`` (shared by
+    the in-process small-tier path and the 100× subprocess). Metrics
+    are written INCREMENTALLY as computed, so a failure partway (e.g.
+    in the exact escalation) leaves the already-established evidence in
+    place. ``shared`` caches the simhash hamming≤3 truth across the
+    simhash/b5 ids within one tier (identical inputs)."""
     import numpy as np
     import pyspark.sql.functions as F
 
@@ -943,7 +971,6 @@ def _recall_metrics(spark, builders, probe_dir, replication, name) -> dict:
         hit = sum(1 for a, b in truth if find(a) == find(b))
         return round(hit / len(truth), 4)
 
-    out: dict = {}
     if name == "llm_dedup_minhash":
         # --- minhash: truth = exact shingle-Jaccard >= 0.5 on the sample
         sets = {r["doc_id"]: set(_shingle_hashes(r["text"] or "")) for r in rows}
@@ -961,34 +988,40 @@ def _recall_metrics(spark, builders, probe_dir, replication, name) -> dict:
                 union = na + nb - len(sa & sets[b])
                 if union and (na + nb - union) / union >= 0.5:
                     truth.add((a, b))
-        found = found_pairs()
         out["recall_sample_docs"] = len(rows)
         out["recall_true_pairs"] = len(truth)
+        found = found_pairs()
         out["recall_vs_bruteforce"] = (
             round(len(found & truth) / len(truth), 4) if truth else None
         )
         out["recall_connected"] = connected_recall(found, truth)
-        return out
+        return
 
     # --- simhash family: truth = exact hamming <= 3 on the sample
-    fps = widen(docs).select("doc_id", simhash64("text").alias("fp")).collect()
-    fids = np.array([r["doc_id"] for r in fps], dtype=np.int64)
-    vals = np.array([r["fp"] for r in fps], dtype=np.int64).astype(np.uint64)
-    x = vals[:, None] ^ vals[None, :]
-    ham = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        ham += (x & 1).astype(np.int64)
-        x >>= np.uint64(1)
-    ii, jj = np.nonzero(np.triu(ham <= 3, k=1))
-    truth = {
-        (min(int(fids[i]), int(fids[j])), max(int(fids[i]), int(fids[j])))
-        for i, j in zip(ii, jj)
-    }
-    fp_of = {int(r["doc_id"]): int(r["fp"]) for r in fps}
+    # (cached across simhash/simhash_b5 within a tier — identical input)
+    if shared is None:
+        shared = {}
+    if "simhash_truth" not in shared:
+        fps = widen(docs).select("doc_id", simhash64("text").alias("fp")).collect()
+        fids = np.array([r["doc_id"] for r in fps], dtype=np.int64)
+        vals = np.array([r["fp"] for r in fps], dtype=np.int64).astype(np.uint64)
+        x = vals[:, None] ^ vals[None, :]
+        ham = np.zeros(x.shape, dtype=np.int64)
+        for _ in range(64):
+            ham += (x & 1).astype(np.int64)
+            x >>= np.uint64(1)
+        ii, jj = np.nonzero(np.triu(ham <= 3, k=1))
+        truth = {
+            (min(int(fids[i]), int(fids[j])), max(int(fids[i]), int(fids[j])))
+            for i, j in zip(ii, jj)
+        }
+        fp_of = {int(r["doc_id"]): int(r["fp"]) for r in fps}
+        shared["simhash_truth"] = (len(fps), truth, fp_of)
+    n_fps, truth, fp_of = shared["simhash_truth"]
 
-    found = found_pairs()
-    out["recall_sample_docs"] = len(fps)
+    out["recall_sample_docs"] = n_fps
     out["recall_true_pairs"] = len(truth)
+    found = found_pairs()
     out["recall_vs_bruteforce"] = (
         round(len(found & truth) / len(truth), 4) if truth else None
     )
@@ -1003,7 +1036,6 @@ def _recall_metrics(spark, builders, probe_dir, replication, name) -> dict:
             spark, builders, probe_dir, name, truth, fp_of
         )
         out["recall_connected_exact"] = True
-    return out
 
 
 def _exact_connected_recall(spark, builders, probe_dir, name, truth, fp_of):
@@ -1489,7 +1521,13 @@ def _deltas_vs_previous(
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 5 and sys.argv[1] == "--recall":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--recall":
+        # strict arity: a malformed recall invocation must error loudly,
+        # not silently fall through into a multi-hour full bench run
+        if len(sys.argv) != 5:
+            raise SystemExit(
+                "usage: bench.py --recall <id> <probe_dir> <replication>"
+            )
         _recall_child(sys.argv[2], sys.argv[3], int(sys.argv[4]))
     else:
         main()

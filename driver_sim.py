@@ -119,9 +119,17 @@ for name in names:
             # Arrow driver-collection path stays exercised for these
             # queries too — a regression that breaks collection (e.g. a
             # type unsupported by toPandas) must not pass rows-only
-            # (advice r13)
-            cnt = df.count()
-            df.limit(100).toPandas()
+            # (advice r13). Persisted across the two actions (r14
+            # review): rows-only ids are exactly the expensive
+            # iterative family, and limit() can't prune work above
+            # their aggregations — unpersisted, each would execute
+            # end-to-end twice per driver round.
+            df = df.persist()
+            try:
+                cnt = df.count()
+                df.limit(100).toPandas()
+            finally:
+                df.unpersist()
             n_rowsonly += 1
             status = f"rows-only ({cnt} rows)"
         else:

@@ -570,9 +570,11 @@ def llm_knn_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(len(qids)):
         # stable rank on QUANTIZED dots, ties to the lower ordinal —
         # lexsort's last key is primary — so the probe set is the
-        # oracle's ROW_NUMBER(... ORDER BY dot DESC, ord) exactly
+        # oracle's ROW_NUMBER(... ORDER BY dot DESC, ord) exactly.
+        # len(cent), not _IVF_NCENT: a corpus smaller than ncent yields
+        # fewer centroids and lexsort requires same-shape keys
         d = np.round(cent @ Q[j], 6)
-        top = np.lexsort((np.arange(_IVF_NCENT), -d))[:_IVF_NPROBE]
+        top = np.lexsort((np.arange(len(cent)), -d))[:_IVF_NPROBE]
         probe_mask[j, top] = True
     probed = sorted(int(c) for c in np.nonzero(probe_mask.any(axis=0))[0])
     bc = spark.sparkContext.broadcast((qids, Q, probe_mask))
@@ -765,7 +767,10 @@ def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifts cosines by < 0.01), so no false positives are injected.
     No-false-positives and recall on injected duplicates remain
     pytest-validated through the same pipeline in
-    tests/test_semantics.py."""
+    tests/test_semantics.py. Library consumers wanting the detector
+    over an UNMODIFIED corpus call ``neardup_cosine_pipeline(emb)``
+    directly — the injection lives only in this registered evidence
+    query (synthetic ids are ≥ 10⁹, trivially filterable)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding")
     pert = (

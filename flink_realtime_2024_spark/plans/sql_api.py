@@ -171,8 +171,11 @@ def sql_recursive_cte_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, and checked against the SAME DuckDB recursive-SQL oracle.
 
     Shape: the ranked sequence frame is built once (one window shuffle
-    on o_custkey), then pinned via DISK_ONLY ``localCheckpoint`` —
-    which preserves its HashPartitioning(o_custkey) — and every level's
+    on o_custkey), then pinned via DISK_ONLY ``localCheckpoint`` taken
+    under the ``_noaqe_session`` clone (plans/analytics.py — under AQE
+    a checkpoint's LogicalRDD captures UnknownPartitioning, which would
+    silently re-shuffle both sides of every level; the clone's classic
+    planner preserves HashPartitioning(o_custkey)), and every level's
     frontier join runs CO-PARTITIONED against it: zero additional
     exchanges across all levels, driver state is a fixed loop counter.
     Measured against the recursive operator at the 100× probe corpus
@@ -185,10 +188,17 @@ def sql_recursive_cte_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..sources.io import load_table
+    from .analytics import _noaqe_session
 
+    s = _noaqe_session(spark)
+    orders = load_table(s, sf_dir, "orders")
+    # re-assert AFTER load_table (it re-runs session.prepare, which
+    # re-applies adaptive=true to the clone — the pagerank trap, pinned
+    # by test_noaqe_clone_checkpoints_preserve_partitioning)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     seq = (
-        load_table(spark, sf_dir, "orders")
+        orders
         .select("o_custkey", "o_orderkey", "o_orderdate")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
@@ -207,11 +217,24 @@ def sql_recursive_cte_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "o_custkey",
             )
-            .filter(F.col("rn") == F.col("__prev_rn") + 1)
+            # the increment is written as a RESIDUAL (rn − prev = 1):
+            # spelled rn == __prev_rn + 1, Catalyst extracts it into
+            # the join keys, widening them to (rn, o_custkey) and
+            # re-shuffling BOTH sides on the composite every level —
+            # exactly the exchange the o_custkey co-partitioning
+            # exists to avoid (plan pinned by pytest)
+            .filter(F.col("rn") - F.col("__prev_rn") == 1)
             .select(
                 "o_custkey", "o_orderkey", "rn",
                 (F.col("depth") + 1).alias("depth"),
             )
+            # per-level checkpoint (the pagerank idiom): the frontier
+            # is otherwise a LAZY chain — level k's plan re-executes
+            # levels 1..k-1, making total work O(levels²) in seq scans
+            # (measured 23 s vs 6 s at the 100× corpus). Checkpointed,
+            # each level is one co-partitioned merge of two disk scans
+            # and the union reads materialized levels.
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
         levels.append(frontier)
     out = levels[0]

@@ -1023,7 +1023,13 @@ def test_corpus_scaling_pair_joins_are_sort_merge(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
     )
-    plan = winnow_pipeline(docs)._jdf.queryExecution().executedPlan().toString()
+    # stage=False (r14): this caller only INSPECTS the plan — the lazy
+    # path skips the eager fingerprint checkpoint (no kernel execution
+    # billed to a plan check) and keeps the winnow knob exercised in CI
+    plan = (
+        winnow_pipeline(docs, stage=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert plan.count("SortMergeJoin") >= 2, plan[:2000]
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(

@@ -2503,3 +2503,33 @@ def test_noaqe_clone_checkpoints_preserve_partitioning(spark):
     clone = spark._flink_rt_noaqe_session
     assert clone.conf.get("spark.sql.adaptive.enabled") == "false"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_recursive_twin_levels_are_exchange_free(spark):
+    """r14 self-review finding (applied): spelled `rn == prev + 1`,
+    Catalyst extracts the increment into the join keys, widening them
+    to (rn, o_custkey) and re-shuffling BOTH sides of every level —
+    silently defeating the o_custkey co-partitioning the twin's
+    docstring claims. The residual spelling (rn − prev = 1) plus the
+    _noaqe_session checkpoints must yield a 5-level plan with ZERO
+    exchanges (broadcast disabled so toy-scale stats can't hide a
+    shuffle behind a BHJ)."""
+    from flink_realtime_2024_spark.plans.sql_api import (
+        sql_recursive_cte_iterative,
+    )
+
+    sql_recursive_cte_iterative(spark, SF_DIR)  # memoizes the clone
+    s = spark._flink_rt_noaqe_session
+    prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _explain(sql_recursive_cte_iterative(spark, SF_DIR))
+    finally:
+        if prev is not None:
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        else:
+            try:
+                s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            except Exception:
+                pass
+    assert re.search(r"\(\d+\) Exchange", plan) is None, plan
