@@ -739,6 +739,228 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall_vs_exact(spark, sf_dir, topk)
 
 
+def _pq_seeded_memo_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+    return _emb_memo_key(spark, sf_dir, "pq_books_seeded", _PQ_M, _PQ_K)
+
+
+def _pq_seeded_books(emb: DataFrame, memo_key: tuple | None = None) -> np.ndarray:
+    """Seeded deterministic PQ codebooks (r14 — the llm_knn_ivf_partitioned
+    flip standard applied to product quantization): the per-subspace
+    codewords are the SUBVECTORS of the first ``_PQ_K`` corpus vectors in
+    Knuth multiplicative-hash order (the same engine-portable permutation
+    as ``_ivf_seeded_centroids``), with NO Lloyd refinement. The trade is
+    identical to the IVF one: an oracle engine re-derives the codebooks in
+    one ORDER BY ... LIMIT + list_slice, so encoding, ADC scoring, and the
+    final top-k all become value-checkable SQL. Lloyd-trained codebooks
+    (better reconstruction) live on in ``llm_knn_pq`` (rows-only, recall
+    self-reported). Returns (m, k, d/m); O(_PQ_K) driver memory at any
+    corpus size (orderBy+limit is TakeOrderedAndProject)."""
+    if memo_key is not None and memo_key in _IVF_TRAIN_CACHE:
+        return _IVF_TRAIN_CACHE[memo_key]
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(
+            (F.col("vec_id") * F.lit(_IVF_KNUTH)) % F.lit(2**32), "vec_id"
+        )
+        .limit(_PQ_K)
+        .collect()
+    )
+    src = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    dsub = src.shape[1] // _PQ_M
+    books = np.stack(
+        [src[:, mi * dsub : (mi + 1) * dsub] for mi in range(_PQ_M)]
+    )
+    if memo_key is not None:
+        _IVF_TRAIN_CACHE[memo_key] = books
+    return books
+
+
+def _pq_seeded_encode(E: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float64 → (n, m) uint8 codes under the oracle discipline:
+    squared distance via the expanded identity ‖x‖² − 2x·c + ‖c‖²
+    (matching the SQL spelling term for term), quantized to 1e-6 BEFORE
+    argmin; np.argmin takes the FIRST minimum ⇒ ties break on codeword
+    ordinal, same as the oracle's ROW_NUMBER tie key."""
+    n, d = E.shape
+    dsub = d // _PQ_M
+    codes = np.zeros((n, _PQ_M), dtype=np.uint8)
+    for mi in range(_PQ_M):
+        sub = E[:, mi * dsub : (mi + 1) * dsub]
+        xx = (sub * sub).sum(axis=1, keepdims=True)
+        cc = (books[mi] * books[mi]).sum(axis=1)
+        d2 = np.round(xx - 2.0 * (sub @ books[mi].T) + cc[None, :], 6)
+        codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def _pq_seeded_oracle() -> str:
+    """DuckDB re-derivation of the ENTIRE seeded-PQ pipeline: same
+    codebooks (Knuth-hash order + list_slice), same rounded expanded-
+    identity encoding argmin, same per-subspace-rounded ADC sum, same
+    top-k tie-breaks, same recall column."""
+    dot = "round(list_dot_product({a}, {b}), 6)"
+    return f"""
+WITH dims AS (
+  SELECT len(embedding) // {_PQ_M} AS dsub FROM embeddings LIMIT 1
+),
+mis AS (SELECT UNNEST(range({_PQ_M})) AS mi),
+cent AS (
+  SELECT embedding AS cvec,
+         ROW_NUMBER() OVER (
+           ORDER BY (vec_id * {_IVF_KNUTH}) % 4294967296, vec_id) - 1 AS ord
+  FROM embeddings
+  ORDER BY (vec_id * {_IVF_KNUTH}) % 4294967296, vec_id
+  LIMIT {_PQ_K}
+),
+book AS (
+  SELECT m.mi, c.ord,
+         list_slice(c.cvec, m.mi * d.dsub + 1,
+                    (m.mi + 1) * d.dsub)::DOUBLE[] AS cw
+  FROM cent c CROSS JOIN mis m CROSS JOIN dims d
+),
+esub AS (
+  SELECT e.vec_id, m.mi,
+         list_slice(e.embedding, m.mi * d.dsub + 1,
+                    (m.mi + 1) * d.dsub)::DOUBLE[] AS xs
+  FROM embeddings e CROSS JOIN mis m CROSS JOIN dims d
+),
+codes AS (
+  SELECT vec_id, mi, ord AS code FROM (
+    SELECT s.vec_id, s.mi, b.ord,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
+             round(list_dot_product(s.xs, s.xs)
+                   - 2 * list_dot_product(s.xs, b.cw)
+                   + list_dot_product(b.cw, b.cw), 6),
+             b.ord) AS rnk
+    FROM esub s JOIN book b ON b.mi = s.mi) WHERE rnk = 1
+),
+qset AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_KNN_QUERY_MOD} = 0
+  ORDER BY vec_id LIMIT {_KNN_MAX_QUERIES}
+),
+qsub AS (
+  SELECT q.vec_id, m.mi,
+         list_slice(q.embedding, m.mi * d.dsub + 1,
+                    (m.mi + 1) * d.dsub)::DOUBLE[] AS xs
+  FROM qset q CROSS JOIN mis m CROSS JOIN dims d
+),
+adc AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(SUM({dot.format(a='qs.xs', b='b.cw')}), 6) AS score
+  FROM codes c
+  JOIN book b ON b.mi = c.mi AND b.ord = c.code
+  JOIN qsub qs ON qs.mi = c.mi
+  WHERE c.vec_id <> qs.vec_id
+  GROUP BY qs.vec_id, c.vec_id
+),
+approx AS (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id) AS rnk
+    FROM adc) WHERE rnk <= {_KNN_K}
+),
+exact AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+  FROM qset q JOIN embeddings e ON e.vec_id <> q.vec_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+    ORDER BY {dot.format(a='q.embedding::DOUBLE[]', b='e.embedding::DOUBLE[]')} DESC,
+             e.vec_id) <= {_KNN_K}
+),
+hits AS (
+  SELECT a.query_id,
+         CAST(COUNT(x.neighbor_id) AS DOUBLE)
+           / (SELECT COUNT(*) FROM exact x2
+              WHERE x2.query_id = a.query_id) AS recall
+  FROM approx a
+  LEFT JOIN exact x ON x.query_id = a.query_id
+                   AND x.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT a.query_id, a.neighbor_id, a.score,
+       h.recall AS recall_at_k_vs_exact
+FROM approx a JOIN hits h ON h.query_id = a.query_id
+"""
+
+
+@register("llm_knn_pq_seeded", oracle=_pq_seeded_oracle(), section="L3")
+def llm_knn_pq_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 product-quantization ANN, FULL-ORACLE variant (r14): identical
+    fused plan to ``llm_knn_pq`` — one mapInPandas encodes each Arrow
+    batch to m one-byte codes AND scores it via asymmetric distance
+    computation; only partial top-k rows reach the final shuffle — but
+    with the SEEDED deterministic codebooks (``_pq_seeded_books``: the
+    subvectors of the first _PQ_K corpus vectors in Knuth-hash order,
+    no Lloyd rounds) and the full rounding discipline: encoding
+    distances quantized to 1e-6 before argmin (codeword-ordinal ties),
+    ADC lookup-table entries quantized to 1e-6, the per-vector sum
+    re-quantized to 1e-6 before ranking, ties on neighbor_id. DuckDB
+    re-derives the whole pipeline (codebooks → codes → ADC scores →
+    top-k → recall) and value-matches it — the r9 minhash/simhash flip
+    standard, extended from IVF (llm_knn_ivf_partitioned) to the
+    memory side of the ANN stack. Lloyd-trained codebooks (better
+    reconstruction quality) remain in ``llm_knn_pq`` (rows-only,
+    recall self-reported); at 100 TB the stored index would be the
+    8-byte codes either way — the kernel and plan shape are unchanged
+    by the codebook choice."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_seeded_books(emb, _pq_seeded_memo_key(spark, sf_dir))
+    qids, Q = _knn_query_matrix(emb, _knn_memo_key(spark, sf_dir))
+    dsub = Q.shape[1] // _PQ_M
+    # per-query ADC tables, quantized at the table (oracle parity):
+    # LUT[j, mi, c] = round(q_j_sub(mi) · book[mi][c], 6)
+    lut = np.zeros((len(qids), _PQ_M, _PQ_K))
+    for mi in range(_PQ_M):
+        lut[:, mi, :] = np.round(
+            Q[:, mi * dsub : (mi + 1) * dsub] @ books[mi].T, 6
+        )
+    bc = spark.sparkContext.broadcast((books, qids, lut))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def scan_codes(batches):
+        B, bqids, L = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            codes = _pq_seeded_encode(E, B)
+            S = np.zeros((len(ids), len(bqids)))
+            for mi in range(_PQ_M):
+                S += L[:, mi, codes[:, mi]].T  # (n, q)
+            S = np.round(S, 6)
+            rows = []
+            for j in range(len(bqids)):
+                mask = ids != bqids[j]
+                mids, ms = ids[mask], S[mask, j]
+                order = np.lexsort((mids, -ms))[:_KNN_K]
+                for i in order:
+                    rows.append((int(bqids[j]), int(mids[i]), float(ms[i])))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["query_id", "neighbor_id", "score"]
+                )
+
+    partial = widen(emb.select("vec_id", "embedding")).mapInPandas(
+        scan_codes, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("query_id", "neighbor_id", "score")
+    )
+    return with_recall_vs_exact(spark, sf_dir, topk)
+
+
 @register("llm_neardup_cosine", oracle=None, section="L2,L3")
 def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2/L3 embedding near-dup via random-hyperplane LSH: 16-bit sign

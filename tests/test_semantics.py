@@ -851,6 +851,52 @@ def test_pq_reconstruction_and_recall(spark):
     assert recall >= 0.2, f"PQ recall@k too low: {recall}"
 
 
+def test_pq_seeded_determinism_and_recall(spark):
+    """llm_knn_pq_seeded (r14 full-oracle PQ): (1) the seeded codebooks
+    are a deterministic function of the corpus — two independent builds
+    are bit-identical and shaped (m, k, d/m); (2) the rounded-distance
+    encoder agrees with the unrounded one almost everywhere (rounding
+    exists for oracle parity, not to change assignments); (3) ADC
+    recall vs exact kNN stays above the random floor (uniform-sphere
+    fixtures are PQ's worst case, and seeded codebooks trade quality
+    for oracle-checkability — the floor is accordingly below the
+    Lloyd-trained gate in test_pq_reconstruction_and_recall)."""
+    from flink_realtime_2024_spark.operators.llm import (
+        _PQ_K,
+        _PQ_M,
+        _pq_seeded_books,
+        _pq_seeded_encode,
+        llm_knn_cosine,
+        llm_knn_pq_seeded,
+        pq_encode,
+    )
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = _pq_seeded_books(emb)
+    again = _pq_seeded_books(emb)
+    assert books.shape[0] == _PQ_M and books.shape[1] == _PQ_K
+    assert np.array_equal(books, again)
+
+    E = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    rounded = _pq_seeded_encode(E, books)
+    plain = pq_encode(E, books)
+    agree = (rounded == plain).mean()
+    assert agree > 0.99, f"1e-6 quantization moved {1 - agree:.2%} of codes"
+
+    exact, approx = {}, {}
+    for r in llm_knn_cosine(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in llm_knn_pq_seeded(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(approx) == set(exact)
+    hits = sum(len(approx[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    # k=5 of 500: random ≈ 0.01
+    assert recall >= 0.1, f"seeded-PQ recall@k too low: {recall}"
+
+
 def test_hll_union_estimates_close_to_exact(spark):
     """agg_hll_union is rows-only (DataSketches estimates are
     engine-specific); pin the semantics here: the merged region-level
