@@ -162,35 +162,29 @@ def winnow_pipeline(
     memory-floor guarantees above do not apply to an unstaged frame
     (advice r13).
 
-    THREAD-SAFETY NOTE (advice r13): the eager staging temporarily
-    sets the session-global Arrow batch-size conf around its one
-    checkpoint job; a concurrent job on the SAME SparkSession during
-    that window runs with 1024-row Arrow batches (correct, just
-    smaller), and a racing second winnow build could restore the other
-    caller's in-flight override. Builders are not thread-safe within a
-    session while staging — serialize winnow builds per session, or
-    pass ``stage=False`` and checkpoint/stage the result yourself."""
+    Arrow-batch memory (advice r13, resolved r14): the r13 form
+    bracketed the eager staging with a temporary session-global
+    ``maxRecordsPerBatch=1024`` — racy for concurrent jobs on the same
+    session (they silently ran with tiny batches, and a racing second
+    build could clobber a concurrent caller's override). The bracket is
+    gone: ``session.prepare`` now pins the BYTES-based input-batch cap
+    ``spark.sql.execution.arrow.maxBytesPerBatch=8m`` for the whole
+    session, which bounds every pandas-kernel batch at any row width
+    (fat text rows included) with no per-job conf mutation — builders
+    are thread-safe within a session again."""
     fps = widen(docs).select(
         "doc_id", winnow_fp_array("text").alias("fps")
     ).filter(F.size("fps") > 0)
     if stage and not docs.isStreaming:
-        # Bracket the eager materialization with a small Arrow batch:
-        # the default 10k-row batches of (text + fp-array) are ~50-70 MB
-        # of UNSPILLABLE direct/JNI allocation per concurrent task (the
-        # 'Retried waiting for GCLocker' warnings at the 1 g JVM), and
-        # the winnow kernel is per-row Python, so batch size buys no
-        # compute efficiency — only memory. Runtime conf, restored
-        # after the one job this brackets.
-        conf = docs.sparkSession.conf
-        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-        old = conf.get(key, None)
-        conf.set(key, "1024")
-        try:
-            fps = fps.localCheckpoint(
-                eager=True, storageLevel=StorageLevel.DISK_ONLY
-            )
-        finally:
-            conf.set(key, old) if old is not None else conf.unset(key)
+        # Eager DISK_ONLY staging (r13 memory floor): the pandas-UDF
+        # lineage would otherwise execute THREE times (keys + both
+        # self-join sides) and its Arrow batches would share each
+        # task's execution-memory slice with the downstream SMJ sort
+        # buffers. Batch BYTES are bounded session-wide by prepare()'s
+        # arrow.maxBytesPerBatch=8m — no per-job conf bracket needed.
+        fps = fps.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
     totals = fps.select("doc_id", F.size("fps").alias("n_fps"))
     inv = fps.select("doc_id", F.explode("fps").alias("fp"))
     keys = (

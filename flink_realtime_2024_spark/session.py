@@ -51,6 +51,20 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow input-batch BYTES cap for every pandas-UDF / mapInPandas
+    # stage (r14, advice r13): Spark slices kernel input batches at
+    # min(maxRecordsPerBatch rows, maxBytesPerBatch bytes); the 64 MB
+    # default meant a 10k-row batch of fat text rows was ~50-70 MB of
+    # UNSPILLABLE direct/JNI allocation per concurrent task — the
+    # winnow kernel OOM'd a 1 g-default JVM that way (PLANS.md r12
+    # §2b), and the r13 fix (a temporary session-global
+    # maxRecordsPerBatch=1024 around the staging job) was racy for
+    # concurrent jobs on the same session. A BYTES cap is the
+    # principled form: 8 MB × 32 concurrent tasks = 256 MB in-flight
+    # ceiling at any row width, while narrow rows (embeddings, ids)
+    # still hit the 10k-record cap first — their batch sizes are
+    # unchanged. Set once per session, no bracket, no race.
+    "spark.sql.execution.arrow.maxBytesPerBatch": "8m",
     # fixture files are single small parquets; don't waste time on
     # parallel footer reads / schema merging
     "spark.sql.parquet.mergeSchema": "false",
