@@ -630,6 +630,7 @@ _SF10_QUERIES = (
     "udtf_tokenize_explode",     # UDTF explode over the 100× document corpus
     "llm_dedup_exact",           # content-hash groupBy dedup at 100× docs
     "stream_window_topn",        # streaming windowed top-n over 10M events
+    "llm_knn_pq_seeded",         # seeded-codebook PQ ANN (new in r14): fused encode+ADC scan at 500k vectors
 )
 
 
