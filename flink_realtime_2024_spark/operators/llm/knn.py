@@ -676,10 +676,15 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 product-quantization ANN: the corpus is encoded to 8 one-byte
     codes per vector (32× smaller than float32 — the memory side of the
     ANN stack, where IVF is the IO side), and queries score codes via
-    asymmetric distance computation: one (m × k) lookup table of
-    query-subvector·codeword dot products per query, then each vector's
-    approximate dot is m table lookups — no float vector ever touched
-    at query time.
+    asymmetric distance computation. The classic formulation is one
+    (m × k) lookup table of query-subvector·codeword dots per query
+    with m gathers per vector; this kernel uses the equivalent
+    reconstruction form — decode each batch's codes to (n, d), one
+    BLAS matmul against the query matrix — which is the faster shape
+    when the query set is a dense matrix (the LUT gather wins only for
+    single-query lookups). Either way no STORED float vector is
+    touched at query time: the decode reads codes + the broadcast
+    codebooks only.
 
     Fused in-scan form like llm_knn_ivf: one mapInPandas encodes AND
     scores each Arrow batch; only partial top-k rows reach the final
@@ -691,12 +696,7 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     books = _pq_train(emb)
     qids, Q = _knn_query_matrix(emb, _knn_memo_key(spark, sf_dir))
-    dsub = Q.shape[1] // _PQ_M
-    # per-query ADC lookup tables: LUT[j, mi, c] = q_j_sub(mi) · book[mi][c]
-    lut = np.zeros((len(qids), _PQ_M, _PQ_K))
-    for mi in range(_PQ_M):
-        lut[:, mi, :] = Q[:, mi * dsub : (mi + 1) * dsub] @ books[mi].T
-    bc = spark.sparkContext.broadcast((books, qids, lut))
+    bc = spark.sparkContext.broadcast((books, qids, Q))
 
     out_schema = T.StructType(
         [
@@ -707,16 +707,16 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def scan_codes(batches):
-        B, bqids, L = bc.value
+        B, bqids, bQ = bc.value
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             E = np.array(list(pdf["embedding"]), dtype=np.float64)
             codes = pq_encode(E, B)
-            # ADC: scores[n, q] = sum over subspaces of LUT[q, mi, code]
-            S = np.zeros((len(ids), len(bqids)))
-            for mi in range(_PQ_M):
-                S += L[:, mi, codes[:, mi]].T  # (n, q)
-            S = np.round(S, 6)
+            # ADC via the reconstruction identity (see llm_knn_pq_seeded:
+            # one BLAS matmul beats the per-subspace LUT gather 3.6×
+            # end-to-end at the 100× corpus, same scores)
+            R = pq_reconstruct(codes, B)
+            S = np.round(R @ bQ.T, 6)
             rows = []
             for j in range(len(bqids)):
                 mask = ids != bqids[j]

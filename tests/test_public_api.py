@@ -76,54 +76,41 @@ def test_reclaim_checkpoints_bounds_looped_kernel_blocks(spark, tmp_path):
     to keep the block manager flat — each minhash_pairs call leaves one
     eager DISK_ONLY localCheckpoint RDD behind, freed only after the
     driver reference is GC'd. Loop the kernel, drop the references,
-    call reclaim_checkpoints, and assert the persistent-RDD registry
-    returns to its pre-loop size (ContextCleaner is async, so poll)."""
+    call reclaim_checkpoints, and assert every persistent RDD the loop
+    created is gone (ContextCleaner is async, so poll).
+
+    Assertions track the loop's OWN RDD ids, not the registry SIZE:
+    the size-based form flaked twice on a loaded box — checkpoints an
+    earlier test left dying kept draining between the base read and
+    the grown read, so "base" was stale the moment it was taken.
+    Id-set deltas are immune to concurrent drain in either phase."""
     import time
 
     docs = _user_docs(spark, tmp_path)
 
-    def n_persistent():
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persistent_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {k for k in m.keySet().toArray()}
 
-    def settle(deadline_s):
-        """Reclaim until the registry count stops shrinking (the
-        ContextCleaner is async AND slow on a loaded box — the first
-        20 s deadline flaked when the full suite shared the machine
-        with a replicated-corpus parity run)."""
-        deadline = time.time() + deadline_s
-        low = n_persistent()
-        stable = 0
-        while time.time() < deadline and stable < 3:
-            reclaim_checkpoints(spark)
-            time.sleep(0.5)
-            cur = n_persistent()
-            if cur < low:
-                low, stable = cur, 0
-            else:
-                stable += 1
-        return low
-
-    # flush anything earlier tests left dying before taking the base
-    base = settle(10)
+    ids_before = persistent_ids()
     # HOLD the returned frames during the loop: CPython refcounting
     # would otherwise free each py4j reference the moment the iteration
     # ends, letting the ContextCleaner drain "dead" checkpoints before
-    # the grown-count read — a timing race that flaked in full-suite
-    # runs. Keeping the refs makes the grow/drain phases deterministic.
+    # the grown read. Keeping the refs makes the grow phase
+    # deterministic.
     held = [minhash_pairs(docs) for _ in range(4)]
     for df in held:
         df.count()
-    grown = n_persistent()
-    assert grown > base, "loop did not materialize checkpoint RDDs (test vacuous)"
+    loop_ids = persistent_ids() - ids_before
+    assert loop_ids, "loop did not materialize checkpoint RDDs (test vacuous)"
     del held, df
     reclaim_checkpoints(spark)
     deadline = time.time() + 90
-    while n_persistent() > base and time.time() < deadline:
+    while persistent_ids() & loop_ids and time.time() < deadline:
         time.sleep(0.5)
         reclaim_checkpoints(spark)
-    assert n_persistent() <= base, (
-        f"dead checkpoint blocks not reclaimed: {n_persistent()} > {base}"
-    )
+    leaked = persistent_ids() & loop_ids
+    assert not leaked, f"dead checkpoint blocks not reclaimed: rdd ids {leaked}"
 
 
 def test_simhash_pairs_schemes_agree_on_user_parquet(spark, tmp_path):
