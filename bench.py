@@ -184,8 +184,12 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
                 # heavy queries (driver-synchronous iterative jobs like
                 # BPE training) don't need 3 reps to beat JIT noise —
-                # their wall time IS the signal; cap the bench's cost
-                if best > 5.0:
+                # their wall time IS the signal; cap the bench's cost.
+                # Only after TWO reps agree it's heavy (r14): a transient
+                # host stall landing on rep 1 of a sub-second query used
+                # to be recorded as its min — join_inner_hash once logged
+                # 5.9 s from one stalled rep, 12× its steady state.
+                if rep >= 1 and best > 5.0:
                     break
             timings[name] = round(best, 3)
         except Exception as e:
