@@ -720,11 +720,129 @@ def bpe_train(
     return spark.createDataFrame(merges, schema)
 
 
-@register("llm_bpe_train", oracle=None, section="L4", bench=True)
+# --- full-oracle SQL for BPE (r14): the 8-round training loop UNROLLED ----
+# The iterative argmax is not expressible as one SQL aggregate, but
+# _BPE_MERGES is a fixed small constant, so the loop unrolls into 8
+# chained CTE rounds. Two representation tricks make each round pure SQL:
+#   1. a word's symbol sequence is one STRING with every token wrapped in
+#      a distinct open/close control-char pair, chr(30)||tok||chr(31) —
+#      both verified absent from the corpus (a violation would surface as
+#      a loud oracle mismatch, never a silent wrong answer);
+#   2. BPE's leftmost-non-overlapping merge rewrite is then EXACTLY one
+#      string REPLACE of chr(30)·a·chr(31)·chr(30)·b·chr(31) with
+#      chr(30)·ab·chr(31): REPLACE scans left to right and resumes AFTER
+#      each replacement, and the paired delimiters share no characters
+#      between adjacent matches, so [a,a,a,a] → [aa,aa] exactly like
+#      _bpe_merge_pair (single-delimiter encodings get this wrong — the
+#      shared boundary breaks the second match).
+# Each round re-derives pair counts from the delimited strings (weighted
+# by the word histogram, overlapping adjacencies — the Sennrich
+# convention, same as _bpe_pairs_expr), takes the (cnt DESC, a, b) argmax
+# with the cnt>=2 stop rule, and rewrites. An empty winner (training
+# stopped) keeps seqs unchanged via LEFT JOIN ON TRUE, so later rounds
+# and the encode oracle read the settled state. The Spark trainer's
+# multi-merge batching is bit-identical to 1-merge-per-round (proof in
+# _bpe_select_batch; pytest-asserted vs a sequential reference), which is
+# what licenses the strictly sequential SQL. Unicode: both engines split
+# words per CODEPOINT (fixtures hold no non-BMP text, where JVM UTF-16
+# vs UTF-8 would diverge — probed before this flip).
+
+_BPE_OPEN = "chr(30)"
+_BPE_CLOSE = "chr(31)"
+
+
+def _bpe_train_oracle(n_merges: int = _BPE_MERGES) -> str:
+    o, c = _BPE_OPEN, _BPE_CLOSE
+    parts = [f"""
+WITH words AS (
+  SELECT w AS word, COUNT(*)::BIGINT AS weight
+  FROM (SELECT UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY w
+),
+seqs0 AS (
+  SELECT word, weight,
+         list_aggregate(
+           list_transform(
+             list_append(string_split(word, ''), '{_BPE_EOW}'),
+             t -> {o} || t || {c}),
+           'string_agg', '') AS seq
+  FROM words
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT pr.a, pr.b, SUM(weight)::BIGINT AS cnt FROM (
+    SELECT weight,
+           UNNEST(list_transform(range(1, len(toks)),
+                  i -> {{'a': substr(toks[i], 2), 'b': substr(toks[i+1], 2)}})) AS pr
+    FROM (SELECT weight,
+                 list_filter(string_split(seq, {c}), x -> x <> '') AS toks
+          FROM seqs{k-1})
+  ) GROUP BY pr.a, pr.b
+),
+w{k} AS (
+  SELECT a, b, cnt FROM p{k} WHERE cnt >= 2
+  ORDER BY cnt DESC, a, b LIMIT 1
+),
+seqs{k} AS (
+  SELECT s.word, s.weight,
+         CASE WHEN w.a IS NULL THEN s.seq
+              ELSE replace(s.seq,
+                           {o} || w.a || {c} || {o} || w.b || {c},
+                           {o} || w.a || w.b || {c}) END AS seq
+  FROM seqs{k-1} s LEFT JOIN w{k} w ON TRUE
+)""")
+    unions = "\nUNION ALL\n".join(
+        f'SELECT {k - 1} AS merge_rank, a AS "left", b AS "right",'
+        f" a || b AS merged, cnt AS pair_count FROM w{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + unions
+
+
+def _bpe_encode_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """Encode oracle = the train oracle's CTE chain + a per-doc word
+    join: after round {n}, seqs{n} holds the FULLY merged representation
+    of every distinct word, so a doc's BPE token count is the sum of its
+    words' final symbol counts. Empty-text docs keep (0, 0) via the
+    LEFT JOIN from documents."""
+    c = _BPE_CLOSE
+    prefix = _bpe_train_oracle(n_merges).split("\nSELECT 0 AS merge_rank")[0]
+    return prefix + f""",
+enc AS (
+  SELECT word,
+         len(list_filter(string_split(seq, {c}), x -> x <> ''))::BIGINT AS n_tok
+  FROM seqs{n_merges}
+),
+docw AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+)
+SELECT doc.doc_id,
+       COALESCE(agg.n_words, 0)::BIGINT AS n_words,
+       COALESCE(agg.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+FROM documents doc
+LEFT JOIN (
+  SELECT d.doc_id, COUNT(*)::BIGINT AS n_words,
+         SUM(e.n_tok)::BIGINT AS n_bpe_tokens
+  FROM docw d JOIN enc e ON e.word = d.word
+  GROUP BY d.doc_id
+) agg ON agg.doc_id = doc.doc_id
+"""
+
+
+@register("llm_bpe_train", oracle=_bpe_train_oracle(), section="L4", bench=True)
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: train a BPE tokenizer on the corpus. Rows-only: iterative
-    argmax is not SQL-expressible; exact merge-table equality against a
-    pure-Python reference implementation is pytest-asserted
+    """L4: train a BPE tokenizer on the corpus. FULL ORACLE (r14 —
+    moved off the rows-only list): _BPE_MERGES is a fixed small
+    constant, so DuckDB re-derives the whole training loop as 8
+    unrolled CTE rounds (see _bpe_train_oracle for the delimited-string
+    REPLACE equivalence proof). Exact merge-table equality against a
+    pure-Python sequential reference is additionally pytest-asserted
     (tests/test_semantics.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs)
@@ -788,14 +906,16 @@ def _bpe_merges_for(docs: DataFrame, sf_dir: str) -> list[tuple[str, str]]:
     return merges
 
 
-@register("llm_bpe_encode", oracle=None, section="L4")
+@register("llm_bpe_encode", oracle=_bpe_encode_oracle(), section="L4")
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: encode the corpus with the corpus-trained BPE merges and
     report per-doc token counts — the number that actually prices a
-    training run. Rows-only (the merge table feeding it is iterative);
-    the encoder kernel is pytest-asserted equal to a pure-Python
-    reference, and every count is bounded by chars+1 per word (sanity
-    invariant also pytest-checked)."""
+    training run. FULL ORACLE (r14): the encode oracle reuses the
+    unrolled training chain's final word representations (see
+    _bpe_encode_oracle), so DuckDB independently re-derives merges AND
+    the per-doc counts. The encoder kernel is also pytest-asserted
+    equal to a pure-Python reference, and every count is bounded by
+    chars+1 per word (sanity invariant also pytest-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_encode_counts(docs, _bpe_merges_for(docs, sf_dir))
 
