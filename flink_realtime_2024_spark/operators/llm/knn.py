@@ -987,7 +987,20 @@ def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (synthetic ids are ≥ 10⁹, trivially filterable)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding")
-    pert = (
+    return neardup_cosine_pipeline(
+        base.unionByName(perturbed_replicas(base)), threshold=0.9
+    )
+
+
+def perturbed_replicas(base: DataFrame) -> DataFrame:
+    """Deterministic near-duplicate replicas of every 10th vector:
+    normalize(e + 0.07·roll(e, 1)), vec_id offset 10⁹ — pure JVM-side
+    array expressions (zip_with/transform/aggregate, no UDF, no
+    randomness); cosine to the original is ≥ 0.997 for ANY unit
+    vector. Shared by the ``llm_neardup_cosine`` and
+    ``llm_semantic_dedup`` evidence queries; the DuckDB mirror is
+    ``_REPLICA_CORPUS_SQL`` below."""
+    return (
         base.filter(F.col("vec_id") % 10 == 0)
         .withColumn(
             "__p",
@@ -1006,7 +1019,6 @@ def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return neardup_cosine_pipeline(base.unionByName(pert), threshold=0.9)
 
 
 def neardup_cosine_pipeline(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
@@ -1180,18 +1192,101 @@ def kmeans_assign(
     )
 
 
-@register("llm_kmeans_clusters", oracle=None, section="L3")
+def _kmeans_unrolled_cte(
+    src0: str, k: int = _KMEANS_K, rounds: int = _KMEANS_ROUNDS
+) -> str:
+    """CTE chain replaying ``kmeans_assign``'s exact Lloyd schedule in
+    DuckDB SQL — loop-unrolled, one (assign → per-dim mean → renorm)
+    CTE triple per round, ending in ``asgF`` = (vec_id, emb, cid) under
+    the final centroids. ``src0`` must be a CTE body yielding
+    (vec_id, emb DOUBLE[]).
+
+    Two disciplines make the replay exact, not approximate:
+    - every CTE is ``AS MATERIALIZED`` — DuckDB otherwise inlines each
+      round's centroid CTE into both of its two consumers, doubling the
+      expression tree per round (2⁸ blowup: 224 s → 1 s at sf0.1);
+    - no rounding anywhere, mirroring the kernel's raw-float argmax —
+      safe because tests/test_semantics.py::
+      test_kmeans_equals_sequential_reference proves every round's
+      minimum argmax margin is ≥ 1e-9, four orders above the
+      summation-order ulps by which DuckDB and BLAS reductions differ.
+    """
+    dot = "list_dot_product({a}, {b})"
+    parts = [
+        f"src0 AS MATERIALIZED (\n{src0}\n)",
+        f"""cent0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ord, emb AS cvec
+  FROM src0 ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""asg{r} AS MATERIALIZED (
+  SELECT vec_id, emb, ord AS cid FROM (
+    SELECT e.vec_id, e.emb, c.ord,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {dot.format(a='e.emb', b='c.cvec')} DESC,
+                      c.ord) AS rnk
+    FROM src0 e CROSS JOIN cent{r-1} c) WHERE rnk = 1
+),
+mean{r} AS MATERIALIZED (
+  SELECT cid, list(s / n ORDER BY dim) AS m FROM (
+    SELECT cid, dim, SUM(v) AS s, COUNT(*) AS n FROM (
+      SELECT cid, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v
+      FROM asg{r})
+    GROUP BY cid, dim)
+  GROUP BY cid
+),
+cent{r} AS MATERIALIZED (
+  SELECT c.ord,
+         CASE WHEN m.cid IS NOT NULL
+                   AND list_dot_product(m.m, m.m) > 0
+              THEN list_transform(
+                     m.m, x -> x / sqrt(list_dot_product(m.m, m.m)))
+              ELSE c.cvec END AS cvec
+  FROM cent{r-1} c LEFT JOIN mean{r} m ON m.cid = c.ord
+)"""
+        )
+    parts.append(
+        f"""asgF AS MATERIALIZED (
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, e.emb, c.ord AS cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {dot.format(a='e.emb', b='c.cvec')} DESC,
+                      c.ord) AS rnk
+    FROM src0 e CROSS JOIN cent{rounds} c) WHERE rnk = 1
+)"""
+    )
+    return ",\n".join(parts)
+
+
+_EMB_SRC0 = "  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+
+_KMEANS_ORACLE = (
+    "WITH "
+    + _kmeans_unrolled_cte(_EMB_SRC0)
+    + "\nSELECT vec_id, CAST(cid AS INTEGER) AS cluster_id FROM asgF"
+)
+
+
+@register("llm_kmeans_clusters", oracle=_KMEANS_ORACLE, section="L3")
 def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: corpus clustering by distributed k-means (the grouping step
-    behind SemDeDup-style curation and IVF index builds). Rows-only
-    because it is ITERATIVE (8 dependent Lloyd rounds — not expressible
-    as one SQL query for DuckDB), not because it is fuzzy: the
-    assignment is pinned EXACTLY equal to a single-node NumPy replay of
-    the same schedule by tests/test_semantics.py::
-    test_kmeans_equals_sequential_reference, which also proves the
-    exactness is robust (every round's min argmax margin ≥ 1e-9, four
-    orders above float-reduction noise) rather than lucky. Determinism
-    + quality-vs-1-cluster are separately pytest-asserted."""
+    behind SemDeDup-style curation and IVF index builds).
+
+    FULL oracle (r14, previously rows-only): the 8 dependent Lloyd
+    rounds are not expressible as one SQL query, but they ARE
+    expressible as eight — ``_kmeans_unrolled_cte`` loop-unrolls the
+    exact schedule (same first-k-by-vec_id init, same per-round
+    argmax/mean/renormalize, same empty-cluster guard) into a
+    materialized DuckDB CTE chain, the same flip that took
+    llm_bpe_train from rows-only to oracle-green earlier in r14. The
+    integer assignment survives cross-engine float-reduction noise
+    because every round's minimum argmax margin is ≥ 1e-9 (four orders
+    above ulp noise) — proven by tests/test_semantics.py::
+    test_kmeans_equals_sequential_reference, which also pins the
+    distributed kernel EXACTLY to a single-node NumPy replay.
+    Determinism + quality-vs-1-cluster are separately pytest-asserted."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb).select("vec_id", "cluster_id")
 
@@ -1239,7 +1334,50 @@ def semdedup_pipeline(assigned: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFr
     return assigned.groupBy("cluster_id").applyInPandas(dedup_cluster, _SEMDEDUP_SCHEMA)
 
 
-@register("llm_semantic_dedup", oracle=None, section="L2,L3")
+# DuckDB mirror of ``perturbed_replicas``: same roll-by-1 + 0.07
+# perturbation + renormalize, with the double→float32→double round-trip
+# Spark's FLOAT storage applies. Used as the src0 of the semdedup oracle.
+_REPLICA_CORPUS_SQL = """  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000000,
+         list_transform(p, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE))
+  FROM (
+    SELECT vec_id, p, sqrt(list_dot_product(p, p)) AS nrm FROM (
+      SELECT vec_id,
+             list_transform(
+               list_zip(e, list_concat(e[len(e):len(e)], e[1:len(e)-1])),
+               s -> s[1] + 0.07 * s[2]) AS p
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            WHERE vec_id % 10 = 0)))"""
+
+_SEMDEDUP_ORACLE = (
+    "WITH RECURSIVE "
+    + _kmeans_unrolled_cte(_REPLICA_CORPUS_SQL)
+    + f""",
+parent AS MATERIALIZED (
+  SELECT i.vec_id AS v, MIN(j.vec_id) AS p
+  FROM asgF i JOIN asgF j
+    ON j.cid = i.cid AND j.vec_id < i.vec_id
+   AND round(list_dot_product(i.emb, j.emb), 6) >= {_SEMDEDUP_TAU}
+  GROUP BY i.vec_id
+),
+chain AS (
+  SELECT v, p FROM parent
+  UNION ALL
+  SELECT c.v, pr.p FROM chain c JOIN parent pr ON pr.v = c.p
+),
+keeper AS (
+  SELECT v, MIN(p) AS keeper FROM chain GROUP BY v
+)
+SELECT a.vec_id,
+       CAST(a.cid AS INTEGER) AS cluster_id,
+       CAST(CASE WHEN k.v IS NULL THEN 0 ELSE 1 END AS INTEGER) AS is_dup,
+       COALESCE(k.keeper, a.vec_id) AS keeper_vec_id
+FROM asgF a LEFT JOIN keeper k ON k.v = a.vec_id"""
+)
+
+
+@register("llm_semantic_dedup", oracle=_SEMDEDUP_ORACLE, section="L2,L3")
 def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop documents whose embedding is
     near-identical to another in the SAME k-means cluster — pairwise
@@ -1249,13 +1387,26 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: k-means assignment (driver state = centroids only), then one
     applyInPandas per cluster (``semdedup_pipeline``). At 100 TB,
     oversized clusters would be sub-sharded by a second-level
-    clustering; cluster sizes here are ≤ a few hundred. Rows-only: the
-    cluster-scoped definition is iterative (it inherits the k-means
-    rounds — whose assignments ARE pinned exactly to a sequential NumPy
-    reference, see test_kmeans_equals_sequential_reference); pytest
-    injects near-copies and checks the flagged set exactly."""
+    clustering; cluster sizes here are ≤ a few hundred.
+
+    FULL oracle (r14, previously rows-only): the k-means rounds unroll
+    into the ``_kmeans_unrolled_cte`` chain (see llm_kmeans_clusters),
+    and the within-cluster keeper chain — first lower-id member with
+    round-6 cosine ≥ τ, followed transitively — is a parent-pointer
+    walk: parents strictly decrease, so the keeper is MIN(ancestor) of
+    a recursive CTE. Because the raw fixtures contain NO embedding
+    near-dups (max off-diagonal cosine ≈ 0.6 at every SF — is_dup would
+    be trivially all-zero), the query unions the same deterministic
+    ``perturbed_replicas`` the llm_neardup_cosine evidence query uses
+    (cosine ≥ 0.997 to the original, ids offset 10⁹, mirrored in SQL by
+    ``_REPLICA_CORPUS_SQL``) so the oracle exercises non-trivial
+    is_dup/keeper values. Library consumers wanting the pure corpus
+    call ``semdedup_pipeline(kmeans_assign(emb))`` directly; pytest
+    separately injects near-copies and checks the flagged set exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup_pipeline(kmeans_assign(emb))
+    base = emb.select("vec_id", "embedding")
+    corpus = base.unionByName(perturbed_replicas(base))
+    return semdedup_pipeline(kmeans_assign(corpus))
 
 
 _KNN_INT8_ORACLE = f"""
