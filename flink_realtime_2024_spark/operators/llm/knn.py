@@ -181,6 +181,8 @@ _IVF_NPROBE = 6
 # fixture or changed knob misses the memo by construction.
 _IVF_TRAIN_CACHE: dict[tuple[int, str], np.ndarray] = {}
 
+_IVF_KNUTH = 2654435761  # Knuth multiplicative hash constant
+
 # Same story for the fixed-budget query set: all five kNN entry points
 # collect the IDENTICAL (qids, Q) per call (TakeOrderedAndProject, one
 # driver-synchronous job each) â€” memoize it once per session+digest.
@@ -254,8 +256,12 @@ def _ivf_memo_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
 def _ivf_train(emb: DataFrame, memo_key: tuple | None = None) -> np.ndarray:
     """Coarse quantizer: deterministic sample â†’ numpy Lloyd iterations.
     The training sample is bounded by SIZE (_IVF_TRAIN_BUDGET rows), not
-    by a sampling rate: ordering by xxhash64(vec_id) is a deterministic
-    uniform-ish shuffle, and orderBy+limit compiles to
+    by a sampling rate: ordering by the Knuth multiplicative hash
+    ``(vec_id * 2654435761) % 2^32`` is a deterministic uniform-ish
+    shuffle (r14: was Spark's xxhash64, switched to the engine-portable
+    permutation the seeded variant already uses so the DuckDB oracle can
+    re-derive the sample â€” xxhash64's seed-42 serialized-value hash has
+    no DuckDB twin), and orderBy+limit compiles to
     TakeOrderedAndProject â€” driver memory is O(budget) at any corpus
     size. ``memo_key`` (from ``_ivf_memo_key``) short-circuits repeat
     training within a session."""
@@ -265,7 +271,9 @@ def _ivf_train(emb: DataFrame, memo_key: tuple | None = None) -> np.ndarray:
         [
             r["embedding"]
             for r in emb.select("vec_id", "embedding")
-            .orderBy(F.xxhash64("vec_id"))
+            .orderBy(
+                (F.col("vec_id") * F.lit(_IVF_KNUTH)) % F.lit(2**32), "vec_id"
+            )
             .limit(_IVF_TRAIN_BUDGET)
             .select("embedding")
             .collect()
@@ -287,7 +295,116 @@ def _ivf_train(emb: DataFrame, memo_key: tuple | None = None) -> np.ndarray:
     return cent
 
 
-@register("llm_knn_ivf", oracle=None, section="L3", bench=True)
+def _ivf_lloyd_oracle(rounds: int = 10) -> str:
+    """DuckDB re-derivation of the ENTIRE llm_knn_ivf pipeline,
+    INCLUDING its Lloyd-trained coarse quantizer: the training sample
+    (first ``_IVF_TRAIN_BUDGET`` vectors in Knuth-hash order) and the
+    10 Lloyd rounds unroll into a materialized CTE chain (the
+    ``_kmeans_unrolled_cte`` idiom), then the assignment / probe /
+    pruned-top-k / recall stages replay exactly as in
+    ``_ivf_partitioned_oracle``. Assignment and probe ORDER BY the RAW
+    dot product (the kernel argmaxes unrounded floats there); only the
+    output score and the exact ground truth are round-6, mirroring the
+    kernel."""
+    raw = "list_dot_product({a}, {b})"
+    dot6 = "round(list_dot_product({a}, {b}), 6)"
+    korder = f"(vec_id * {_IVF_KNUTH}) % 4294967296, vec_id"
+    parts = [
+        f"""sample AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         ROW_NUMBER() OVER (ORDER BY {korder}) - 1 AS sord
+  FROM embeddings ORDER BY {korder} LIMIT {_IVF_TRAIN_BUDGET}
+),
+cent0 AS MATERIALIZED (
+  SELECT sord AS ord, emb AS cvec FROM sample WHERE sord < {_IVF_NCENT}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""tasg{r} AS MATERIALIZED (
+  SELECT vec_id, emb, ord AS cid FROM (
+    SELECT s.vec_id, s.emb, c.ord,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY {raw.format(a='s.emb', b='c.cvec')} DESC,
+                      c.ord) AS rnk
+    FROM sample s CROSS JOIN cent{r-1} c) WHERE rnk = 1
+),
+tmean{r} AS MATERIALIZED (
+  SELECT cid, list(s / n ORDER BY dim) AS m FROM (
+    SELECT cid, dim, SUM(v) AS s, COUNT(*) AS n FROM (
+      SELECT cid, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v
+      FROM tasg{r})
+    GROUP BY cid, dim)
+  GROUP BY cid
+),
+cent{r} AS MATERIALIZED (
+  SELECT c.ord,
+         CASE WHEN m.cid IS NOT NULL
+                   AND list_dot_product(m.m, m.m) > 0
+              THEN list_transform(
+                     m.m, x -> x / sqrt(list_dot_product(m.m, m.m)))
+              ELSE c.cvec END AS cvec
+  FROM cent{r-1} c LEFT JOIN tmean{r} m ON m.cid = c.ord
+)"""
+        )
+    parts.append(
+        f"""qset AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  WHERE vec_id % {_KNN_QUERY_MOD} = 0
+  ORDER BY vec_id LIMIT {_KNN_MAX_QUERIES}
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, emb, ord AS cid FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.ord,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {raw.format(a='e.embedding::DOUBLE[]', b='c.cvec')} DESC,
+                      c.ord) AS rnk
+    FROM embeddings e CROSS JOIN cent{rounds} c) WHERE rnk = 1
+),
+probe AS MATERIALIZED (
+  SELECT vec_id AS query_id, ord AS cid FROM (
+    SELECT q.vec_id, c.ord,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {raw.format(a='q.emb', b='c.cvec')} DESC,
+                      c.ord) AS rnk
+    FROM qset q CROSS JOIN cent{rounds} c) WHERE rnk <= {_IVF_NPROBE}
+),
+approx AS MATERIALIZED (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           {dot6.format(a='q.emb', b='a.emb')} AS score,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY {dot6.format(a='q.emb', b='a.emb')} DESC,
+                      a.vec_id) AS rnk
+    FROM probe p
+    JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    JOIN qset q ON q.vec_id = p.query_id) WHERE rnk <= {_KNN_K}
+),
+exact AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+  FROM qset q JOIN embeddings e ON e.vec_id <> q.vec_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+    ORDER BY {dot6.format(a='q.emb', b='e.embedding::DOUBLE[]')} DESC,
+             e.vec_id) <= {_KNN_K}
+),
+hits AS (
+  SELECT a.query_id,
+         CAST(COUNT(x.neighbor_id) AS DOUBLE)
+           / (SELECT COUNT(*) FROM exact x2
+              WHERE x2.query_id = a.query_id) AS recall
+  FROM approx a
+  LEFT JOIN exact x ON x.query_id = a.query_id
+                   AND x.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT a.query_id, a.neighbor_id, a.score,
+       h.recall AS recall_at_k_vs_exact
+FROM approx a JOIN hits h ON h.query_id = a.query_id"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+@register("llm_knn_ivf", oracle=_ivf_lloyd_oracle(), section="L3", bench=True)
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path: IVF-style approximate top-k. A coarse quantizer
     (deterministic Lloyd k-means on a fixed sample) defines inverted
@@ -302,11 +419,15 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by centroid_id so probing prunes at the SCAN (partition
     pruning), not just at compute â€” the kernel is unchanged.
 
-    Rows-only (approximate by design); recall@k vs the exact kNN is
-    asserted in tests/test_semantics.py AND self-reported in-query â€”
-    every row carries ``recall_at_k_vs_exact`` (per-query recall
-    against the memoized exact top-k) so the driver's rows-only
-    recording still pins answer quality.
+    FULL oracle (r14, previously rows-only): the last non-portable
+    piece was the TRAINING â€” r14 switched the sample ordering from
+    Spark's xxhash64 to the Knuth-hash permutation (see ``_ivf_train``)
+    and ``_ivf_lloyd_oracle`` now unrolls the 10 Lloyd rounds into SQL
+    the same way llm_kmeans_clusters' oracle does, so quantizer
+    training, list assignment, probing, pruned top-k AND the in-query
+    ``recall_at_k_vs_exact`` are all value-checked cross-engine.
+    Recall@k vs the exact kNN is additionally asserted in
+    tests/test_semantics.py.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _ivf_train(emb, _ivf_memo_key(spark, sf_dir))
@@ -359,9 +480,6 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "score")
     )
     return with_recall_vs_exact(spark, sf_dir, topk)
-
-
-_IVF_KNUTH = 2654435761  # Knuth multiplicative hash constant
 
 
 def _ivf_seeded_memo_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
@@ -626,12 +744,16 @@ _PQ_K = 16  # codewords per subspace â†’ 4 bits; 64-dim float32 â†’ 8 bytes (32Ã
 def _pq_train(emb: DataFrame) -> np.ndarray:
     """Product-quantization codebooks (JÃ©gou et al., TPAMI'11): per
     subspace, Lloyd k-means over a FIXED-size sample (same budget
-    discipline as the IVF trainer). Returns (m, k, d/m)."""
+    discipline as the IVF trainer; r14: sample ordering switched from
+    xxhash64 to the engine-portable Knuth-hash permutation, same reason
+    as ``_ivf_train``). Returns (m, k, d/m)."""
     sample = np.array(
         [
             r["embedding"]
             for r in emb.select("vec_id", "embedding")
-            .orderBy(F.xxhash64("vec_id"))
+            .orderBy(
+                (F.col("vec_id") * F.lit(_IVF_KNUTH)) % F.lit(2**32), "vec_id"
+            )
             .limit(_IVF_TRAIN_BUDGET)
             .select("embedding")
             .collect()
@@ -671,7 +793,126 @@ def pq_reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
     return np.concatenate([books[mi][codes[:, mi]] for mi in range(_PQ_M)], axis=1)
 
 
-@register("llm_knn_pq", oracle=None, section="L3")
+def _pq_lloyd_oracle(rounds: int = 10) -> str:
+    """DuckDB re-derivation of the ENTIRE llm_knn_pq pipeline,
+    INCLUDING its per-subspace Lloyd codebook training: the Knuth-hash
+    sample and the 10 Euclidean Lloyd rounds unroll into a materialized
+    CTE chain â€” subspaces stay a COLUMN (mi), only the sequential
+    rounds unroll â€” then encoding, reconstruction-dot scoring, top-k
+    and recall replay as in ``_pq_seeded_oracle``. The squared distance
+    is computed in the kernel's own subtract-square-sum form (not the
+    expanded â€–xâ€–Â²âˆ’2xÂ·c+â€–câ€–Â² identity) so both engines reduce the same
+    8-element operand list; argmins are RAW (the kernel does not round
+    before argmin), only the output ADC score is round-6."""
+    korder = f"(vec_id * {_IVF_KNUTH}) % 4294967296, vec_id"
+    sqd = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+    dot6 = "round(list_dot_product({a}, {b}), 6)"
+    parts = [
+        f"""dims AS (
+  SELECT len(embedding) // {_PQ_M} AS dsub FROM embeddings LIMIT 1
+),
+mis AS (SELECT UNNEST(range({_PQ_M})) AS mi),
+sample AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         ROW_NUMBER() OVER (ORDER BY {korder}) - 1 AS sord
+  FROM embeddings ORDER BY {korder} LIMIT {_IVF_TRAIN_BUDGET}
+),
+ssub AS MATERIALIZED (
+  SELECT s.vec_id, s.sord, m.mi,
+         list_slice(s.embedding, m.mi * d.dsub + 1,
+                    (m.mi + 1) * d.dsub)::DOUBLE[] AS xs
+  FROM sample s CROSS JOIN mis m CROSS JOIN dims d
+),
+book0 AS MATERIALIZED (
+  SELECT mi, sord AS ord, xs AS cw FROM ssub WHERE sord < {_PQ_K}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""pasg{r} AS MATERIALIZED (
+  SELECT vec_id, mi, xs, ord AS code FROM (
+    SELECT s.vec_id, s.mi, s.xs, b.ord,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.mi
+             ORDER BY {sqd.format(a='s.xs', b='b.cw')} ASC, b.ord) AS rnk
+    FROM ssub s JOIN book{r-1} b ON b.mi = s.mi) WHERE rnk = 1
+),
+pmean{r} AS MATERIALIZED (
+  SELECT mi, code, list(s / n ORDER BY dim) AS m FROM (
+    SELECT mi, code, dim, SUM(v) AS s, COUNT(*) AS n FROM (
+      SELECT mi, code, generate_subscripts(xs, 1) AS dim, unnest(xs) AS v
+      FROM pasg{r})
+    GROUP BY mi, code, dim)
+  GROUP BY mi, code
+),
+book{r} AS MATERIALIZED (
+  SELECT b.mi, b.ord, COALESCE(m.m, b.cw) AS cw
+  FROM book{r-1} b LEFT JOIN pmean{r} m ON m.mi = b.mi AND m.code = b.ord
+)"""
+        )
+    parts.append(
+        f"""esub AS MATERIALIZED (
+  SELECT e.vec_id, m.mi,
+         list_slice(e.embedding, m.mi * d.dsub + 1,
+                    (m.mi + 1) * d.dsub)::DOUBLE[] AS xs
+  FROM embeddings e CROSS JOIN mis m CROSS JOIN dims d
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, mi, ord AS code FROM (
+    SELECT s.vec_id, s.mi, b.ord,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.mi
+             ORDER BY {sqd.format(a='s.xs', b='b.cw')} ASC, b.ord) AS rnk
+    FROM esub s JOIN book{rounds} b ON b.mi = s.mi) WHERE rnk = 1
+),
+qset AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_KNN_QUERY_MOD} = 0
+  ORDER BY vec_id LIMIT {_KNN_MAX_QUERIES}
+),
+recon AS MATERIALIZED (
+  SELECT c.vec_id, flatten(list(b.cw ORDER BY c.mi)) AS rvec
+  FROM codes c JOIN book{rounds} b ON b.mi = c.mi AND b.ord = c.code
+  GROUP BY c.vec_id
+),
+adc AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         {dot6.format(a='q.embedding::DOUBLE[]', b='r.rvec')} AS score
+  FROM qset q JOIN recon r ON r.vec_id <> q.vec_id
+),
+approx AS (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id) AS rnk
+    FROM adc) WHERE rnk <= {_KNN_K}
+),
+exact AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+  FROM qset q JOIN embeddings e ON e.vec_id <> q.vec_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+    ORDER BY {dot6.format(a='q.embedding::DOUBLE[]', b='e.embedding::DOUBLE[]')} DESC,
+             e.vec_id) <= {_KNN_K}
+),
+hits AS (
+  SELECT a.query_id,
+         CAST(COUNT(x.neighbor_id) AS DOUBLE)
+           / (SELECT COUNT(*) FROM exact x2
+              WHERE x2.query_id = a.query_id) AS recall
+  FROM approx a
+  LEFT JOIN exact x ON x.query_id = a.query_id
+                   AND x.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT a.query_id, a.neighbor_id, a.score,
+       h.recall AS recall_at_k_vs_exact
+FROM approx a JOIN hits h ON h.query_id = a.query_id"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+@register("llm_knn_pq", oracle=_pq_lloyd_oracle(), section="L3")
 def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 product-quantization ANN: the corpus is encoded to 8 one-byte
     codes per vector (32Ã— smaller than float32 â€” the memory side of the
@@ -690,9 +931,14 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores each Arrow batch; only partial top-k rows reach the final
     shuffle. At 100 TB the codes (+ codebooks) would be the stored
     index â€” 8 bytes/vector â€” with this same kernel reading codes
-    instead of raw embeddings. Rows-only; reconstruction quality and
-    recall vs exact kNN are pytest-asserted, and every row carries the
-    self-reported ``recall_at_k_vs_exact`` column."""
+    instead of raw embeddings.
+
+    FULL oracle (r14, previously rows-only): ``_pq_lloyd_oracle``
+    unrolls the per-subspace Lloyd codebook training into SQL (the
+    llm_knn_ivf/llm_kmeans_clusters flip applied to Euclidean PQ), so
+    training, encoding, ADC scoring and the in-query recall column are
+    all value-checked cross-engine. Reconstruction quality and recall
+    vs exact kNN are additionally pytest-asserted."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = _pq_train(emb)
     qids, Q = _knn_query_matrix(emb, _knn_memo_key(spark, sf_dir))
