@@ -1021,6 +1021,92 @@ def test_kmeans_equals_sequential_reference(spark):
     )
 
 
+def test_ann_training_margins_support_oracle_exactness(spark):
+    """The r14 llm_knn_ivf / llm_knn_pq oracle flips replay each Lloyd
+    training in DuckDB SQL; like the k-means flip, the replay is exact
+    only if every argmax/argmin decision clears the cross-engine
+    float-reduction noise floor (~1e-13 relative). This guard replays
+    both training schedules on the kernels' own Knuth-hash-ordered
+    sample and asserts the minimum best-vs-second-best margin at EVERY
+    round (and the final full-corpus assignment/encode) is ≥ 1e-9 —
+    measured 2.9e-5 (IVF) and 8.7e-7 (PQ) on the shipped fixtures. If
+    a future fixture trips this, THAT failure is the signal the corpus
+    has a decision-boundary tie and the ids must revert to rows-only."""
+    import pyspark.sql.functions as F
+
+    from flink_realtime_2024_spark.operators.llm import (
+        _IVF_KNUTH,
+        _IVF_NCENT,
+        _IVF_TRAIN_BUDGET,
+        _PQ_K,
+        _PQ_M,
+    )
+    from flink_realtime_2024_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in emb.select("vec_id", "embedding")
+            .orderBy((F.col("vec_id") * F.lit(_IVF_KNUTH)) % F.lit(2**32), "vec_id")
+            .limit(_IVF_TRAIN_BUDGET)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    corpus = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+
+    def min_margin_desc(D):  # best minus second-best (maximization)
+        part = np.partition(D, D.shape[1] - 2, axis=1)
+        return float((part[:, -1] - part[:, -2]).min())
+
+    # IVF: 10 cosine Lloyd rounds, then the full-corpus assignment
+    cent = sample[:_IVF_NCENT].copy()
+    ivf_margin = np.inf
+    for _ in range(10):
+        D = sample @ cent.T
+        ivf_margin = min(ivf_margin, min_margin_desc(D))
+        a = D.argmax(axis=1)
+        for c in range(_IVF_NCENT):
+            mem = sample[a == c]
+            if len(mem):
+                m = mem.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    ivf_margin = min(ivf_margin, min_margin_desc(corpus @ cent.T))
+    assert ivf_margin >= 1e-9, (
+        f"IVF argmax margin {ivf_margin} within reduction noise — "
+        "llm_knn_ivf's full oracle is not assertable on this corpus"
+    )
+
+    # PQ: per-subspace Euclidean Lloyd rounds, then full-corpus encode
+    d = sample.shape[1]
+    dsub = d // _PQ_M
+    pq_margin = np.inf
+    for mi in range(_PQ_M):
+        sub = sample[:, mi * dsub : (mi + 1) * dsub]
+        cw = sub[:_PQ_K].copy()
+        for _ in range(10):
+            d2 = ((sub[:, None, :] - cw[None, :, :]) ** 2).sum(-1)
+            pq_margin = min(pq_margin, min_margin_desc(-d2))
+            a = d2.argmin(axis=1)
+            for c in range(_PQ_K):
+                mem = sub[a == c]
+                if len(mem):
+                    cw[c] = mem.mean(axis=0)
+        csub = corpus[:, mi * dsub : (mi + 1) * dsub]
+        d2 = ((csub[:, None, :] - cw[None, :, :]) ** 2).sum(-1)
+        pq_margin = min(pq_margin, min_margin_desc(-d2))
+    assert pq_margin >= 1e-9, (
+        f"PQ argmin margin {pq_margin} within reduction noise — "
+        "llm_knn_pq's full oracle is not assertable on this corpus"
+    )
+
+
 def test_kmeans_deterministic_and_better_than_random(spark):
     """Fixed init + fixed rounds ⇒ bit-stable assignment across runs;
     quality: mean cosine-to-own-centroid must beat assigning everything
