@@ -1383,6 +1383,20 @@ def kmeans_assign(
         ]
     )
 
+    # The Lloyd loop reads the corpus ``rounds`` times; without a stage
+    # each round re-scans + re-decodes the parquet and re-runs widen's
+    # repartition (measured 142 s → 67 s at the 100× probe tier from
+    # this persist alone). DISK_ONLY per the winnow/pagerank discipline
+    # — the corpus must never be pinned as JVM heap Object[] rows — and
+    # the persist's lifetime is EXACTLY the training loop: the final
+    # assignment pass below runs on a fresh one-shot scan, so nothing
+    # cached outlives this builder.
+    train_src = widen(vecs)
+    persisted = None
+    if rounds > 0 and not vecs.isStreaming:
+        persisted = train_src.persist(StorageLevel.DISK_ONLY)
+        train_src = persisted
+
     for _ in range(rounds):
         b = sc.broadcast(cent)
 
@@ -1402,7 +1416,7 @@ def kmeans_assign(
                 yield pd.DataFrame(rows, columns=["cluster", "n", "sums"])
 
         agg = (
-            widen(vecs)
+            train_src
             .mapInPandas(partials, partial_schema)
             .select("cluster", "n", F.posexplode("sums").alias("dim", "v"))
             .groupBy("cluster", "dim")
@@ -1422,6 +1436,9 @@ def kmeans_assign(
                 nrm = np.linalg.norm(m)
                 if nrm > 0:
                     cent[c] = m / nrm
+
+    if persisted is not None:
+        persisted.unpersist(blocking=False)
 
     bfin = sc.broadcast(cent)
 
