@@ -404,7 +404,7 @@ FROM approx a JOIN hits h ON h.query_id = a.query_id"""
     return "WITH " + ",\n".join(parts)
 
 
-@register("llm_knn_ivf", oracle=_ivf_lloyd_oracle(), section="L3", bench=True)
+@register("llm_knn_ivf", oracle=_ivf_lloyd_oracle(), section="L3", bench=True, reverify=14)
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path: IVF-style approximate top-k. A coarse quantizer
     (deterministic Lloyd k-means on a fixed sample) defines inverted
@@ -588,7 +588,7 @@ FROM approx a JOIN hits h ON h.query_id = a.query_id
 
 @register(
     "llm_knn_ivf_partitioned", oracle=_ivf_partitioned_oracle(),
-    section="L3,S7", bench=True,
+    section="L3,S7", bench=True, reverify=14,
 )
 def llm_knn_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 the IVF claim made physical: the inverted lists are WRITTEN as
@@ -912,7 +912,7 @@ FROM approx a JOIN hits h ON h.query_id = a.query_id"""
     return "WITH " + ",\n".join(parts)
 
 
-@register("llm_knn_pq", oracle=_pq_lloyd_oracle(), section="L3")
+@register("llm_knn_pq", oracle=_pq_lloyd_oracle(), section="L3", reverify=14)
 def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 product-quantization ANN: the corpus is encoded to 8 one-byte
     codes per vector (32× smaller than float32 — the memory side of the
@@ -1199,7 +1199,7 @@ def llm_knn_pq_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall_vs_exact(spark, sf_dir, topk)
 
 
-@register("llm_neardup_cosine", oracle=None, section="L2,L3")
+@register("llm_neardup_cosine", oracle=None, section="L2,L3", reverify=14)
 def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2/L3 embedding near-dup via random-hyperplane LSH: 16-bit sign
     signatures × 8 tables; same signature in any table ⇒ candidate;
@@ -1532,7 +1532,7 @@ _KMEANS_ORACLE = (
 )
 
 
-@register("llm_kmeans_clusters", oracle=_KMEANS_ORACLE, section="L3")
+@register("llm_kmeans_clusters", oracle=_KMEANS_ORACLE, section="L3", reverify=14)
 def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: corpus clustering by distributed k-means (the grouping step
     behind SemDeDup-style curation and IVF index builds).
@@ -1640,7 +1640,7 @@ FROM asgF a LEFT JOIN keeper k ON k.v = a.vec_id"""
 )
 
 
-@register("llm_semantic_dedup", oracle=_SEMDEDUP_ORACLE, section="L2,L3")
+@register("llm_semantic_dedup", oracle=_SEMDEDUP_ORACLE, section="L2,L3", reverify=14)
 def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop documents whose embedding is
     near-identical to another in the SAME k-means cluster — pairwise

@@ -835,7 +835,7 @@ LEFT JOIN (
 """
 
 
-@register("llm_bpe_train", oracle=_bpe_train_oracle(), section="L4", bench=True)
+@register("llm_bpe_train", oracle=_bpe_train_oracle(), section="L4", bench=True, reverify=14)
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: train a BPE tokenizer on the corpus. FULL ORACLE (r14 —
     moved off the rows-only list): _BPE_MERGES is a fixed small
@@ -906,7 +906,7 @@ def _bpe_merges_for(docs: DataFrame, sf_dir: str) -> list[tuple[str, str]]:
     return merges
 
 
-@register("llm_bpe_encode", oracle=_bpe_encode_oracle(), section="L4")
+@register("llm_bpe_encode", oracle=_bpe_encode_oracle(), section="L4", reverify=14)
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: encode the corpus with the corpus-trained BPE merges and
     report per-doc token counts — the number that actually prices a
