@@ -87,11 +87,25 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 APPROX_COUNT_DISTINCT — HyperLogLog++, constant memory per key;
     the 100 TB UV path (exact distinct shuffles every key). Rows-only:
-    Spark's HLL++ and DuckDB's HLL give different estimates by design."""
+    Spark's HLL++ and DuckDB's HLL give different estimates by design.
+
+    Self-reported error (r14, the recall_at_k idiom): the frame carries
+    ``exact_uv`` and ``rel_err`` so the driver's rows-only recording
+    pins estimate quality, not just row count. The exact column is
+    EVIDENCE instrumentation — a production 100 TB UV query runs the
+    sketch alone; closeness is also pytest-asserted."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_uv"),
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_uv"),
+    ).withColumn(
+        "rel_err",
+        F.round(
+            F.abs(F.col("approx_uv") - F.col("exact_uv"))
+            / F.greatest(F.col("exact_uv"), F.lit(1)),
+            4,
+        ),
     )
 
 
@@ -147,12 +161,28 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile's full sort-per-group is too expensive. Mergeable sketch
     ⇒ two-phase aggregation like any other agg. Rows-only (DuckDB has
     no GK sketch with matching error bounds); closeness to the exact
-    percentiles is pytest-asserted."""
+    percentiles is pytest-asserted.
+
+    Self-reported error (r14): ``exact_p50``/``exact_p95`` and the
+    relative errors ride the same aggregation as evidence columns, so
+    the rows-only recording pins sketch quality in-query."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
         F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("ap95"),
         F.count(F.lit(1)).alias("n_orders"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("exact_p95"),
+    ).select(
+        "o_orderstatus", "ap50", "ap95", "n_orders",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        F.round("exact_p95", 4).alias("exact_p95"),
+        F.round(
+            F.abs(F.col("ap50") - F.col("exact_p50")) / F.col("exact_p50"), 4
+        ).alias("rel_err_p50"),
+        F.round(
+            F.abs(F.col("ap95") - F.col("exact_p95")) / F.col("exact_p95"), 4
+        ).alias("rel_err_p95"),
     )
 
 
@@ -469,20 +499,41 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: re-aggregation to coarser grains touches only sketch
     bytes (~KB per group), never the fact table — the pre-aggregated
-    serving-table pattern (S7) for approximate UV at 100 TB."""
+    serving-table pattern (S7) for approximate UV at 100 TB.
+
+    Self-reported error (r14): ``exact_customers``/``rel_err`` join in
+    as evidence columns so the rows-only recording pins estimate
+    quality. The exact side deliberately lives in a SEPARATE aggregate
+    (the sketch path still never touches per-row data after the
+    per-nation sketches) — instrumentation only, as with the kNN
+    recall column."""
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    dim = F.broadcast(nation.select("n_nationkey", "n_regionkey"))
     per_nation = customer.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk")
     )
-    return (
-        per_nation.join(
-            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
-            per_nation.c_nationkey == F.col("n_nationkey"),
-        )
+    est = (
+        per_nation.join(dim, per_nation.c_nationkey == F.col("n_nationkey"))
         .groupBy("n_regionkey")
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_customers")
+        )
+    )
+    exact = (
+        customer.join(dim, customer.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("exact_customers"))
+    )
+    return (
+        est.join(exact, "n_regionkey")
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("est_customers") - F.col("exact_customers"))
+                / F.greatest(F.col("exact_customers"), F.lit(1)),
+                4,
+            ),
         )
         .orderBy("n_regionkey")
     )
