@@ -637,8 +637,8 @@ _SF10_QUERIES = (
     "llm_knn_pq_seeded",         # seeded-codebook PQ ANN (new in r14): fused encode+ADC scan at 500k vectors
     # r14 oracle-flip evidence: the TRAINED ANN family at 100× — the
     # Lloyd trainers are bounded (4096-row sample) so only the fused
-    # scan scales; kmeans is the Ω(rounds × corpus) fixpoint with the
-    # DISK_ONLY training stage (142 s → 67 s from the persist).
+    # scan scales; kmeans is the Ω(rounds × corpus) fixpoint with a
+    # DISK_ONLY training stage (19 s / 9.6 s idle at 200k vectors).
     "llm_knn_ivf",               # Lloyd-trained IVF: bounded training + probed fused scan
     "llm_kmeans_clusters",       # 8-round Lloyd fixpoint over the full corpus
 )

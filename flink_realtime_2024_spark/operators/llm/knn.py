@@ -1383,14 +1383,17 @@ def kmeans_assign(
         ]
     )
 
-    # The Lloyd loop reads the corpus ``rounds`` times; without a stage
-    # each round re-scans + re-decodes the parquet and re-runs widen's
-    # repartition (measured 142 s → 67 s at the 100× probe tier from
-    # this persist alone). DISK_ONLY per the winnow/pagerank discipline
-    # — the corpus must never be pinned as JVM heap Object[] rows — and
-    # the persist's lifetime is EXACTLY the training loop: the final
-    # assignment pass below runs on a fresh one-shot scan, so nothing
-    # cached outlives this builder.
+    # The Lloyd loop reads the corpus ``rounds`` times; staging it for
+    # the loop bounds the scan+decode+widen work to ONE pass (the MLlib
+    # KMeans discipline — it warns when its input is uncached). At the
+    # local 100× tier the A/B is a wash (19.0 s vs 19.2 s: the parquet
+    # is page-cache-resident), so the case is the 100 TB one, where 8
+    # re-reads from object storage would dominate the fixpoint.
+    # DISK_ONLY per the winnow/pagerank discipline — the corpus must
+    # never be pinned as JVM heap Object[] rows — and the persist's
+    # lifetime is EXACTLY the training loop: the final assignment pass
+    # below runs on a fresh one-shot scan, so nothing cached outlives
+    # this builder.
     train_src = widen(vecs)
     persisted = None
     if rounds > 0 and not vecs.isStreaming:
