@@ -172,6 +172,18 @@ def winnow_pipeline(
     session, which bounds every pandas-kernel batch at any row width
     (fat text rows included) with no per-job conf mutation — builders
     are thread-safe within a session again."""
+    # The memory floor depends on the bytes-based Arrow input cap; a
+    # consumer calling this public builder on a session that never went
+    # through load_table/prepare() (vanilla session + own parquet)
+    # would otherwise run the eager staging job with default ~64 MB
+    # batches of fat text rows — the r12 unspillable-allocation OOM
+    # class. Idempotent re-assert, not a bracket: set-if-unset only, so
+    # an operator-tuned override is respected and nothing is restored
+    # (no race with concurrent jobs).
+    sess = docs.sparkSession
+    cap = "spark.sql.execution.arrow.maxBytesPerBatch"
+    if sess.conf.get(cap, None) is None:
+        sess.conf.set(cap, "8m")
     fps = widen(docs).select(
         "doc_id", winnow_fp_array("text").alias("fps")
     ).filter(F.size("fps") > 0)
@@ -181,7 +193,8 @@ def winnow_pipeline(
         # self-join sides) and its Arrow batches would share each
         # task's execution-memory slice with the downstream SMJ sort
         # buffers. Batch BYTES are bounded session-wide by prepare()'s
-        # arrow.maxBytesPerBatch=8m — no per-job conf bracket needed.
+        # arrow.maxBytesPerBatch=8m (re-asserted above for
+        # never-prepared sessions) — no per-job conf bracket needed.
         fps = fps.localCheckpoint(
             eager=True, storageLevel=StorageLevel.DISK_ONLY
         )

@@ -295,6 +295,87 @@ def _ivf_train(emb: DataFrame, memo_key: tuple | None = None) -> np.ndarray:
     return cent
 
 
+def _ann_recall_tail(q_expr: str) -> str:
+    """The exact-ground-truth + recall + final-SELECT tail shared by
+    ALL FOUR approximate-kNN oracles (IVF flat/partitioned, PQ
+    trained/seeded): given an ``approx(query_id, neighbor_id, score)``
+    CTE and a ``qset`` CTE whose query embedding is ``q_expr`` (the
+    only per-builder difference — some qsets pre-cast to DOUBLE[]),
+    appends ``exact``/``hits`` and the final recall-annotated SELECT.
+    One rendering, so a change to the recall definition or tie-break
+    discipline cannot desynchronize one oracle from the shared kernel
+    helper ``with_recall_vs_exact`` (r14 review finding). ``exact`` is
+    MATERIALIZED — ``hits`` consumes it twice and DuckDB would inline
+    the corpus-wide ranking into both consumers."""
+    dot6 = (
+        f"round(list_dot_product({q_expr}, e.embedding::DOUBLE[]), 6)"
+    )
+    return f"""exact AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+  FROM qset q JOIN embeddings e ON e.vec_id <> q.vec_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+    ORDER BY {dot6} DESC,
+             e.vec_id) <= {_KNN_K}
+),
+hits AS (
+  SELECT a.query_id,
+         CAST(COUNT(x.neighbor_id) AS DOUBLE)
+           / (SELECT COUNT(*) FROM exact x2
+              WHERE x2.query_id = a.query_id) AS recall
+  FROM approx a
+  LEFT JOIN exact x ON x.query_id = a.query_id
+                   AND x.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT a.query_id, a.neighbor_id, a.score,
+       h.recall AS recall_at_k_vs_exact
+FROM approx a JOIN hits h ON h.query_id = a.query_id"""
+
+
+def _lloyd_rounds_cte(src: str, k: int, rounds: int) -> str:
+    """The unrolled cosine-Lloyd round triple — (raw-dot argmax assign
+    → per-dim mean → renormalize-or-keep centroid) as MATERIALIZED
+    CTEs ``asg{r}``/``mean{r}``/``cent{r}`` reading training CTE
+    ``{src}`` (vec_id, emb DOUBLE[]) against ``cent{r-1}``. Shared by
+    ``_kmeans_unrolled_cte`` (trains on the full corpus) and
+    ``_ivf_lloyd_oracle`` (trains on the bounded Knuth-ordered sample);
+    callers supply their own ``cent0`` and consume ``cent{rounds}``.
+    MATERIALIZED is load-bearing: inlined, each round's centroid CTE
+    doubles into both of its consumers (2^rounds expression blowup —
+    224 s → 1 s at sf0.1)."""
+    raw = "list_dot_product({a}, {b})"
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""asg{r} AS MATERIALIZED (
+  SELECT vec_id, emb, ord AS cid FROM (
+    SELECT e.vec_id, e.emb, c.ord,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {raw.format(a='e.emb', b='c.cvec')} DESC,
+                      c.ord) AS rnk
+    FROM {src} e CROSS JOIN cent{r-1} c) WHERE rnk = 1
+),
+mean{r} AS MATERIALIZED (
+  SELECT cid, list(s / n ORDER BY dim) AS m FROM (
+    SELECT cid, dim, SUM(v) AS s, COUNT(*) AS n FROM (
+      SELECT cid, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v
+      FROM asg{r})
+    GROUP BY cid, dim)
+  GROUP BY cid
+),
+cent{r} AS MATERIALIZED (
+  SELECT c.ord,
+         CASE WHEN m.cid IS NOT NULL
+                   AND list_dot_product(m.m, m.m) > 0
+              THEN list_transform(
+                     m.m, x -> x / sqrt(list_dot_product(m.m, m.m)))
+              ELSE c.cvec END AS cvec
+  FROM cent{r-1} c LEFT JOIN mean{r} m ON m.cid = c.ord
+)"""
+        )
+    return ",\n".join(parts)
+
+
 def _ivf_lloyd_oracle(rounds: int = 10) -> str:
     """DuckDB re-derivation of the ENTIRE llm_knn_ivf pipeline,
     INCLUDING its Lloyd-trained coarse quantizer: the training sample
@@ -319,34 +400,7 @@ cent0 AS MATERIALIZED (
   SELECT sord AS ord, emb AS cvec FROM sample WHERE sord < {_IVF_NCENT}
 )"""
     ]
-    for r in range(1, rounds + 1):
-        parts.append(
-            f"""tasg{r} AS MATERIALIZED (
-  SELECT vec_id, emb, ord AS cid FROM (
-    SELECT s.vec_id, s.emb, c.ord,
-           ROW_NUMBER() OVER (PARTITION BY s.vec_id
-             ORDER BY {raw.format(a='s.emb', b='c.cvec')} DESC,
-                      c.ord) AS rnk
-    FROM sample s CROSS JOIN cent{r-1} c) WHERE rnk = 1
-),
-tmean{r} AS MATERIALIZED (
-  SELECT cid, list(s / n ORDER BY dim) AS m FROM (
-    SELECT cid, dim, SUM(v) AS s, COUNT(*) AS n FROM (
-      SELECT cid, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v
-      FROM tasg{r})
-    GROUP BY cid, dim)
-  GROUP BY cid
-),
-cent{r} AS MATERIALIZED (
-  SELECT c.ord,
-         CASE WHEN m.cid IS NOT NULL
-                   AND list_dot_product(m.m, m.m) > 0
-              THEN list_transform(
-                     m.m, x -> x / sqrt(list_dot_product(m.m, m.m)))
-              ELSE c.cvec END AS cvec
-  FROM cent{r-1} c LEFT JOIN tmean{r} m ON m.cid = c.ord
-)"""
-        )
+    parts.append(_lloyd_rounds_cte("sample", _IVF_NCENT, rounds))
     parts.append(
         f"""qset AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
@@ -380,26 +434,7 @@ approx AS MATERIALIZED (
     JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
     JOIN qset q ON q.vec_id = p.query_id) WHERE rnk <= {_KNN_K}
 ),
-exact AS MATERIALIZED (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
-  FROM qset q JOIN embeddings e ON e.vec_id <> q.vec_id
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
-    ORDER BY {dot6.format(a='q.emb', b='e.embedding::DOUBLE[]')} DESC,
-             e.vec_id) <= {_KNN_K}
-),
-hits AS (
-  SELECT a.query_id,
-         CAST(COUNT(x.neighbor_id) AS DOUBLE)
-           / (SELECT COUNT(*) FROM exact x2
-              WHERE x2.query_id = a.query_id) AS recall
-  FROM approx a
-  LEFT JOIN exact x ON x.query_id = a.query_id
-                   AND x.neighbor_id = a.neighbor_id
-  GROUP BY a.query_id
-)
-SELECT a.query_id, a.neighbor_id, a.score,
-       h.recall AS recall_at_k_vs_exact
-FROM approx a JOIN hits h ON h.query_id = a.query_id"""
+{_ann_recall_tail('q.emb')}"""
     )
     return "WITH " + ",\n".join(parts)
 
@@ -563,26 +598,7 @@ approx AS (
     JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
     JOIN qset q ON q.vec_id = p.query_id) WHERE rnk <= {_KNN_K}
 ),
-exact AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
-  FROM qset q JOIN embeddings e ON e.vec_id <> q.vec_id
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
-    ORDER BY {dot.format(a='q.embedding', b='e.embedding')} DESC,
-             e.vec_id) <= {_KNN_K}
-),
-hits AS (
-  SELECT a.query_id,
-         CAST(COUNT(x.neighbor_id) AS DOUBLE)
-           / (SELECT COUNT(*) FROM exact x2
-              WHERE x2.query_id = a.query_id) AS recall
-  FROM approx a
-  LEFT JOIN exact x ON x.query_id = a.query_id
-                   AND x.neighbor_id = a.neighbor_id
-  GROUP BY a.query_id
-)
-SELECT a.query_id, a.neighbor_id, a.score,
-       h.recall AS recall_at_k_vs_exact
-FROM approx a JOIN hits h ON h.query_id = a.query_id
+{_ann_recall_tail('q.embedding::DOUBLE[]')}
 """
 
 
@@ -608,10 +624,10 @@ def llm_knn_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     break on centroid ordinal / neighbor_id — so DuckDB re-derives the
     ENTIRE pipeline (centroids → assignment → probe sets → pruned
     top-k → recall column) and value-matches it. The Lloyd-trained
-    quantizer lives on in ``llm_knn_ivf`` (rows-only, recall
-    self-reported): Lloyd improves list balance but is only
-    reproducible by re-running float64 k-means — the r9
-    minhash/simhash flip standard applied to ANN. The numpy expected
+    quantizer lives on in ``llm_knn_ivf`` — since later in r14 ALSO a
+    full oracle (its 10 Lloyd rounds unroll via ``_ivf_lloyd_oracle``);
+    the two variants now differ only in training (Lloyd-balanced lists
+    vs zero-training seeding), both value-checked. The numpy expected
     output is additionally pinned by tests/test_semantics.py."""
     import os
     import tempfile
@@ -888,26 +904,7 @@ approx AS (
              ORDER BY score DESC, neighbor_id) AS rnk
     FROM adc) WHERE rnk <= {_KNN_K}
 ),
-exact AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
-  FROM qset q JOIN embeddings e ON e.vec_id <> q.vec_id
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
-    ORDER BY {dot6.format(a='q.embedding::DOUBLE[]', b='e.embedding::DOUBLE[]')} DESC,
-             e.vec_id) <= {_KNN_K}
-),
-hits AS (
-  SELECT a.query_id,
-         CAST(COUNT(x.neighbor_id) AS DOUBLE)
-           / (SELECT COUNT(*) FROM exact x2
-              WHERE x2.query_id = a.query_id) AS recall
-  FROM approx a
-  LEFT JOIN exact x ON x.query_id = a.query_id
-                   AND x.neighbor_id = a.neighbor_id
-  GROUP BY a.query_id
-)
-SELECT a.query_id, a.neighbor_id, a.score,
-       h.recall AS recall_at_k_vs_exact
-FROM approx a JOIN hits h ON h.query_id = a.query_id"""
+{_ann_recall_tail('q.embedding::DOUBLE[]')}"""
     )
     return "WITH " + ",\n".join(parts)
 
@@ -1103,26 +1100,7 @@ approx AS (
              ORDER BY score DESC, neighbor_id) AS rnk
     FROM adc) WHERE rnk <= {_KNN_K}
 ),
-exact AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
-  FROM qset q JOIN embeddings e ON e.vec_id <> q.vec_id
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
-    ORDER BY {dot.format(a='q.embedding::DOUBLE[]', b='e.embedding::DOUBLE[]')} DESC,
-             e.vec_id) <= {_KNN_K}
-),
-hits AS (
-  SELECT a.query_id,
-         CAST(COUNT(x.neighbor_id) AS DOUBLE)
-           / (SELECT COUNT(*) FROM exact x2
-              WHERE x2.query_id = a.query_id) AS recall
-  FROM approx a
-  LEFT JOIN exact x ON x.query_id = a.query_id
-                   AND x.neighbor_id = a.neighbor_id
-  GROUP BY a.query_id
-)
-SELECT a.query_id, a.neighbor_id, a.score,
-       h.recall AS recall_at_k_vs_exact
-FROM approx a JOIN hits h ON h.query_id = a.query_id
+{_ann_recall_tail('q.embedding::DOUBLE[]')}
 """
 
 
@@ -1468,9 +1446,7 @@ def _kmeans_unrolled_cte(
     (vec_id, emb DOUBLE[]).
 
     Two disciplines make the replay exact, not approximate:
-    - every CTE is ``AS MATERIALIZED`` — DuckDB otherwise inlines each
-      round's centroid CTE into both of its two consumers, doubling the
-      expression tree per round (2⁸ blowup: 224 s → 1 s at sf0.1);
+    - every CTE is ``AS MATERIALIZED`` (see ``_lloyd_rounds_cte``);
     - no rounding anywhere, mirroring the kernel's raw-float argmax —
       safe because tests/test_semantics.py::
       test_kmeans_equals_sequential_reference proves every round's
@@ -1484,36 +1460,7 @@ def _kmeans_unrolled_cte(
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ord, emb AS cvec
   FROM src0 ORDER BY vec_id LIMIT {k}
 )""",
-    ]
-    for r in range(1, rounds + 1):
-        parts.append(
-            f"""asg{r} AS MATERIALIZED (
-  SELECT vec_id, emb, ord AS cid FROM (
-    SELECT e.vec_id, e.emb, c.ord,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY {dot.format(a='e.emb', b='c.cvec')} DESC,
-                      c.ord) AS rnk
-    FROM src0 e CROSS JOIN cent{r-1} c) WHERE rnk = 1
-),
-mean{r} AS MATERIALIZED (
-  SELECT cid, list(s / n ORDER BY dim) AS m FROM (
-    SELECT cid, dim, SUM(v) AS s, COUNT(*) AS n FROM (
-      SELECT cid, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v
-      FROM asg{r})
-    GROUP BY cid, dim)
-  GROUP BY cid
-),
-cent{r} AS MATERIALIZED (
-  SELECT c.ord,
-         CASE WHEN m.cid IS NOT NULL
-                   AND list_dot_product(m.m, m.m) > 0
-              THEN list_transform(
-                     m.m, x -> x / sqrt(list_dot_product(m.m, m.m)))
-              ELSE c.cvec END AS cvec
-  FROM cent{r-1} c LEFT JOIN mean{r} m ON m.cid = c.ord
-)"""
-        )
-    parts.append(
+        _lloyd_rounds_cte("src0", k, rounds),
         f"""asgF AS MATERIALIZED (
   SELECT vec_id, emb, cid FROM (
     SELECT e.vec_id, e.emb, c.ord AS cid,
@@ -1521,8 +1468,8 @@ cent{r} AS MATERIALIZED (
              ORDER BY {dot.format(a='e.emb', b='c.cvec')} DESC,
                       c.ord) AS rnk
     FROM src0 e CROSS JOIN cent{rounds} c) WHERE rnk = 1
-)"""
-    )
+)""",
+    ]
     return ",\n".join(parts)
 
 

@@ -751,7 +751,11 @@ _BPE_OPEN = "chr(30)"
 _BPE_CLOSE = "chr(31)"
 
 
-def _bpe_train_oracle(n_merges: int = _BPE_MERGES) -> str:
+def _bpe_cte_chain(n_merges: int = _BPE_MERGES) -> str:
+    """The shared training CTE chain (words → seqs0 → (p/w/seqs){k});
+    consumed by BOTH ``_bpe_train_oracle`` (appends the merge-table
+    UNION) and ``_bpe_encode_oracle`` (appends the per-doc word join) —
+    one rendering, no string-surgery coupling between the two."""
     o, c = _BPE_OPEN, _BPE_CLOSE
     parts = [f"""
 WITH words AS (
@@ -794,23 +798,26 @@ seqs{k} AS (
                            {o} || w.a || w.b || {c}) END AS seq
   FROM seqs{k-1} s LEFT JOIN w{k} w ON TRUE
 )""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int = _BPE_MERGES) -> str:
     unions = "\nUNION ALL\n".join(
         f'SELECT {k - 1} AS merge_rank, a AS "left", b AS "right",'
         f" a || b AS merged, cnt AS pair_count FROM w{k}"
         for k in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n" + unions
+    return _bpe_cte_chain(n_merges) + "\n" + unions
 
 
 def _bpe_encode_oracle(n_merges: int = _BPE_MERGES) -> str:
-    """Encode oracle = the train oracle's CTE chain + a per-doc word
+    """Encode oracle = the shared training CTE chain + a per-doc word
     join: after round {n}, seqs{n} holds the FULLY merged representation
     of every distinct word, so a doc's BPE token count is the sum of its
     words' final symbol counts. Empty-text docs keep (0, 0) via the
     LEFT JOIN from documents."""
     c = _BPE_CLOSE
-    prefix = _bpe_train_oracle(n_merges).split("\nSELECT 0 AS merge_rank")[0]
-    return prefix + f""",
+    return _bpe_cte_chain(n_merges) + f""",
 enc AS (
   SELECT word,
          len(list_filter(string_split(seq, {c}), x -> x <> ''))::BIGINT AS n_tok
@@ -871,6 +878,12 @@ def bpe_encode_counts(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFra
     def encode(batches):
         merge_list = bc.value
         cache: dict[str, int] = {}
+        # EXACTLY the trainer's/oracle's tokenizer: Java and RE2 '\s'
+        # are the same ASCII class [ \t\n\v\f\r] — Python str.split()
+        # is NOT (it splits on Unicode whitespace, e.g. U+00A0, and a
+        # NULL text would stringify to the word 'none'). NULL → no
+        # words, matching the oracle's LEFT JOIN zero-fill.
+        ws = re.compile("[ \t\n\x0b\f\r]+")
 
         def word_tokens(w: str) -> int:
             n = cache.get(w)
@@ -884,7 +897,11 @@ def bpe_encode_counts(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFra
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [w for w in str(text).lower().split() if w]
+                words = (
+                    [w for w in ws.split(text.lower()) if w]
+                    if isinstance(text, str)
+                    else []
+                )
                 rows.append(
                     (int(doc_id), len(words), sum(word_tokens(w) for w in words))
                 )

@@ -12,6 +12,8 @@ the MoM trend sorts only the (tiny) month dimension.
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -942,6 +944,9 @@ def analytics_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NOAQE_LOCK = threading.Lock()
+
+
 def _noaqe_session(spark: SparkSession) -> SparkSession:
     """Memoized ``newSession()`` clone with adaptive=false: own SQLConf,
     shared SparkContext. Iterative-checkpoint builders (pagerank) plan
@@ -952,10 +957,19 @@ def _noaqe_session(spark: SparkSession) -> SparkSession:
     and grow the in-memory cache unboundedly across bench reps."""
     clone = getattr(spark, "_flink_rt_noaqe_session", None)
     if clone is None:
-        from ..session import prepare
+        with _NOAQE_LOCK:
+            clone = getattr(spark, "_flink_rt_noaqe_session", None)
+            if clone is None:  # re-check under the lock
+                from ..session import prepare
 
-        clone = spark.newSession()
-        prepare(clone)
-        clone.conf.set("spark.sql.adaptive.enabled", "false")
-        spark._flink_rt_noaqe_session = clone
+                clone = spark.newSession()
+                prepare(clone)
+                clone.conf.set("spark.sql.adaptive.enabled", "false")
+                # pin against later prepare() sweeps: any load_table on
+                # the clone (concurrent builders included) must NOT
+                # re-enable AQE mid-iteration — see session.prepare
+                clone._flink_rt_pinned_confs = (
+                    "spark.sql.adaptive.enabled",
+                )
+                spark._flink_rt_noaqe_session = clone
     return clone

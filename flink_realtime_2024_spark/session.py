@@ -85,8 +85,18 @@ def prepare(spark: SparkSession) -> SparkSession:
 
     Every query builder calls this first so the engine behaves the same
     under the driver's session as under our own.
-    """
+
+    A session may PIN confs against this sweep via a
+    ``_flink_rt_pinned_confs`` attribute (an iterable of conf keys):
+    the no-AQE planning clone (plans/analytics._noaqe_session) exists
+    precisely to hold ``spark.sql.adaptive.enabled=false``, and a
+    builder running ``load_table`` → ``prepare`` on that clone
+    concurrently with an iterative loop must not silently re-enable
+    AQE mid-loop (r14 review finding)."""
+    pinned = frozenset(getattr(spark, "_flink_rt_pinned_confs", ()))
     for k, v in _RUNTIME_CONFS.items():
+        if k in pinned:
+            continue
         try:
             spark.conf.set(k, v)
         except Exception:

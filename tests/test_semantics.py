@@ -1082,6 +1082,30 @@ def test_ann_training_margins_support_oracle_exactness(spark):
         f"IVF argmax margin {ivf_margin} within reduction noise — "
         "llm_knn_ivf's full oracle is not assertable on this corpus"
     )
+    # the probe-set CUT is a raw-dot rank decision too: each query
+    # probes its top _IVF_NPROBE centroids, so the rank-nprobe vs
+    # rank-(nprobe+1) gap must also clear the noise floor (measured
+    # 6.1e-4 at sf0.01) — an argmax-only guard would miss a tied cut
+    from flink_realtime_2024_spark.operators.llm import (
+        _IVF_NPROBE,
+        _KNN_MAX_QUERIES,
+        _KNN_QUERY_MOD,
+    )
+
+    qrows = (
+        emb.select("vec_id", "embedding")
+        .filter(F.col("vec_id") % _KNN_QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_KNN_MAX_QUERIES)
+        .collect()
+    )
+    Qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qd = np.sort(Qm @ cent.T, axis=1)[:, ::-1]
+    cut_margin = float((qd[:, _IVF_NPROBE - 1] - qd[:, _IVF_NPROBE]).min())
+    assert cut_margin >= 1e-9, (
+        f"IVF probe-cut margin {cut_margin} within reduction noise — "
+        "llm_knn_ivf's full oracle is not assertable on this corpus"
+    )
 
     # PQ: per-subspace Euclidean Lloyd rounds, then full-corpus encode
     d = sample.shape[1]
@@ -1300,6 +1324,22 @@ def test_bpe_train_matches_reference(spark):
         words = t.split()
         expect = sum(len(ref_syms[w]) for w in words)
         assert enc[i] == (len(words), expect)
+
+    # the encoder's tokenizer must be the TRAINER'S (Java/RE2 ASCII \s),
+    # not Python str.split(): NULL text is zero words (not the word
+    # 'none'), and U+00A0 — Unicode whitespace but not ASCII \s — is
+    # word-internal, so 'low\xa0low' is ONE word on both engines
+    tricky = spark.createDataFrame(
+        [(100, None), (101, "low low")], "doc_id bigint, text string"
+    )
+    enc2 = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_counts(
+            tricky, [(m[1], m[2]) for m in ref_merges]
+        ).collect()
+    }
+    assert enc2[100] == (0, 0)
+    assert enc2[101][0] == 1
 
 
 def test_bpe_batched_matches_reference_tie_heavy(spark):
