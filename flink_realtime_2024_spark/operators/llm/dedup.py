@@ -519,8 +519,11 @@ def llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         widen(load_table(spark, sf_dir, "documents"))
         .select("doc_id", shingle_str_expr("text").alias("sh"))
         # pin: the ordered-reassembly job consumes the shingles on BOTH
-        # sides of the df join (probe + aggregate) — shingle once
-        .localCheckpoint()
+        # sides of the df join (probe + aggregate) — shingle once.
+        # LAZY (r14 opt): the first consumer's stage materializes the
+        # blocks; an eager checkpoint here was an extra full job whose
+        # only effect was fronting that materialization.
+        .localCheckpoint(eager=False)
     )
     toks = docs.select("doc_id", F.explode("sh").alias("tok"))
     df_order = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -545,27 +548,60 @@ def llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the output
     ordered = ordered.withColumn(
         "shh", F.array_sort(F.transform("sh", lambda x: F.xxhash64(x)))
-    ).localCheckpoint()  # consumed 5× below — scan once
-    # prefix rows carry ONLY (doc_id, tok): exploding the full shingle
-    # array alongside would multiply every row by ~prefix_len × |sh|;
-    # arrays re-join from the pinned `ordered`. No distinct() on raw
-    # candidates either — multi-token collisions are ~5% here, cheaper
-    # to verify twice than to shuffle the whole candidate set again
+    ).localCheckpoint()  # consumed 5× below — scan once. EAGER on
+    # purpose: the five consumers fan out as concurrently-launched
+    # stages, and a lazy checkpoint only dedupes their computation
+    # through same-executor block locks — on a cluster two executors
+    # would each build it. Eager = one job, then everyone reads blocks.
+    # (The docs checkpoint above stays lazy because this very job is
+    # its only consumer.)
+    # prefix rows carry ONLY (doc_id, sz, pos, tok): exploding the full
+    # shingle array alongside would multiply every row by ~prefix_len ×
+    # |sh|; arrays re-join from the pinned `ordered`. No distinct() on
+    # raw candidates either — multi-token collisions are ~5% here,
+    # cheaper to verify twice than to shuffle the whole candidate set
+    # again. ``sz``/``pos`` power PPJoin's LENGTH and POSITION filters
+    # (Xiao et al. WWW'08 §3, r14 opt): two ints per row prune
+    # candidates BEFORE any shingle array is shuffled or intersected —
+    # on the tiny-vocab fixture corpus (hot prefix tokens) this cuts
+    # the verify-join input ~17× (430k -> 25k candidate rows at sf0.1).
     pref = ordered.select(
         "doc_id",
-        F.explode(
+        F.size("sh").alias("sz"),
+        F.posexplode(
             F.slice("sh", F.lit(1), jaccard_prefix_len(F.size("sh")))
-        ).alias("tok"),
+        ).alias("pos", "tok"),
     )
-    pa = pref.select(F.col("doc_id").alias("doc_id_a"), "tok")
-    pb = pref.select(F.col("doc_id").alias("doc_id_b"), "tok")
+    pa = pref.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"), "tok",
+    )
+    pb = pref.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"), "tok",
+    )
+    # LENGTH filter: J >= 0.5 forces min(sz)/max(sz) >= 0.5 (intersect
+    # <= min, union >= max). POSITION filter: for a pair's FIRST common
+    # token — which for any true pair lies inside both prefixes (the
+    # prefix-filter pigeonhole) — overlap <= 1 + min(remaining suffix
+    # lengths); J >= 0.5 needs overlap >= (sz_a+sz_b)/3, so a pair
+    # where EVERY emitted occurrence fails the bound cannot reach 0.5.
+    # Both tests are conservative (keep-more): a kept false candidate
+    # just pays the exact verify below, never corrupts the output.
+    remain = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("pos_a") - 1, F.col("sz_b") - F.col("pos_b") - 1
+    )
     jh = (
         F.size(F.array_intersect("ha", "hb")).cast("double")
         / F.size(F.array_union("ha", "hb")).cast("double")
     )
     survivors = (
         pa.join(pb, "tok")
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .where(
+            (F.col("doc_id_a") < F.col("doc_id_b"))
+            & (F.least("sz_a", "sz_b") * 2 >= F.greatest("sz_a", "sz_b"))
+            & (remain * 3 >= F.col("sz_a") + F.col("sz_b"))
+        )
         .select("doc_id_a", "doc_id_b")
         .join(ordered.select(F.col("doc_id").alias("doc_id_a"), F.col("shh").alias("ha")), "doc_id_a")
         .join(ordered.select(F.col("doc_id").alias("doc_id_b"), F.col("shh").alias("hb")), "doc_id_b")

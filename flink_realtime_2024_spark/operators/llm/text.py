@@ -664,10 +664,16 @@ def bpe_train(
     pair_count) — ``n_merges`` rows."""
     spark = docs.sparkSession
     hist = _bpe_word_histogram(docs)
+    # LAZY checkpoints throughout the loop (r14 opt): each round's sym
+    # is first consumed by the very next candidates job, which
+    # materializes the checkpoint blocks as a side effect — an eager
+    # checkpoint here would run one extra no-op job per round (and one
+    # for the final round's sym, which no one ever reads). Measured at
+    # sf0.1: 16 jobs -> 9, same lineage-truncation guarantee.
     sym = hist.select(
         "weight",
         F.concat(F.split("word", ""), F.array(F.lit(_BPE_EOW))).alias("syms"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # the untouched∪rewritten union below would otherwise DOUBLE the
     # partition count every round (N·2^rounds tasks by round ~12);
     # coalesce back to the histogram's own width before each checkpoint
@@ -705,7 +711,7 @@ def bpe_train(
             sym.filter(~hit)
             .unionByName(touched)
             .coalesce(width)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     schema = T.StructType(

@@ -906,15 +906,21 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(_AGG_MERGE_BUCKETS)).cast("int")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        part = (
+        # LAZY persist, not an eager localCheckpoint (r14 opt): the
+        # touched-buckets collect below is the first action and
+        # materializes the cache as a side effect; the write re-reads
+        # the cached partial. One job per micro-batch instead of two,
+        # same recompute-once guarantee.
+        cached = (
             batch_df.groupBy("user_id")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_events"),
                 F.sum(dec("value")).alias("total_value"),
             )
             .withColumn("bucket", bucket)
-            .localCheckpoint()
+            .persist()
         )
+        part = cached
         touched = sorted(r["bucket"] for r in part.select("bucket").distinct().collect())
         prev_dirs = [bucket_path[b] for b in touched if b in bucket_path]
         if prev_dirs:
@@ -922,15 +928,26 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             # column at write time); re-derive it from the key — cheaper
             # and simpler than cross-version partition discovery
             prev = spark.read.parquet(*prev_dirs).withColumn("bucket", bucket)
+            # ONE exchange for merge + layout (r14 opt): repartition on
+            # ``bucket`` FIRST — hash partitioning on a subset of the
+            # grouping keys satisfies the aggregate's clustered
+            # distribution (every (user_id, bucket) group lives in one
+            # bucket), so the merge groupBy runs partition-local and the
+            # bucket-per-file layout needs no second shuffle. Plan:
+            # 2 Exchange -> 1 per merge round.
             part = (
                 prev.select("user_id", "n_events", "total_value", "bucket")
                 .unionByName(part)
+                .repartition("bucket")
                 .groupBy("user_id", "bucket")
                 .agg(
                     F.sum("n_events").cast("bigint").alias("n_events"),
                     F.sum("total_value").alias("total_value"),
                 )
             )
+        else:
+            # first batch: no merge needed, just the bucket layout
+            part = part.repartition("bucket")
         out = os.path.join(root, f"v{batch_id}")
         (
             part.select(
@@ -942,12 +959,12 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             # one file per touched bucket (not shuffle-width × buckets):
             # the serving store's file count stays O(buckets), and each
             # bucket dir is a single sorted run for point lookups
-            .repartition("bucket")
             .sortWithinPartitions("user_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(out)
         )
+        cached.unpersist()
         for b in touched:
             bucket_path[b] = os.path.join(out, f"bucket={b}")
 
