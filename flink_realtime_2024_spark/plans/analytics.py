@@ -710,7 +710,11 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
         )
-        .localCheckpoint()  # consumed by 3 rank passes + n — scan once
+        # consumed by 3 rank passes + n — scan once. LAZY (r14 opt):
+        # the count() on the next line is strictly sequential and
+        # materializes the blocks, so an eager checkpoint here was one
+        # extra job doing the same scan.
+        .localCheckpoint(eager=False)
     )
     n = per_cust.count()
 
