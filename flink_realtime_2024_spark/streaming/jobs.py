@@ -25,6 +25,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import schemas
@@ -855,6 +856,16 @@ def stream_neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_MERGE_BUCKETS = 16  # state-table hash buckets (Doris tablet analogue)
 
+# schema of one state-bucket file as written by stream_agg_merge's merge
+# (bucket is a partition column at write time, so it is NOT in the file)
+_AGG_MERGE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DecimalType(18, 4)),
+    ]
+)
+
 _AGG_MERGE_ORACLE = """
 SELECT user_id,
        COUNT(*) AS n_events,
@@ -926,8 +937,16 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prev_dirs:
             # leaf bucket=k dirs hold plain files (bucket was a partition
             # column at write time); re-derive it from the key — cheaper
-            # and simpler than cross-version partition discovery
-            prev = spark.read.parquet(*prev_dirs).withColumn("bucket", bucket)
+            # and simpler than cross-version partition discovery. The
+            # state schema is fixed by the write below — passing it
+            # explicitly skips a per-batch footer-sampling pass over
+            # every touched bucket file (r14 opt: schema inference is
+            # driver-side I/O repeated once per micro-batch forever).
+            prev = (
+                spark.read.schema(_AGG_MERGE_STATE_SCHEMA)
+                .parquet(*prev_dirs)
+                .withColumn("bucket", bucket)
+            )
             # ONE exchange for merge + layout (r14 opt): repartition on
             # ``bucket`` FIRST — hash partitioning on a subset of the
             # grouping keys satisfies the aggregate's clustered
@@ -970,7 +989,9 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_stream(ev.writeStream.outputMode("append").foreachBatch(merge), "agg_merge")
     assert bucket_path, "no state buckets written"
-    final = spark.read.parquet(*bucket_path.values())
+    # same explicit schema as the per-batch merge read: the serving
+    # read over all bucket dirs needs no footer-sampling pass either
+    final = spark.read.schema(_AGG_MERGE_STATE_SCHEMA).parquet(*bucket_path.values())
     return final.select(
         "user_id",
         "n_events",
