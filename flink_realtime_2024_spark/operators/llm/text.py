@@ -521,24 +521,96 @@ def _bpe_pairs_expr(col: str = "syms"):
     ).otherwise(F.expr(f"CAST(array() AS {pair_t})"))
 
 
-def _bpe_rewrite_udf(batch: list[tuple[str, str]]):
-    """Vectorized kernel applying the batch's merges IN RANK ORDER,
-    left-to-right non-overlapping (the standard BPE rewrite). Per-word
-    sequential application of the batch equals global sequential
-    application because each rewrite reads only its own word."""
+def _bpe_merge_expr(col, a: str, b: str):
+    """JVM expression equivalent of ``_bpe_merge_pair(s, a, b)`` — a
+    left fold over the symbol array that merges adjacent (a, b) into
+    a+b, left-to-right non-overlapping. Exactness of the fold (no
+    "just merged" flag needed): the match condition is last(acc) == a
+    AND current == b, and a freshly merged element can never spuriously
+    re-match as the NEXT match's left symbol because that would require
+    a+b == a, impossible for non-empty b — so the fold resumes after
+    each merge exactly like the reference's i += 2
+    (property-pytested: test_bpe_merge_pair_reference +
+    test_bpe_train_fuzzed_vs_reference). Unlike a delimited-string
+    REPLACE encoding (the oracle's trick), this is correct for
+    arbitrary token alphabets — no control-char precondition."""
+    merged = a + b
+    return F.when(F.size(col) < 2, col).otherwise(
+        F.aggregate(
+            F.slice(col, 2, F.size(col) - F.lit(1)),
+            F.slice(col, 1, 1),
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+    )
 
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def rewrite(syms: pd.Series) -> pd.Series:
-        out = []
-        for s in syms:
-            s = list(s)
-            for a, b in batch:
-                if a in s and b in s:
-                    s = _bpe_merge_pair(s, a, b)
-            out.append(s)
-        return pd.Series(out)
 
-    return rewrite
+# paired open/close token delimiters for the REPLACE-encoded rewrite —
+# the same encoding (and the same two code points) the committed DuckDB
+# training oracle uses (_bpe_cte_chain below documents why SINGLE
+# delimiters would be wrong)
+_BPE_TOK_OPEN = "\x1e"
+_BPE_TOK_CLOSE = "\x1f"
+
+
+def _bpe_rewrite_expr(col, batch: list[tuple[str, str]]):
+    """JVM rewrite of a whole merge batch IN RANK ORDER over a symbol
+    array column — the kernel ``bpe_train``'s loop runs (r14 opt,
+    replacing the per-round pandas_udf: no Python boundary, no
+    touched/untouched double scan).
+
+    Fast path (everything in practice): render the array as one string
+    with every token wrapped in the chr(30)/chr(31) open/close pair and
+    apply each merge as one native ``replace`` of open·a·close·open·b·
+    close with open·ab·close — string replace scans left to right and
+    resumes AFTER each replacement, which with PAIRED delimiters is
+    exactly the non-overlapping BPE rewrite (the committed DuckDB
+    training oracle uses this identical encoding; its comment block
+    carries the [a,a,a,a] → [aa,aa] argument). Then split back.
+
+    Correctness is UNCONDITIONAL, unlike the oracle's corpus-level
+    absence assumption: a row whose symbols contain either control
+    character (possible only for adversarial non-text corpora — never
+    the fixture corpus) is detected per row and routed to the
+    ``_bpe_merge_expr`` fold, which needs no delimiters at all. The
+    check is one linear pass; the fold branch costs O(len²) interpreted
+    steps but executes only on such rows."""
+    safe = col
+    for a, b in batch:
+        safe = _bpe_merge_expr(safe, a, b)
+    rendered = F.array_join(
+        F.transform(
+            col,
+            lambda t: F.concat(F.lit(_BPE_TOK_OPEN), t, F.lit(_BPE_TOK_CLOSE)),
+        ),
+        "",
+    )
+    for a, b in batch:
+        rendered = F.replace(
+            rendered,
+            F.lit(
+                _BPE_TOK_OPEN + a + _BPE_TOK_CLOSE + _BPE_TOK_OPEN + b + _BPE_TOK_CLOSE
+            ),
+            F.lit(_BPE_TOK_OPEN + a + b + _BPE_TOK_CLOSE),
+        )
+    has_ctrl = F.exists(
+        col,
+        lambda t: t.contains(F.lit(_BPE_TOK_OPEN))
+        | t.contains(F.lit(_BPE_TOK_CLOSE)),
+    )
+    return F.when(F.size(col) < 2, col).otherwise(
+        F.when(has_ctrl, safe).otherwise(
+            F.split(
+                rendered.substr(F.lit(2), F.length(rendered) - 2),
+                _BPE_TOK_CLOSE + _BPE_TOK_OPEN,
+            )
+        )
+    )
 
 
 def _bpe_select_batch(
@@ -632,9 +704,10 @@ def bpe_train(
        ``_BPE_CAND_WINDOW`` small rows — comes to the driver, a batch
        of up to ``merges_per_round`` provably-non-interacting merges
        is selected (see ``_bpe_select_batch`` for the exactness
-       argument), and ONE rewrite pass applies them in rank order to
-       only the histogram rows that contain both symbols of some
-       batch pair (JVM prefilter, vectorized kernel).
+       argument), and ONE rewrite pass applies them in rank order as
+       chained whole-stage-codegen fold expressions
+       (``_bpe_merge_expr`` — no Python boundary anywhere in the
+       loop).
 
     ``localCheckpoint`` per round keeps the iterative lineage flat
     (same discipline as ``connected_components``). Ties break
@@ -670,21 +743,33 @@ def bpe_train(
     # checkpoint here would run one extra no-op job per round (and one
     # for the final round's sym, which no one ever reads). Measured at
     # sf0.1: 16 jobs -> 9, same lineage-truncation guarantee.
-    sym = hist.select(
-        "weight",
-        F.concat(F.split("word", ""), F.array(F.lit(_BPE_EOW))).alias("syms"),
-    ).localCheckpoint(eager=False)
-    # the untouched∪rewritten union below would otherwise DOUBLE the
-    # partition count every round (N·2^rounds tasks by round ~12);
-    # coalesce back to the histogram's own width before each checkpoint
-    width = max(1, sym.rdd.getNumPartitions())
+    # loop width follows the corpus scan width (scale-adaptive, r14
+    # opt): the histogram is Heaps-law smaller than the corpus, so its
+    # partition count never needs to exceed the input's — locally that
+    # collapses each round's reduce to a couple of tasks instead of a
+    # full shuffle-width of near-empty ones; at scale it grows with the
+    # input. coalesce() can only shrink, so the session's configured
+    # shuffle width stays the cap.
+    width = max(1, docs.rdd.getNumPartitions())
+    sym = (
+        hist.select(
+            "weight",
+            F.concat(F.split("word", ""), F.array(F.lit(_BPE_EOW))).alias("syms"),
+        )
+        .coalesce(width)
+        .localCheckpoint(eager=False)
+    )
 
     merges: list[tuple[int, str, str, str, int]] = []
     window = _BPE_CAND_WINDOW if merges_per_round > 1 else 1
     while len(merges) < n_merges:
         cands = (
             sym.select("weight", F.explode(_bpe_pairs_expr()).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "weight")
+            # exchange on the exact group keys at the derived width —
+            # the classic planner reuses it for the aggregate below
+            .repartition(width, "a", "b")
+            .groupBy("a", "b")
             .agg(F.sum("weight").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(window)
@@ -699,20 +784,15 @@ def bpe_train(
             merges.append(
                 (len(merges), c["a"], c["b"], c["a"] + c["b"], int(c["cnt"]))
             )
+        # One narrow JVM projection rewrites every row (r14 opt): the
+        # REPLACE-encoded batch rewrite runs native in rank order — no
+        # Python boundary, no touched/untouched filter+union double scan
+        # (replace is the identity on rows without the adjacency), no
+        # partition-count drift to coalesce.
         pairs = [(c["a"], c["b"]) for c in batch]
-        hit = F.lit(False)
-        for a, b in pairs:
-            hit = hit | (F.array_contains("syms", a) & F.array_contains("syms", b))
-        rewrite = _bpe_rewrite_udf(pairs)
-        touched = sym.filter(hit).select(
-            "weight", rewrite("syms").alias("syms")
-        )
-        sym = (
-            sym.filter(~hit)
-            .unionByName(touched)
-            .coalesce(width)
-            .localCheckpoint(eager=False)
-        )
+        sym = sym.select(
+            "weight", _bpe_rewrite_expr(F.col("syms"), pairs).alias("syms")
+        ).localCheckpoint(eager=False)
 
     schema = T.StructType(
         [
@@ -856,8 +936,22 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled CTE rounds (see _bpe_train_oracle for the delimited-string
     REPLACE equivalence proof). Exact merge-table equality against a
     pure-Python sequential reference is additionally pytest-asserted
-    (tests/test_semantics.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    (tests/test_semantics.py).
+
+    Planned through the no-AQE clone (r14 opt, the pagerank idiom):
+    the loop is 8+ driver-synchronous rounds of a Heaps-small
+    aggregate, where AQE's per-exchange stage jobs and re-planning are
+    pure overhead — nothing in a vocab-bounded pair table ever needs
+    runtime re-optimization. Measured at sf0.1: ~3.1 → ~2.5 s
+    (together with the width derivation in ``bpe_train``); results
+    bit-identical."""
+    from ...plans.analytics import _noaqe_session
+
+    s = _noaqe_session(spark)
+    docs = load_table(s, sf_dir, "documents")
+    # belt-and-braces after load_table's prepare() sweep (the pin in
+    # _noaqe_session already protects this; same discipline as pagerank)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     return bpe_train(docs)
 
 

@@ -917,22 +917,20 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(_AGG_MERGE_BUCKETS)).cast("int")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        # LAZY persist, not an eager localCheckpoint (r14 opt): the
-        # touched-buckets collect below is the first action and
-        # materializes the cache as a side effect; the write re-reads
-        # the cached partial. One job per micro-batch instead of two,
-        # same recompute-once guarantee.
-        cached = (
-            batch_df.groupBy("user_id")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                F.sum(dec("value")).alias("total_value"),
-            )
-            .withColumn("bucket", bucket)
-            .persist()
+        # No per-batch persist, no pre-aggregation job (r14 opt, 2nd
+        # pass): the raw batch is mapped straight to merge-shaped rows
+        # (count := sum of 1s — associative, so pre-aggregating per
+        # batch and merging raw rows produce identical state), and the
+        # touched-bucket discovery is one tiny map-side-combined
+        # distinct over ≤ bucket-count values on the raw batch. The
+        # single real aggregation happens once, inside the merge job.
+        rows = batch_df.select(
+            "user_id",
+            F.lit(1).cast("bigint").alias("n_events"),
+            dec("value").alias("total_value"),
+            bucket.alias("bucket"),
         )
-        part = cached
-        touched = sorted(r["bucket"] for r in part.select("bucket").distinct().collect())
+        touched = sorted(r["bucket"] for r in rows.select("bucket").distinct().collect())
         prev_dirs = [bucket_path[b] for b in touched if b in bucket_path]
         if prev_dirs:
             # leaf bucket=k dirs hold plain files (bucket was a partition
@@ -947,26 +945,27 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(*prev_dirs)
                 .withColumn("bucket", bucket)
             )
-            # ONE exchange for merge + layout (r14 opt): repartition on
-            # ``bucket`` FIRST — hash partitioning on a subset of the
-            # grouping keys satisfies the aggregate's clustered
-            # distribution (every (user_id, bucket) group lives in one
-            # bucket), so the merge groupBy runs partition-local and the
-            # bucket-per-file layout needs no second shuffle. Plan:
-            # 2 Exchange -> 1 per merge round.
-            part = (
-                prev.select("user_id", "n_events", "total_value", "bucket")
-                .unionByName(part)
-                .repartition("bucket")
-                .groupBy("user_id", "bucket")
-                .agg(
-                    F.sum("n_events").cast("bigint").alias("n_events"),
-                    F.sum("total_value").alias("total_value"),
-                )
+            rows = prev.select(
+                "user_id", "n_events", "total_value", "bucket"
+            ).unionByName(rows)
+        # ONE exchange for merge + layout (r14 opt): repartition on
+        # ``bucket`` FIRST — hash partitioning on a subset of the
+        # grouping keys satisfies the aggregate's clustered
+        # distribution (every (user_id, bucket) group lives in one
+        # bucket), so the merge groupBy runs partition-local and the
+        # bucket-per-file layout needs no second shuffle. The exchange
+        # key being ``bucket`` (not the group key) means no map-side
+        # combine before it — per-batch shuffle volume is the raw
+        # micro-batch, which the trigger bounds; that trade buys one
+        # exchange + one cache round-trip per batch.
+        part = (
+            rows.repartition("bucket")
+            .groupBy("user_id", "bucket")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("total_value").alias("total_value"),
             )
-        else:
-            # first batch: no merge needed, just the bucket layout
-            part = part.repartition("bucket")
+        )
         out = os.path.join(root, f"v{batch_id}")
         (
             part.select(
@@ -983,7 +982,6 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("bucket")
             .parquet(out)
         )
-        cached.unpersist()
         for b in touched:
             bucket_path[b] = os.path.join(out, f"bucket={b}")
 

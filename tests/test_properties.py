@@ -237,6 +237,86 @@ def test_bpe_merge_pair_reference(seqs, a, b):
             assert _bpe_merge_pair(out, a, b) == out or merged in (a, b)
 
 
+def test_bpe_merge_expr_matches_reference(spark):
+    """The JVM fold rewrite (_bpe_merge_expr, what bpe_train actually
+    runs since r14) must equal _bpe_merge_pair on the adversarial
+    shapes: self-pairs over runs ([a,a,a] with (a,a) — non-overlap),
+    interleavings, merged-output collisions with pre-existing symbols,
+    1-symbol arrays, and absent pairs."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_2024_spark.operators.llm import (
+        _bpe_merge_expr,
+        _bpe_merge_pair,
+    )
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "b", "a"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["ab", "a", "b"], "a", "b"),          # pre-existing token == merged
+        (["a", "b", "ab", "a", "b"], "a", "b"),
+        (["x"], "a", "b"),                      # 1-symbol array
+        (["x", "y", "z"], "a", "b"),            # pair absent
+        (["b", "a", "b", "b"], "b", "b"),
+        (["a", "b", "b", "a", "b"], "b", "b"),
+        (["</w>", "a", "</w>"], "a", "</w>"),
+    ]
+    # one Spark job over every (case, pair): group rows by pair so each
+    # distinct pair gets its own column expression
+    for a, b in sorted({(a, b) for _, a, b in cases}):
+        rows = [(i, s) for i, (s, ca, cb) in enumerate(cases) if (ca, cb) == (a, b)]
+        df = spark.createDataFrame(rows, "i int, syms array<string>")
+        got = {
+            r["i"]: list(r["out"])
+            for r in df.select(
+                "i", _bpe_merge_expr(F.col("syms"), a, b).alias("out")
+            ).collect()
+        }
+        for i, s in rows:
+            assert got[i] == _bpe_merge_pair(list(s), a, b), (s, a, b, got[i])
+
+
+def test_bpe_rewrite_expr_matches_reference(spark):
+    """The whole-batch JVM rewrite (_bpe_rewrite_expr — the REPLACE
+    fast path plus the control-char fold fallback, what bpe_train's
+    loop actually runs since r14) must equal sequential
+    _bpe_merge_pair application in rank order, INCLUDING on rows whose
+    symbols contain the delimiter control characters (which must route
+    to the fold branch, never corrupt silently)."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_2024_spark.operators.llm import (
+        _bpe_merge_pair,
+        _bpe_rewrite_expr,
+    )
+
+    cases = [
+        (["a", "a", "a", "a"], [("a", "a")]),            # non-overlap runs
+        (["a", "b", "a", "b"], [("a", "b"), ("ab", "ab")]),  # chained batch
+        (["l", "o", "w", "</w>"], [("l", "o"), ("lo", "w")]),
+        (["x"], [("a", "b")]),                            # 1-symbol array
+        (["ab", "a", "b"], [("a", "b")]),                 # merged == existing
+        (["\x1ea", "b", "a", "b"], [("a", "b")]),         # open-delim symbol
+        (["a", "\x1f", "a", "\x1f"], [("a", "\x1f")]),    # close-delim symbol
+        (["\x1e", "\x1f"], [("\x1e", "\x1f")]),           # pure-delim symbols
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i int, syms array<string>"
+    )
+    for i, (s, batch) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(_bpe_rewrite_expr(F.col("syms"), batch).alias("out"))
+            .collect()[0]["out"]
+        )
+        ref = list(s)
+        for a, b in batch:
+            ref = _bpe_merge_pair(ref, a, b)
+        assert list(got) == ref, (s, batch, list(got), ref)
+
+
 @st.composite
 def wellformed_changelogs(draw):
     """Per key: one 'c', then 0-3 'u's, optionally a final 'd', at
