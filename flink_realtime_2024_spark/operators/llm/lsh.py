@@ -1126,6 +1126,23 @@ def _simhash_key_mults(scheme: str) -> list[int]:
     return [1 << (wmax * (keep - 1 - j)) for j in range(keep)]
 
 
+def _simhash_combo_masks(scheme: str) -> list[int]:
+    """Per-combo 64-bit mask (OR of the combo's block masks), as SIGNED
+    int64 two's-complement values so they are valid LongType literals:
+    combo t matches a pair iff xor(fp_a, fp_b) & mask[t] == 0 — the
+    bit-algebra the first-matching-combo emission in ``simhash_pairs``
+    filters on."""
+    blocks, _ = _SIMHASH_SCHEMES[scheme]
+    masks = []
+    for combo in _simhash_combos(scheme):
+        m = 0
+        for bi in combo:
+            off, w = blocks[bi]
+            m |= ((1 << w) - 1) << off
+        masks.append(m - (1 << 64) if m >= (1 << 63) else m)
+    return masks
+
+
 def _simhash_oracle_sql(scheme: str, bucket_cap: int = _SIMHASH_BUCKET_CAP) -> str:
     """DuckDB re-derivation of the full SimHash pipeline for a banding
     scheme: fingerprints from per-token md5 bits, block extraction,
@@ -1335,11 +1352,8 @@ def simhash_pairs(
     b = cand.select(
         "t", "kv", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")
     )
-    pairs_small = (
-        a.join(b, ["t", "kv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-    )
+    joined_small = a.join(b, ["t", "kv"]).filter(F.col("doc_a") < F.col("doc_b"))
+    pairs_small = joined_small.select("doc_a", "doc_b", "fp_a", "fp_b")
     # oversized buckets (low-entropy corpora: many distinct docs agree
     # on one ~26/32-bit key) degrade to SEGMENTED chains + star
     # stitching instead of being dropped (r10 measured the drop at
@@ -1361,8 +1375,50 @@ def simhash_pairs(
         if big.isEmpty():
             # no oversized buckets (the common case at the default 4096
             # cap): skip the chain/star/stitch subtrees — same
-            # driver-side data-dependent branch as the minhash twin
-            cand_pairs = pairs_small
+            # driver-side data-dependent branch as the minhash twin.
+            #
+            # First-matching-combo emission (r14 opt, guide §2.3): a
+            # surviving pair collides in EVERY combo whose blocks are
+            # all clean — a hamming-0 pair in all C(n,keep) of them —
+            # so the verify→distinct exchange carried up to 20× (b6k3)
+            # / 10× (b5k2) the true pair volume on duplicate-heavy
+            # corpora (measured 3.93× on the 30× perturbed-replica
+            # probe; exact-dup-heavy production corpora sit near the
+            # 20× bound). Whether combo t' matches is pure bit algebra
+            # on xor(fp_a, fp_b) (zero bits under the combo's block
+            # mask), so each pair is emitted ONLY at its first matching
+            # combo: keep ⇔ t == min{t': xor & mask[t'] == 0}. Every
+            # matching combo's bucket is enumerated in this branch
+            # (nothing was capped — exactly what big.isEmpty() proved,
+            # and why the filter is NOT applied on the capped path,
+            # where the first matching combo's bucket may have degraded
+            # to a chain), so the first matching combo is always
+            # present and emits the pair exactly once.
+            #
+            # The distinct() below is KEPT even though its dedup is now
+            # a no-op on this branch: its exchange is what rebalances
+            # the (t, kv)-skewed join output before the checkpoint
+            # write — an A/B that dropped it regressed 41 → 46 s at 30×
+            # (the mega-text-cluster's partitions became the write
+            # straggler). The filter's win is the 3.93×–20× fewer rows
+            # THROUGH that exchange, not the exchange itself.
+            #
+            # Cost shape: the popcount runs FIRST (one op per joined
+            # row, kills the accidental-collision majority), then the
+            # when-chain scans masks in combo order and SHORT-CIRCUITS
+            # at the first match — a hamming-0 pair (the duplicate-
+            # family common case) exits at term 1; every joined row
+            # matches its own combo t, so the chain never scans past
+            # t+1 terms. (Mask algebra pinned:
+            # test_simhash_first_combo_emission_is_exact.)
+            x = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+            masks = _simhash_combo_masks(scheme)
+            first_t = F.when(x.bitwiseAND(F.lit(masks[0])) == 0, F.lit(0))
+            for i, m in enumerate(masks[1:], start=1):
+                first_t = first_t.when(x.bitwiseAND(F.lit(m)) == 0, F.lit(i))
+            cand_pairs = joined_small.filter(
+                (F.bit_count(x) <= 3) & (F.col("t") == first_t)
+            ).select("doc_a", "doc_b", "fp_a", "fp_b")
         else:
             over = (
                 keys_df.join(big, ["t", "kv"])

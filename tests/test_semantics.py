@@ -2329,6 +2329,93 @@ def test_lsh_bucket_cap_degrades_to_chain(spark):
         assert len(clusters) == 1, (kernel.__name__, kwargs)
 
 
+@pytest.mark.parametrize("scheme", ["b6k3", "b5k2"])
+def test_simhash_first_combo_emission_is_exact(spark, scheme):
+    """r14 opt pin for the first-matching-combo emission on
+    simhash_pairs' uncapped path (each qualifying pair feeds the
+    verify/distinct exchange from exactly ONE combo instead of every
+    matching one). Two layers:
+
+    1. Mask algebra (pure Python): for random fingerprint pairs, the
+       first index t with xor & _simhash_combo_masks[t] == 0 must equal
+       the reference enumeration that compares the combo's extracted
+       block values directly — the exactness the Spark-side when-chain
+       filter rests on.
+    2. End-to-end: on a duplicate-heavy corpus (families of identical
+       and " vN"-perturbed docs, whose hamming-0/low-hamming pairs
+       previously surfaced from up to all 20 combos) the output must
+       still EQUAL the brute-force hamming ≤ 3 truth set — a wrong
+       first_t drops a pair entirely, which this catches."""
+    import random
+
+    from flink_realtime_2024_spark.operators._util import widen
+    from flink_realtime_2024_spark.operators.llm import simhash64, simhash_pairs
+    from flink_realtime_2024_spark.operators.llm.lsh import (
+        _SIMHASH_SCHEMES,
+        _simhash_combo_masks,
+        _simhash_combos,
+    )
+
+    # --- 1. mask algebra vs direct block comparison
+    blocks, _ = _SIMHASH_SCHEMES[scheme]
+    combos = _simhash_combos(scheme)
+    masks = [m & ((1 << 64) - 1) for m in _simhash_combo_masks(scheme)]
+    rng = random.Random(14)
+    for _ in range(500):
+        fa = rng.getrandbits(64)
+        # flip 0-4 random bits so matching combos actually occur
+        fb = fa
+        for _b in range(rng.randint(0, 4)):
+            fb ^= 1 << rng.randrange(64)
+        x = fa ^ fb
+
+        def blockval(fp, bi):
+            off, w = blocks[bi]
+            return (fp >> off) & ((1 << w) - 1)
+
+        ref = next(
+            (
+                t
+                for t, combo in enumerate(combos)
+                if all(blockval(fa, bi) == blockval(fb, bi) for bi in combo)
+            ),
+            None,
+        )
+        got = next((t for t, m in enumerate(masks) if x & m == 0), None)
+        assert got == ref, (hex(fa), hex(fb), got, ref)
+
+    # --- 2. end-to-end equality on a duplicate-heavy corpus
+    base = [
+        "alpha beta gamma delta epsilon zeta",
+        "the quick brown fox jumps over the lazy dog",
+        "lorem ipsum dolor sit amet consectetur adipiscing",
+        "completely unrelated text about spark shuffles",
+    ]
+    rows = []
+    did = 0
+    for b in base:
+        for rep in range(12):  # identical + lightly perturbed family
+            did += 1
+            rows.append((did, b if rep == 0 else f"{b} v{rep}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = widen(docs).select("doc_id", simhash64("text").alias("fp")).collect()
+    ids = np.array([r["doc_id"] for r in fps], dtype=np.int64)
+    vals = np.array([r["fp"] for r in fps], dtype=np.int64).astype(np.uint64)
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[j] > ids[i] and bin(int(vals[i] ^ vals[j])).count("1") <= 3:
+                truth.add((int(ids[i]), int(ids[j])))
+    assert truth, "constructed corpus must contain hamming<=3 families"
+
+    found = _collect_set(simhash_pairs(docs, scheme=scheme), "doc_a", "doc_b")
+    assert found == truth, (
+        f"[{scheme}] missing={sorted(truth - found)[:5]}"
+        f" extra={sorted(found - truth)[:5]}"
+    )
+
+
 def test_simhash_chain_order_matches_oracle_on_mixed_sign_bucket(spark, tmp_path):
     """Cross-engine pin for the cap-degrade chain's SORT ORDER (r10
     review find): Spark sorts chain members by the SIGNED int64
