@@ -88,8 +88,13 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     real benchmark sizes; no explicit broadcast so an SF-scaling
     stand-in cannot OOM executors (VERDICT r1 rule)."""
     docs = load_table(spark, sf_dir, "documents")
-    exploded = (
-        docs.select("doc_id", F.explode(_token_ngrams()).alias("gram")).distinct()
+    # per-document gram dedup is ROW-LOCAL (r15, guide §2.4): an
+    # array_distinct on the generated gram array replaces the old
+    # `.distinct()` — which was a full exchange of every (doc_id, gram)
+    # pair, the largest intermediate in the query — with zero shuffles;
+    # the distinct (doc_id, gram) set is identical by construction.
+    exploded = docs.select(
+        "doc_id", F.explode(F.array_distinct(_token_ngrams())).alias("gram")
     )
     bench = (
         exploded.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
@@ -136,9 +141,12 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four downstream actions (bench sizing count, bit-position collect,
     # bloom probe, final doc restore) that would otherwise each re-run
     # the full text tokenization
+    # per-doc dedup row-locally (array_distinct) — same zero-shuffle
+    # rewrite as llm_decontaminate above
     exploded = (
-        docs.select("doc_id", F.explode(_token_ngrams()).alias("gram"))
-        .distinct()
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(_token_ngrams())).alias("gram")
+        )
         .localCheckpoint()
     )
     # bench is itself read three times (count, bit positions, verify

@@ -565,20 +565,27 @@ def llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates BEFORE any shingle array is shuffled or intersected —
     # on the tiny-vocab fixture corpus (hot prefix tokens) this cuts
     # the verify-join input ~17× (430k -> 25k candidate rows at sf0.1).
+    # candidates join on the TOKEN'S 64-BIT HASH, not the shingle string
+    # (r15, guide §2.3 "narrower types"): the prefix rows are the bulk
+    # of the self-join's shuffle, and an 8-byte long halves the row vs
+    # a ~20-30-byte shingle (and compares cheaper inside the join). A
+    # hash collision can only ADD a false candidate — same string always
+    # hashes equal, so no true pair is lost — and every candidate passes
+    # the exact hashed-array filter + exact string verify below.
     pref = ordered.select(
         "doc_id",
         F.size("sh").alias("sz"),
         F.posexplode(
             F.slice("sh", F.lit(1), jaccard_prefix_len(F.size("sh")))
         ).alias("pos", "tok"),
-    )
+    ).select("doc_id", "sz", "pos", F.xxhash64("tok").alias("tk"))
     pa = pref.select(
         F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sz_a"),
-        F.col("pos").alias("pos_a"), "tok",
+        F.col("pos").alias("pos_a"), "tk",
     )
     pb = pref.select(
         F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("sz_b"),
-        F.col("pos").alias("pos_b"), "tok",
+        F.col("pos").alias("pos_b"), "tk",
     )
     # LENGTH filter: J >= 0.5 forces min(sz)/max(sz) >= 0.5 (intersect
     # <= min, union >= max). POSITION filter: for a pair's FIRST common
@@ -596,7 +603,7 @@ def llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size(F.array_union("ha", "hb")).cast("double")
     )
     survivors = (
-        pa.join(pb, "tok")
+        pa.join(pb, "tk")
         .where(
             (F.col("doc_id_a") < F.col("doc_id_b"))
             & (F.least("sz_a", "sz_b") * 2 >= F.greatest("sz_a", "sz_b"))

@@ -686,6 +686,16 @@ def llm_knn_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     widen(emb.select("vec_id", "embedding"))
                     .mapInPandas(assign, assign_schema)
+                    # cluster the write by centroid (guide §6: pay one
+                    # shuffle at build time so each inverted list is ONE
+                    # file, not one shard per scan task — the unclustered
+                    # write left up to scan_width × ncent tiny files,
+                    # which the probed read then paid for in listing and
+                    # per-file open cost on every query). Width = the
+                    # index's own list count, the same tablet idiom as
+                    # stream_agg_merge; a 100 TB index would add
+                    # maxRecordsPerFile to split oversized lists.
+                    .repartition(_IVF_NCENT, "centroid_id")
                     .write.mode("overwrite")
                     .partitionBy("centroid_id")
                     .parquet(index_dir)

@@ -1120,9 +1120,22 @@ def _simhash_combos(scheme: str) -> list[tuple[int, ...]]:
 
 def _simhash_key_mults(scheme: str) -> list[int]:
     """Collision-free packing of a `keep`-tuple of block values into one
-    BIGINT key: every position shifted by the max block width."""
+    BIGINT key: every position shifted by the max block width.
+
+    Injectivity contract (ADVICE r14 #4): the first-matching-combo
+    when-chain in ``simhash_pairs`` has no ``otherwise()`` — it relies
+    on kv-equality ⟺ block-tuple-equality, which holds only while (a)
+    every block width fits the per-position shift (each width ≤ wmax,
+    true by construction of wmax) and (b) the packed key fits a signed
+    64-bit long. A future scheme violating (b) would silently alias
+    keys and LOSE pairs; assert it loudly instead."""
     blocks, keep = _SIMHASH_SCHEMES[scheme]
     wmax = max(w for _, w in blocks)
+    assert wmax * keep < 64, (
+        f"simhash scheme {scheme!r}: packed combo key needs "
+        f"{wmax * keep} bits — does not fit a signed BIGINT, the "
+        "kv-equality => block-equality invariant would break"
+    )
     return [1 << (wmax * (keep - 1 - j)) for j in range(keep)]
 
 
@@ -1545,21 +1558,31 @@ def fuzzy_pairs_dist1(names: DataFrame, col: str = "name") -> DataFrame:
     bounded by bucket sizes, never n². Depth-d neighborhoods generalize
     the same plan to distance d."""
     n = names.select(F.col(col).alias("name")).distinct()
+    # per-name variant dedup is row-local (array_distinct before the
+    # explode — r15, guide §2.4): the old `.distinct()` on the exploded
+    # (name, v) frame shuffled every variant row once just to dedup
+    # within its own name. The join key is the VARIANT'S 64-BIT HASH
+    # (the docstring's own long-key advice; guide §2.3): variant
+    # strings are ~name-length bytes, the hash is 8 — and a collision
+    # can only add a false candidate, which the exact levenshtein
+    # verify below discards.
     variants = n.select(
         "name",
         F.explode(
-            F.concat(
-                F.array(F.col("name")),
-                F.transform(
-                    F.sequence(F.lit(1), F.length("name")),
-                    lambda i: F.concat(
-                        F.substring(F.col("name"), F.lit(1), i - 1),
-                        F.substring(F.col("name"), i + 1, F.length("name")),
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("name")),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("name")),
+                        lambda i: F.concat(
+                            F.substring(F.col("name"), F.lit(1), i - 1),
+                            F.substring(F.col("name"), i + 1, F.length("name")),
+                        ),
                     ),
-                ),
+                )
             )
         ).alias("v"),
-    ).distinct()
+    ).select("name", F.xxhash64("v").alias("v"))
     cands = (
         variants.alias("a")
         .join(variants.alias("b"), "v")

@@ -11,6 +11,7 @@ package ``__init__`` so ``operators.llm.<name>`` paths are unchanged.
 from __future__ import annotations
 
 import re
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -472,6 +473,12 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pure-Python reference, so the algorithmic contract is untouched.
 _BPE_MERGES = 8
 _BPE_CAND_WINDOW = 128  # pair-count rows collected per round (batch mode)
+# Reduce-task sizing for the per-round pair aggregate (guide §2.2): one
+# adjacent-pair row is ~50 B (two short tokens + a long), so 2M rows ≈
+# 100 MB per reduce task — the advisory partition size. The loop width
+# is ceil(measured pair rows / this), so it grows with the histogram
+# (Heaps-law in the corpus) and collapses to 1 for test-scale vocabs.
+_BPE_PAIR_ROWS_PER_TASK = 2_000_000
 _BPE_EOW = "</w>"  # end-of-word marker (Sennrich et al. 2016 convention)
 
 
@@ -556,6 +563,15 @@ def _bpe_merge_expr(col, a: str, b: str):
 # delimiters would be wrong)
 _BPE_TOK_OPEN = "\x1e"
 _BPE_TOK_CLOSE = "\x1f"
+# Both the fast-path F.split in _bpe_rewrite_expr and the string-loop
+# candidates SQL treat _BPE_TOK_CLOSE + _BPE_TOK_OPEN as a Java REGEX
+# pattern (ADVICE r14 #3): pin the delimiters as regex-metachar-free so
+# a future change to either code point fails loudly here instead of
+# silently corrupting the rewrite.
+assert re.escape(_BPE_TOK_CLOSE + _BPE_TOK_OPEN) == _BPE_TOK_CLOSE + _BPE_TOK_OPEN, (
+    "BPE token delimiters must stay regex-safe: they are used verbatim "
+    "as split() patterns"
+)
 
 
 def _bpe_rewrite_expr(col, batch: list[tuple[str, str]]):
@@ -737,62 +753,178 @@ def bpe_train(
     pair_count) — ``n_merges`` rows."""
     spark = docs.sparkSession
     hist = _bpe_word_histogram(docs)
-    # LAZY checkpoints throughout the loop (r14 opt): each round's sym
-    # is first consumed by the very next candidates job, which
-    # materializes the checkpoint blocks as a side effect — an eager
-    # checkpoint here would run one extra no-op job per round (and one
-    # for the final round's sym, which no one ever reads). Measured at
-    # sf0.1: 16 jobs -> 9, same lineage-truncation guarantee.
-    # loop width follows the corpus scan width (scale-adaptive, r14
-    # opt): the histogram is Heaps-law smaller than the corpus, so its
-    # partition count never needs to exceed the input's — locally that
-    # collapses each round's reduce to a couple of tasks instead of a
-    # full shuffle-width of near-empty ones; at scale it grows with the
-    # input. coalesce() can only shrink, so the session's configured
-    # shuffle width stays the cap.
-    width = max(1, docs.rdd.getNumPartitions())
+    # Loop width is derived from the MEASURED pair volume of the
+    # histogram itself, not the corpus scan width (r15 opt; r14 used
+    # docs.rdd.getNumPartitions(), which under the bench's hot staged
+    # layout degenerates to the full core count — 32 near-empty reduce
+    # tasks per round for a 31-row histogram, measured 0.40 s/round vs
+    # 0.20 s at the right width). The histogram is materialized ONCE
+    # (eager checkpoint — this is the training loop's single corpus
+    # pass either way) with an Observation riding the same job, so the
+    # sizing costs ZERO extra jobs: width = ceil(adjacent-pair rows /
+    # _BPE_PAIR_ROWS_PER_TASK), i.e. reduce partitions sized by data
+    # volume (guide §2.2), floored at 1 and capped at the session's
+    # configured shuffle width.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    has_ctrl = F.exists(
+        "syms",
+        lambda t: t.contains(F.lit(_BPE_TOK_OPEN)) | t.contains(F.lit(_BPE_TOK_CLOSE)),
+    )
     sym = (
         hist.select(
             "weight",
             F.concat(F.split("word", ""), F.array(F.lit(_BPE_EOW))).alias("syms"),
         )
-        .coalesce(width)
-        .localCheckpoint(eager=False)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_words"),
+            F.coalesce(F.sum(F.size("syms")), F.lit(0)).alias("n_syms"),
+            F.coalesce(F.sum(has_ctrl.cast("long")), F.lit(0)).alias("n_ctrl"),
+        )
+        .localCheckpoint(eager=True)
     )
+    stats = obs.get
+    pair_rows = max(int(stats["n_syms"]) - int(stats["n_words"]), 1)
+    try:
+        session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        session_width = 200
+    width = max(1, -(-pair_rows // _BPE_PAIR_ROWS_PER_TASK))
+    # ADVICE r14 #1: the explicit repartition-before-groupBy removes
+    # map-side partial aggregation — fine while the whole pair stream
+    # is a handful of tasks, a regression once it is not. When the
+    # derived width reaches the session's shuffle width the data has
+    # outgrown the narrow-loop shape: fall back to a plain groupBy and
+    # let the planner do partial agg + exchange at the session width.
+    narrow_loop = width < session_width
+    if narrow_loop:
+        sym = sym.coalesce(width)
 
+    # Representation choice for the loop (r15 opt, guide §1.2 "per-task
+    # work" + driver latency): with ZERO control-char rows (n_ctrl — a
+    # property of the ORIGINAL words: a merge of two clean tokens can
+    # never introduce chr(30)/chr(31), so it is loop-invariant), the
+    # histogram lives across rounds in the SAME delimited-string
+    # encoding the committed training oracle uses — each round's
+    # rewrite is then a bare chain of native ``replace`` calls (the
+    # oracle's own rewrite, equivalence argument in the _bpe_cte_chain
+    # comment block) instead of a render→replace→split round trip with
+    # a per-row fold fallback. That cuts both the per-row executor work
+    # and — the measured bottleneck at test scale — the ~0.2 s/round of
+    # driver-side py4j expression construction (the fold builder emits
+    # hundreds of gateway calls per round; the replace chain emits a
+    # handful). An adversarial corpus with control-char tokens routes
+    # to the unchanged array+fold loop below: correctness stays
+    # UNCONDITIONAL, only the fast path narrows.
     merges: list[tuple[int, str, str, str, int]] = []
     window = _BPE_CAND_WINDOW if merges_per_round > 1 else 1
-    while len(merges) < n_merges:
-        cands = (
-            sym.select("weight", F.explode(_bpe_pairs_expr()).alias("p"))
-            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "weight")
-            # exchange on the exact group keys at the derived width —
-            # the classic planner reuses it for the aggregate below
-            .repartition(width, "a", "b")
-            .groupBy("a", "b")
-            .agg(F.sum("weight").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(window)
-            .collect()
-        )
-        if not cands or cands[0]["cnt"] < 2:
-            break  # nothing left worth merging
-        batch = _bpe_select_batch(
-            cands, window, min(merges_per_round, n_merges - len(merges))
-        )
-        for c in batch:
-            merges.append(
-                (len(merges), c["a"], c["b"], c["a"] + c["b"], int(c["cnt"]))
-            )
-        # One narrow JVM projection rewrites every row (r14 opt): the
-        # REPLACE-encoded batch rewrite runs native in rank order — no
-        # Python boundary, no touched/untouched filter+union double scan
-        # (replace is the identity on rows without the adjacency), no
-        # partition-count drift to coalesce.
-        pairs = [(c["a"], c["b"]) for c in batch]
-        sym = sym.select(
-            "weight", _bpe_rewrite_expr(F.col("syms"), pairs).alias("syms")
+    if int(stats["n_ctrl"]) == 0:
+        symr = sym.select(
+            "weight",
+            F.array_join(
+                F.transform(
+                    "syms",
+                    lambda t: F.concat(
+                        F.lit(_BPE_TOK_OPEN), t, F.lit(_BPE_TOK_CLOSE)
+                    ),
+                ),
+                "",
+            ).alias("r"),
         ).localCheckpoint(eager=False)
+        # candidates as ONE static SQL string over a loop-local temp
+        # view: tokens never appear in the SQL text (no escaping
+        # hazard), and the per-round driver cost is two gateway calls
+        # (replace view + parse) instead of rebuilding the expression
+        # tree. _BPE_TOK_CLOSE+_BPE_TOK_OPEN as a split pattern is
+        # regex-safe — pinned by the module-level assert next to the
+        # constants.
+        view = f"bpe_sym_loop_{uuid.uuid4().hex}"
+        hint = f"/*+ REPARTITION({width}, a, b) */ " if narrow_loop else ""
+        cands_sql = f"""
+            SELECT {hint}a, b, sum(weight) AS cnt FROM (
+              SELECT weight, p.a AS a, p.b AS b FROM (
+                SELECT weight,
+                       explode(CASE WHEN size(t) >= 2
+                               THEN transform(sequence(1, size(t) - 1),
+                                    i -> struct(element_at(t, i) AS a,
+                                                element_at(t, i + 1) AS b))
+                               ELSE CAST(array() AS array<struct<a:string,b:string>>)
+                               END) AS p
+                FROM (SELECT weight,
+                             split(substring(r, 2, length(r) - 2),
+                                   concat(char(31), char(30))) AS t
+                      FROM {view})
+              )
+            ) GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT {int(window)}
+        """
+        try:
+            while len(merges) < n_merges:
+                symr.createOrReplaceTempView(view)
+                cands = spark.sql(cands_sql).collect()
+                if not cands or cands[0]["cnt"] < 2:
+                    break  # nothing left worth merging
+                batch = _bpe_select_batch(
+                    cands, window, min(merges_per_round, n_merges - len(merges))
+                )
+                for c in batch:
+                    merges.append(
+                        (len(merges), c["a"], c["b"], c["a"] + c["b"], int(c["cnt"]))
+                    )
+                r = F.col("r")
+                for c in batch:
+                    a, b = c["a"], c["b"]
+                    r = F.replace(
+                        r,
+                        F.lit(
+                            _BPE_TOK_OPEN + a + _BPE_TOK_CLOSE
+                            + _BPE_TOK_OPEN + b + _BPE_TOK_CLOSE
+                        ),
+                        F.lit(_BPE_TOK_OPEN + a + b + _BPE_TOK_CLOSE),
+                    )
+                symr = symr.select("weight", r.alias("r")).localCheckpoint(
+                    eager=False
+                )
+        finally:
+            try:
+                spark.catalog.dropTempView(view)
+            except Exception:
+                pass
+    else:
+        while len(merges) < n_merges:
+            pair_stream = sym.select(
+                "weight", F.explode(_bpe_pairs_expr()).alias("p")
+            ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "weight")
+            if narrow_loop:
+                # exchange on the exact group keys at the derived width —
+                # the classic planner reuses it for the aggregate below
+                pair_stream = pair_stream.repartition(width, "a", "b")
+            cands = (
+                pair_stream.groupBy("a", "b")
+                .agg(F.sum("weight").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(window)
+                .collect()
+            )
+            if not cands or cands[0]["cnt"] < 2:
+                break  # nothing left worth merging
+            batch = _bpe_select_batch(
+                cands, window, min(merges_per_round, n_merges - len(merges))
+            )
+            for c in batch:
+                merges.append(
+                    (len(merges), c["a"], c["b"], c["a"] + c["b"], int(c["cnt"]))
+                )
+            # One narrow JVM projection rewrites every row (r14 opt): the
+            # REPLACE-encoded batch rewrite runs native in rank order — no
+            # Python boundary, no touched/untouched filter+union double scan
+            # (replace is the identity on rows without the adjacency), no
+            # partition-count drift to coalesce.
+            pairs = [(c["a"], c["b"]) for c in batch]
+            sym = sym.select(
+                "weight", _bpe_rewrite_expr(F.col("syms"), pairs).alias("syms")
+            ).localCheckpoint(eager=False)
 
     schema = T.StructType(
         [

@@ -930,7 +930,12 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec("value").alias("total_value"),
             bucket.alias("bucket"),
         )
-        touched = sorted(r["bucket"] for r in rows.select("bucket").distinct().collect())
+        # touched-bucket discovery as ONE global collect_set aggregate
+        # (r15): map-side partial collect_set over ≤ bucket-count values
+        # per task, a single-row reduce — no 32-partition distinct
+        # exchange + collect round trip per micro-batch (measured with
+        # the width change below: 3.49 → 2.84 s over the 4-batch replay)
+        touched = sorted(rows.agg(F.collect_set("bucket")).first()[0])
         prev_dirs = [bucket_path[b] for b in touched if b in bucket_path]
         if prev_dirs:
             # leaf bucket=k dirs hold plain files (bucket was a partition
@@ -958,8 +963,15 @@ def stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # combine before it — per-batch shuffle volume is the raw
         # micro-batch, which the trigger bounds; that trade buys one
         # exchange + one cache round-trip per batch.
+        # width = the operator's OWN tablet count, not the session's
+        # shuffle width (r15): the merge exchange needs at most one
+        # reduce task per bucket (every (user_id, bucket) group lives in
+        # exactly one), and the task count is what bounds the per-batch
+        # commit overhead — _AGG_MERGE_BUCKETS is the operator's scale
+        # knob (a 10⁹-user deployment raises it), so the width stays
+        # scale-parameterised rather than local-tuned.
         part = (
-            rows.repartition("bucket")
+            rows.repartition(_AGG_MERGE_BUCKETS, "bucket")
             .groupBy("user_id", "bucket")
             .agg(
                 F.sum("n_events").cast("bigint").alias("n_events"),
