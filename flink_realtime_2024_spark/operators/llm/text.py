@@ -841,10 +841,25 @@ def bpe_train(
         # regex-safe — pinned by the module-level assert next to the
         # constants.
         view = f"bpe_sym_loop_{uuid.uuid4().hex}"
-        hint = f"/*+ REPARTITION({width}, a, b) */ " if narrow_loop else ""
+        # the REPARTITION hint rides the INNER block so the outer
+        # groupBy's clustering requirement is satisfied by the hint's
+        # exchange (hashpartitioning(a,b,width) satisfies
+        # ClusteredDistribution(a,b) at any width) — one exchange at the
+        # derived width, exactly the DataFrame repartition-then-groupBy
+        # idiom. At width == 1 the coalesced single-partition input
+        # already satisfies ANY clustering requirement, so the round
+        # plan runs with ZERO exchanges — no hint at all (captured in
+        # plans/r15/llm_bpe_train_after.txt). On the plain-groupBy
+        # branch the planner keeps partial agg + session-width exchange
+        # (ADVICE r14 #1).
+        hint = (
+            f"/*+ REPARTITION({width}, a, b) */ "
+            if narrow_loop and width > 1
+            else ""
+        )
         cands_sql = f"""
-            SELECT {hint}a, b, sum(weight) AS cnt FROM (
-              SELECT weight, p.a AS a, p.b AS b FROM (
+            SELECT a, b, sum(weight) AS cnt FROM (
+              SELECT {hint}weight, p.a AS a, p.b AS b FROM (
                 SELECT weight,
                        explode(CASE WHEN size(t) >= 2
                                THEN transform(sequence(1, size(t) - 1),

@@ -1374,6 +1374,63 @@ def test_bpe_batched_matches_reference_tie_heavy(spark):
     assert got == ref_merges
 
 
+def test_bpe_train_branches_match_reference(spark, monkeypatch):
+    """The r15 loop has three code paths: the delimited-string fast loop
+    (n_ctrl == 0, narrow width), the array+fold fallback (any word
+    containing the chr(30)/chr(31) delimiters), and the plain-groupBy
+    wide branch (derived width ≥ session shuffle width, which restores
+    map-side partial aggregation). All three must reproduce the
+    sequential reference exactly."""
+    import flink_realtime_2024_spark.operators.llm.text as X
+    from flink_realtime_2024_spark.operators.llm import bpe_train
+
+    # (a) control-char corpus → n_ctrl > 0 → array+fold loop end to end
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        f"sp{X._BPE_TOK_OPEN}ike sp{X._BPE_TOK_OPEN}ike wider wider",
+        f"od{X._BPE_TOK_CLOSE}d new new newest newest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    word_counts: dict = {}
+    for t in texts:
+        for w in t.split():
+            word_counts[w] = word_counts.get(w, 0) + 1
+    ref_merges, _ = _bpe_reference(word_counts, n_merges=8)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == ref_merges
+
+    # (b) clean corpus forced onto the WIDE branch: a 1-row-per-task
+    # budget makes the derived width exceed the session shuffle width,
+    # so the loop must take the plain-groupBy (partial-agg) shape and
+    # still match the narrow fast loop's reference result
+    texts2 = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider wider new new",
+    ]
+    docs2 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts2)], "doc_id bigint, text string"
+    )
+    wc2: dict = {}
+    for t in texts2:
+        for w in t.split():
+            wc2[w] = wc2.get(w, 0) + 1
+    ref2, _ = _bpe_reference(wc2, n_merges=8)
+    monkeypatch.setattr(X, "_BPE_PAIR_ROWS_PER_TASK", 1)
+    got2 = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs2, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got2 == ref2
+
+
 def test_fuzzy_pairs_deletion_neighborhood_guarantee(spark):
     """Deletion-neighborhood blocking must find EVERY pair at edit
     distance ≤ 1 — substitution, insertion, deletion — and nothing at
